@@ -1,0 +1,109 @@
+"""As-of join (SURVEY §2.2 B14): for each left row, the most recent right
+row at-or-before its timestamp, per key.
+
+Two implementations with identical semantics:
+
+- ``asof_join``         — pure DataFrame composition: union the two sides,
+                          sort per key by (ts, side), propagate the last
+                          right value forward with ``last(..., ignorenulls)``
+                          over an unbounded-preceding window. One shuffle on
+                          the key; no Python boundary. Preferred at scale.
+- ``asof_join_pandas``  — ``applyInPandas`` + ``pandas.merge_asof`` per key
+                          group. Simpler semantics, Arrow-batched; use when
+                          tolerance windows / nearest-direction options are
+                          needed (merge_asof exposes them directly).
+
+Tie handling: right rows sharing a timestamp are ordered by ``right_order``
+(default the natural extra sort keys) and the *last* one wins — both paths
+agree on this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    value_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """For each left row: latest right values with right.on <= left.on,
+    matching on ``by`` keys. Appends ``value_cols`` (null when no prior
+    right row exists).
+
+    Scale: one hash exchange on ``by`` + one sort — the same cost as a
+    window function; no range-join explosion. Skewed keys behave like any
+    skewed window partition (pre-salt if a single key dominates).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    lmark = left.withColumn("_side", F.lit(1))
+    rmark = right.select(
+        *by, F.col(on), *[F.col(c) for c in value_cols], *[F.col(c) for c in right_order if c not in value_cols]
+    ).withColumn("_side", F.lit(0))
+    merged = lmark.unionByName(rmark, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (side 0 < 1) so an exact-ts
+    # right row is visible to the left row at the same instant.
+    order = [F.col(on).asc(), F.col("_side").asc(), *[F.col(c).asc() for c in right_order]]
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = merged
+    for c in value_cols:
+        filled = filled.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+    tolerance=None,
+) -> DataFrame:
+    """merge_asof-backed variant (Arrow-batched, per-key groups).
+
+    Co-groups both sides by key so each pandas batch holds one key's rows;
+    memory per task is bounded by the largest single key.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    left_cols = list(left.columns)
+    # copy the field list: StructType.add mutates in place, and df.schema is
+    # cached on the DataFrame — appending to it directly corrupts `left`.
+    out_schema = StructType(list(left.schema.fields))
+    for c in value_cols:
+        out_schema = out_schema.add(right.schema[c])
+
+    def merge(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[*left_cols, *value_cols])
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        # stable sort by (on, *right_order): the LAST among equal-ts right
+        # rows wins, matching asof_join's window tie-break.
+        rsel = rpdf[[on, *dict.fromkeys([*right_order, *value_cols])]].sort_values(
+            [on, *right_order], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lpdf, rsel[[on, *value_cols]], on=on, direction="backward",
+            tolerance=tolerance, suffixes=("", "_r"),
+        )
+        for c in value_cols:
+            if f"{c}_r" in merged.columns:
+                merged[c] = merged[f"{c}_r"]
+                merged = merged.drop(columns=[f"{c}_r"])
+        return merged[[*left_cols, *value_cols]]
+
+    # alias both sides: cogroup column extraction mis-resolves when the two
+    # frames share lineage (e.g. probe derived from the right table's scan)
+    lal, ral = left.alias("_asof_l"), right.alias("_asof_r")
+    return lal.groupBy(by).cogroup(ral.groupBy(by)).applyInPandas(merge, schema=out_schema)

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing (SURVEY §2.2 B51; north-star tier).
+
+Images/audio/video are opaque ``binary`` payload columns plus a typed
+metadata struct. The Spark-side machinery — schema, content hashing,
+partition-parallel Arrow batching through ``mapInPandas``, batch shape — is
+real and tested; the actual media decode is STUBBED (the container ships no
+image/audio libraries) behind ``decode_stub``: a deterministic fake that a
+deployment replaces with PIL/ffmpeg calls of the same signature.
+
+Scale notes: payloads never pass through a groupBy — dedup is digest-first
+(hash the bytes, shuffle 32-byte digests). Feature extraction is a
+``mapInPandas`` scan: zero shuffle, Arrow-batched, and the batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition
+of large blobs cannot OOM an executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("meta", StructType([
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]), True),
+])
+
+
+def as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
+    """Wrap an arbitrary binary (or string) column into the canonical media
+    schema. Pure projection — no shuffle, no Python."""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def content_digest(df: DataFrame, out: str = "digest") -> DataFrame:
+    """SHA-256 content hash of the payload — the dedup key. JVM-side."""
+    return df.withColumn(out, F.sha2(F.col("payload"), 256))
+
+
+def dedup_media(df: DataFrame) -> DataFrame:
+    """Exact media dedup: keep min media_id per payload digest."""
+    keep = (
+        content_digest(df)
+        .groupBy("digest")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    return df.join(keep, "media_id", "left_semi")
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decoder. Replace with a real decoder (PIL / torchaudio / ffmpeg)
+    in deployment — same signature, same output keys.
+
+    Deterministic fake: derives pseudo 'decoded' properties from the bytes
+    so tests exercise real values end-to-end.
+    """
+    if payload is None:
+        return {"ok": False, "width": None, "height": None, "n_frames": None}
+    n = len(payload)
+    return {
+        "ok": True,
+        "width": 16 + (n % 64),
+        "height": 16 + ((n // 64) % 64),
+        "n_frames": 1 + (n % 8),
+    }
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("n_bytes", LongType(), True),
+])
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow-batched scan).
+
+    The iterator-of-batches signature keeps memory at one Arrow batch per
+    task regardless of partition size — the correct shape for 100 MB video
+    payloads at 100 TB total.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ok": [str(d["ok"]).lower() for d in decoded],
+                "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+                "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+                "n_frames": pd.array([d["n_frames"] for d in decoded], dtype="Int32"),
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+
+    The frame *decode* is stubbed (frame index only); the explode shape —
+    rows multiply by frames/every_n before any shuffle — is the real design
+    decision and is tested.
+    """
+    feats = extract_features(df)
+    return feats.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §2.2 B50;
+north-star text tier): tokenization, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All hot paths are built-in Column expressions (split/filter/aggregate run
+in codegen); nothing here crosses the Python boundary, so these scale to a
+100 TB corpus as a single scan + (for corpus-level counts) one hash
+aggregation whose shuffle volume is bounded by vocabulary size, not corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny deterministic English stoplist for quality scoring / lang-id.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column, delimiter: str = " ") -> Column:
+    """Whitespace tokenization with empty-token filtering (both sides of the
+    DuckDB oracle filter empties; FIXTURES §4 rule 6)."""
+    return F.filter(F.split(F.lower(text), delimiter), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: splits off punctuation and numbers as
+    separate tokens (a rough proxy for subword token counting)."""
+    cleaned = F.regexp_replace(F.lower(text), r"([^\w\s])", r" $1 ")
+    return F.filter(F.split(cleaned, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, token_count(F.col(text_col)))
+
+
+def word_counts(df: DataFrame, text_col: str = "text", k: int | None = None) -> DataFrame:
+    """Corpus-level word frequencies (Q35). explode → groupBy(word) — the
+    shuffle carries one (word, partial_count) pair per distinct word per
+    partition thanks to partial aggregation, so it is vocabulary-bound."""
+    out = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+    )
+    return out.limit(k) if k else out
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char length, token count, mean token
+    length, stopword ratio, punctuation ratio. One scan, zero shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    mean_tok_len = F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("len_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+#: Character-frequency profiles for a toy n-gram language-ID heuristic.
+#: Deterministic and dependency-free; real deployments would swap in a
+#: fastText/CLD3 model behind the same mapInPandas seam.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "ein"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "de", "los"],
+    "zh": [],  # fallback: CJK codepoint presence
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK codepoints → zh; else the language whose
+    marker stopwords occur most. Pure Column expression (no UDF)."""
+    toks = tokens(text)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))))
+    has_cjk = F.length(F.regexp_replace(text, r"[一-鿿]", "")) < F.length(text)
+    out = F.lit("en")
+    best = scores[0][1]
+    for lang, score in scores[1:]:
+        out = F.when(score > best, F.lit(lang)).otherwise(out)
+        best = F.greatest(best, score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(out)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out, lang_id(F.col(text_col)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (content hash). MD5 is used because
+    the DuckDB oracle computes the identical digest; the dedup tier also
+    offers xxhash64 (faster, Spark-only)."""
+    return F.md5(text)
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as strings — the MinHash/Jaccard input unit.
+    Built with sequence+transform so it stays in codegen."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,763 @@
+"""Declared query registry — the correctness contract (SURVEY §2.2).
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with the
+equivalent DuckDB SQL (or ``None`` for ops that are hash-/approximation-
+specific and get the driver's weaker rows-only check). Column names AND
+types are aligned on both sides (explicit aliases + casts) because the
+driver hashes values after sorting columns by name.
+
+Canonicalization follows FIXTURES §4: explicit tie-breaking ORDER BY,
+ROUND(x,2) monetary / ROUND(x,4) similarity, NULLS FIRST/LAST pinned on
+nullable sort keys, UTC timestamps, epoch arithmetic for the ns-timestamp
+events table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from spark_s3_shuffle_spark.functions.vector import cosine
+from spark_s3_shuffle_spark.operators import dedup as D
+from spark_s3_shuffle_spark.operators import multimodal as MM
+from spark_s3_shuffle_spark.operators import relational as R
+from spark_s3_shuffle_spark.operators import similarity as SIM
+from spark_s3_shuffle_spark.operators import text as T
+from spark_s3_shuffle_spark.operators import windowing as W
+from spark_s3_shuffle_spark.operators.asof import asof_join, asof_join_pandas
+from spark_s3_shuffle_spark.sources.catalog import load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+#: As-of cutoff for q11: 2024-01-15T00:00:00Z in ns (events span 2024-01).
+ASOF_CUTOFF_NS = 1_705_276_800 * 10**9
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Builder) -> Builder:
+        QUERIES[name] = QuerySpec(name, fn, oracle, doc, tags)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources (B1–B3)
+# ---------------------------------------------------------------------------
+
+@_register("q01_scan_count", "SELECT COUNT(*) AS n FROM lineitem", "B1 parquet scan")
+def q01(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register("q02_inmemory_sum", "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) v(x)", "B3 in-memory source")
+def q02(spark, sf_dir):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    return df.agg(F.sum("x").alias("s"))
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter (B5, B6)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q03_project_expr",
+    """SELECT l_orderkey, l_linenumber, ROUND(l_quantity * l_extendedprice, 2) AS gross
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, gross LIMIT 100""",
+    "B5 projection w/ expression ((l_orderkey, l_linenumber) is not unique in"
+    " the fixtures, so gross joins the sort key to keep the LIMIT cut"
+    " deterministic)",
+)
+def q03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    proj = R.project(
+        li, "l_orderkey", "l_linenumber",
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("gross"),
+    )
+    return R.top_k(proj, 100, "l_orderkey", "l_linenumber", "gross")
+
+
+@_register(
+    "q04_filter_count",
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 100000""",
+    "B6 predicates (pushed to parquet scan)",
+)
+def q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.filter_rows(
+        o, (F.col("o_orderstatus") == "F") & F.col("o_totalprice").between(1000, 100000)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (B7–B14)
+# ---------------------------------------------------------------------------
+
+_Q05_SQL = """SELECT n_name, COUNT(*) AS c FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name"""
+
+
+@_register("q05_join_agg", _Q05_SQL, "B7 equi-join (sort-merge eligible)")
+def q05(spark, sf_dir):
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    j = R.join(c, n, c.c_nationkey == n.n_nationkey)
+    return R.aggregate(j, ["n_name"], [F.count(F.lit(1)).alias("c")]).orderBy("n_name")
+
+
+@_register("q05b_broadcast_join", _Q05_SQL, "B8 broadcast hash join — same result, zero fact-side shuffle")
+def q05b(spark, sf_dir):
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    j = R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True)
+    return R.aggregate(j, ["n_name"], [F.count(F.lit(1)).alias("c")]).orderBy("n_name")
+
+
+@_register(
+    "q06_left_outer_join",
+    """SELECT c_custkey, COUNT(o_orderkey) AS c FROM customer
+       LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""",
+    "B9 outer join",
+)
+def q06(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    j = R.join(c, o, c.c_custkey == o.o_custkey, how="left")
+    return R.aggregate(j, [c.c_custkey], [F.count(o.o_orderkey).alias("c")]).orderBy("c_custkey")
+
+
+@_register(
+    "q07_semi_join",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "B10 left-semi join (IN/EXISTS shape)",
+)
+def q07(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return R.semi_join(c, o, c.c_custkey == o.o_custkey).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q08_anti_join",
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""",
+    "B11 left-anti join (NOT EXISTS shape)",
+)
+def q08(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return R.anti_join(c, o.filter(F.col("o_custkey").isNotNull()), c.c_custkey == o.o_custkey).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q09_cross_join",
+    """SELECT COUNT(*) AS n FROM region r1 CROSS JOIN region r2
+       WHERE r1.r_regionkey < r2.r_regionkey""",
+    "B12 cross/theta join (BNLJ)",
+)
+def q09(spark, sf_dir):
+    r1 = _t(spark, sf_dir, "region").alias("r1")
+    r2 = _t(spark, sf_dir, "region").alias("r2")
+    return R.cross_join(r1, r2, F.col("r1.r_regionkey") < F.col("r2.r_regionkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "q10_range_join",
+    """SELECT COUNT(*) AS n FROM orders o JOIN lineitem l
+       ON o.o_orderkey = l.l_orderkey AND l.l_shipdate > o.o_orderdate""",
+    "B13 non-equi join w/ equi component (hash join + residual range filter)",
+)
+def q10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    j = R.range_join(
+        o, li,
+        F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        F.col("l.l_shipdate") > F.col("o.o_orderdate"),
+    )
+    return j.agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q11_SQL = """SELECT u.user_id, e.event_type FROM (SELECT DISTINCT user_id FROM events) u
+              LEFT JOIN (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+              ) e ON u.user_id = e.user_id AND e.rn = 1
+              ORDER BY u.user_id"""
+
+
+def _asof_inputs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.select("user_id").distinct().withColumn("ts", F.lit(ASOF_CUTOFF_NS).cast("long"))
+    right = ev.select("user_id", "ts", "event_type", "event_id")
+    return probe, right
+
+
+@_register("q11_asof_join", _Q11_SQL, "B14 as-of join — window/union composition (scale path)")
+def q11(spark, sf_dir):
+    probe, right = _asof_inputs(spark, sf_dir)
+    out = asof_join(probe, right, on="ts", by="user_id", value_cols=["event_type"], right_order=["event_id"])
+    return out.select("user_id", "event_type").orderBy("user_id")
+
+
+@_register("q11b_asof_join_pandas", _Q11_SQL, "B14 as-of join — merge_asof applyInPandas variant")
+def q11b(spark, sf_dir):
+    probe, right = _asof_inputs(spark, sf_dir)
+    out = asof_join_pandas(probe, right, on="ts", by="user_id", value_cols=["event_type"], right_order=["event_id"])
+    return out.select("user_id", "event_type").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (B15–B21)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q12_tpch_q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS cnt, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "B15 hash aggregate partial+final (TPC-H Q1 shape; flagship). Sums over"
+    " doubles go through DECIMAL so partial-agg order cannot perturb LSBs.",
+)
+def q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@_register(
+    "q13_count_by_key",
+    "SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey ORDER BY k",
+    "B16 combineByKey analogue",
+)
+def q13(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.aggregate(li, [F.col("l_suppkey").alias("k")], [F.count(F.lit(1)).alias("c")]).orderBy("k")
+
+
+@_register(
+    "q14_fold_by_key",
+    """SELECT CAST(l_orderkey % 500 AS BIGINT) AS k, CAST(SUM(l_suppkey * 2) AS BIGINT) AS v
+       FROM lineitem GROUP BY k ORDER BY k""",
+    "B17 foldByKey analogue (zero-value agg)",
+)
+def q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.aggregate(
+        li,
+        [(F.col("l_orderkey") % 500).cast("long").alias("k")],
+        [F.sum(F.col("l_suppkey") * 2).cast("long").alias("v")],
+    ).orderBy("k")
+
+
+@_register(
+    "q15_group_by_key",
+    "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "B18 groupByKey analogue (oracle-comparable declared variant)",
+)
+def q15(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.aggregate(o, ["o_custkey"], [F.count(F.lit(1)).alias("c")]).orderBy("o_custkey")
+
+
+@_register("q16_count_distinct", "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders", "B19 distinct")
+def q16(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n"))
+
+
+@_register(
+    "q17_rollup",
+    """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS s,
+              CAST(GROUPING(l_returnflag) AS INT) AS g1, CAST(GROUPING(l_linestatus) AS INT) AS g2
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "B21 rollup + grouping() (TPC-DS q5/q67 shape)",
+)
+def q17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        R.rollup_agg(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                F.round(F.sum("l_quantity"), 2).alias("s"),
+                F.grouping("l_returnflag").cast("int").alias("g1"),
+                F.grouping("l_linestatus").cast("int").alias("g2"),
+            ],
+        )
+        .orderBy("g1", "g2", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (B22–B24)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q18_rank_topk_per_group",
+    """SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk FROM (
+         SELECT o_custkey, o_orderkey,
+                RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
+    "B22 ranking window (TPC-DS q67 shape)",
+)
+def q18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = W.top_k_per_group(o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
+    return top.select("o_custkey", "o_orderkey", F.col("rk").cast("int").alias("rk")).orderBy(
+        "o_custkey", "rk", "o_orderkey"
+    )
+
+
+@_register(
+    "q19_lag_delta",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(l_quantity - LAG(l_quantity, 1, 0) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax), 2) AS d
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, d LIMIT 1000""",
+    "B23 lag/lead analytic window. Window sort carries full tie-breakers"
+    " ((l_orderkey, l_linenumber) is not unique) and the LIMIT cut orders by"
+    " d as well, so duplicate keys cannot make the result order-dependent.",
+)
+def q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    lagged = W.with_lag(
+        li, "l_quantity", ["l_orderkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        1, 0, out="_lag",
+    )
+    return (
+        lagged.select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_quantity") - F.col("_lag"), 2).alias("d"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "d")
+        .limit(1000)
+    )
+
+
+@_register(
+    "q20_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+    "B24 frame-spec running aggregate (DECIMAL accumulation for exactness)",
+)
+def q20(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    run = W.running_agg(
+        o, F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"], out="_run",
+    )
+    return run.select(
+        "o_custkey", "o_orderkey", F.round("_run", 2).cast("double").alias("run")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (B25–B27)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q21_topk_sort",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 500""",
+    "B25/B27 total sort + top-k (TakeOrderedAndProject)",
+)
+def q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.top_k(
+        li, 500, F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    ).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (B28, B29)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q22_union_all",
+    """SELECT COUNT(*) AS n FROM (SELECT o_custkey AS k FROM orders
+       UNION ALL SELECT c_custkey FROM customer) t""",
+    "B28 union all",
+)
+def q22(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return R.union_all(o, c).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q23_intersect",
+    """SELECT COUNT(*) AS n FROM (SELECT o_custkey FROM orders
+       INTERSECT SELECT c_custkey FROM customer) t""",
+    "B29 intersect",
+)
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return R.intersect(o, c).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (B30–B36)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q24_string_fns",
+    """SELECT UPPER(SUBSTR(c_name, 1, 8)) AS u, COUNT(*) AS c FROM customer
+       GROUP BY u ORDER BY u, c""",
+    "B30 string functions",
+)
+def q24(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return R.aggregate(
+        c, [F.upper(F.substring("c_name", 1, 8)).alias("u")], [F.count(F.lit(1)).alias("c")]
+    ).orderBy("u", "c")
+
+
+@_register(
+    "q25_date_fns",
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS y, COUNT(*) AS c FROM orders
+       GROUP BY y ORDER BY y""",
+    "B31 date/time functions",
+)
+def q25(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.aggregate(
+        o, [F.year("o_orderdate").cast("int").alias("y")], [F.count(F.lit(1)).alias("c")]
+    ).orderBy("y")
+
+
+@_register(
+    "q26_math_revenue",
+    """SELECT l_orderkey,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 1000""",
+    "B32 arithmetic + round (decimal-exact sum: double addition is order-"
+    "dependent across partitions, so sums are accumulated in DECIMAL)",
+)
+def q26(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    return (
+        R.aggregate(li, ["l_orderkey"], [F.round(rev, 2).cast("double").alias("rev")])
+        .orderBy("l_orderkey")
+        .limit(1000)
+    )
+
+
+@_register(
+    "q27_conditional",
+    """SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+              COALESCE(MAX(NULLIF(l_linestatus, 'O')), '-') AS m
+       FROM lineitem""",
+    "B33 CASE WHEN / coalesce / nullif",
+)
+def q27(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("r"),
+        F.coalesce(F.max(F.nullif(F.col("l_linestatus"), F.lit("O"))), F.lit("-")).alias("m"),
+    )
+
+
+@_register(
+    "q28_explode_array",
+    "SELECT x FROM (SELECT UNNEST([1, 2, 3]) AS x) t ORDER BY x",
+    "B34 array functions / B46 UDTF shape",
+)
+def q28(spark, sf_dir):
+    return spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("x")).orderBy("x")
+
+
+@_register(
+    "q29_json_extract",
+    """SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS c FROM events
+       GROUP BY k ORDER BY k NULLS FIRST, c""",
+    "B36 JSON extraction",
+)
+def q29(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return R.aggregate(
+        ev, [F.get_json_object("props", "$.k").alias("k")], [F.count(F.lit(1)).alias("c")]
+    ).orderBy(F.col("k").asc_nulls_first(), "c")
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-equivalents (B37, B41) — streaming smoke lives in tests
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q30_tumbling_window",
+    """SELECT CAST(FLOOR(EPOCH(ts) / 600) AS BIGINT) AS w, COUNT(*) AS c
+       FROM events GROUP BY w ORDER BY w""",
+    "B37 tumbling window agg (batch equivalent; FIXTURES §4 rule 4)",
+)
+def q30(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return R.aggregate(
+        ev,
+        [F.floor(F.col("ts") / F.lit(1e9) / 600).cast("bigint").alias("w")],
+        [F.count(F.lit(1)).alias("c")],
+    ).orderBy("w")
+
+
+@_register(
+    "q31_exact_dedup_events",
+    "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_id FROM events) t",
+    "B41/B47 exact dedup",
+)
+def q31(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return R.distinct_rows(ev.select("user_id", "event_id")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (B43–B45)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q32_pandas_udf",
+    """SELECT LOWER(TRIM(c_mktsegment)) AS k, COUNT(*) AS c FROM customer
+       GROUP BY k ORDER BY k, c""",
+    "B43 scalar pandas UDF (arrow-vectorized py_clean = lower∘trim)",
+)
+def q32(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def py_clean(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower()
+
+    c = _t(spark, sf_dir, "customer")
+    return R.aggregate(
+        c, [py_clean("c_mktsegment").alias("k")], [F.count(F.lit(1)).alias("c")]
+    ).orderBy("k", "c")
+
+
+@_register(
+    "q33_grouped_map_udf",
+    """SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "B44 grouped-map applyInPandas (per-key total, exact integer cents so the"
+    " pandas path is bit-comparable to the SQL oracle)",
+)
+def q33(spark, sf_dir):
+    import numpy as np
+
+    def per_key_total(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return pd.DataFrame({"o_custkey": [pdf["o_custkey"].iloc[0]], "m_cents": [int(cents.sum())]})
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(per_key_total, "o_custkey long, m_cents long").orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search (B49)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q34_cosine_topk",
+    """SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+       FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""",
+    "B49 brute-force cosine top-k",
+)
+def q34(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.cosine_topk(emb, probe, k=10)
+
+
+@_register(
+    "q34b_ivf_topk", None,
+    "B49 IVF-bucketed approximate top-k (scale path; approx → rows-only check)",
+    tags=("approx",),
+)
+def q34b(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.ivf_topk(emb, probe, k=10, num_cells=8, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis (B50)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q35_word_counts",
+    """SELECT w, COUNT(*) AS c FROM (
+         SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents) t
+       WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 100""",
+    "B50 tokenize + corpus word counts",
+)
+def q35(spark, sf_dir):
+    return T.word_counts(_t(spark, sf_dir, "documents"), "text", k=100)
+
+
+@_register(
+    "q36_content_dedup_stats",
+    """SELECT COUNT(DISTINCT text) AS n, CAST(SUM(n_chars) AS BIGINT) AS s FROM documents""",
+    "B51/B47 content-level dedup stats",
+)
+def q36(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(F.countDistinct("text").alias("n"), F.sum("n_chars").cast("long").alias("s"))
+
+
+@_register(
+    "q37_exact_dedup_docs",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "B47 exact dedup keep-first (digest-grouped survivors)",
+)
+def q37(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id").orderBy("doc_id")
+
+
+@_register(
+    "q38_token_count",
+    """SELECT doc_id, CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS INT) AS n_tokens
+       FROM documents ORDER BY doc_id""",
+    "B50 per-document token counting",
+)
+def q38(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.with_token_count(d, "text").select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+_Q39_SQL = """
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS len_chars,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk,
+         text
+  FROM documents)
+SELECT doc_id, CAST(len_chars AS INT) AS len_chars, CAST(LEN(tk) AS INT) AS n_tokens,
+       ROUND(CASE WHEN LEN(tk) > 0 THEN LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['the','a','of','and','to','in','is','it'], x))) / LEN(tk) ELSE 0.0 END, 4) AS stop_ratio,
+       ROUND(CASE WHEN LENGTH(text) > 0 THEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) / LENGTH(text) ELSE 0.0 END, 4) AS punct_ratio
+FROM toks ORDER BY doc_id"""
+
+
+@_register("q39_quality_score", _Q39_SQL, "B50 quality scoring (length/stopword/punct ratios)")
+def q39(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.quality_score(d, "text").select(
+        "doc_id", "len_chars", "n_tokens", "stop_ratio", "punct_ratio"
+    ).orderBy("doc_id")
+
+
+@_register("q40_lang_id", None, "B50 heuristic language ID (heuristic → rows-only check)", tags=("heuristic",))
+def q40(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.with_lang_id(d, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@_register(
+    "q41_fingerprint",
+    "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id",
+    "B50 document fingerprinting (content hash)",
+)
+def q41(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# North-star: near-dup dedup family (B48) — hash-specific → rows-only checks
+# ---------------------------------------------------------------------------
+
+@_register("q42_minhash_dedup", None, "B48 MinHash-LSH near-dup removal", tags=("hash-specific",))
+def q42(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup(d, "doc_id", "text").select("doc_id").orderBy("doc_id")
+
+
+@_register("q43_simhash_dedup", None, "B48 SimHash near-dup removal", tags=("hash-specific",))
+def q43(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_dedup(d, "doc_id", "text").select("doc_id").orderBy("doc_id")
+
+
+@_register("q44_ngram_jaccard", None, "B48 n-gram Jaccard verified pairs", tags=("hash-specific",))
+def q44(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=16, bands=8)
+    return D.ngram_jaccard_pairs(d, cand, "doc_id", "text", 3, 0.3).orderBy("a", "b")
+
+
+@_register("q45_embedding_neardup", None, "B48 embedding-cosine near-dup pairs", tags=("hash-specific",))
+def q45(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9, num_planes=4).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal columns (B51)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q46_multimodal_digest",
+    "SELECT COUNT(DISTINCT SHA256(text)) AS n FROM documents",
+    "B51 binary payload content-hash dedup (text bytes as stand-in payload)",
+)
+def q46(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.as_media(d, "doc_id", "text", "text/plain")
+    return MM.content_digest(media).agg(F.countDistinct("digest").alias("n"))
+
+
+@_register("q47_multimodal_features", None, "B51 mapInPandas decode/feature plumbing (stub decode)", tags=("stub",))
+def q47(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.as_media(d, "doc_id", "text", "text/plain")
+    return MM.extract_features(media).orderBy("media_id")
+
+
+def query_map() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

@@ -1,0 +1,94 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Mirrors the deployment surface of the reference plugin's config story
+(reference: README.md:35-64, S3ShuffleDispatcher.scala:39-78) as plain
+Spark conf: Kryo serialization (the reference benchmarks pin Kryo,
+examples/sql/run_benchmark.sh:134), AQE on (skew-join + coalesce), and an
+object-store-friendly I/O profile. No custom JVM code — Catalyst and the
+built-in sort shuffle own the physical plan.
+
+Scale notes (100 TB mindset):
+- ``spark.sql.shuffle.partitions`` is a *starting* width; AQE coalesces
+  small post-shuffle partitions and splits skewed ones at runtime, so a
+  generous initial value is safe on a real cluster.
+- ``spark.sql.files.maxPartitionBytes`` controls scan-side parallelism; at
+  128 MiB a 100 TB table yields ~800k input splits — fine for a
+  1000-executor cluster, and AQE keeps the downstream stages right-sized.
+- Broadcast threshold is left at Spark's default (10 MiB) and the engine's
+  join helpers add explicit ``broadcast()`` hints for dimension tables, so
+  dim joins never shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and desirable) to apply to an externally-provided
+# session at runtime: all are dynamic SQLConf entries.
+RUNTIME_CONFS: dict[str, str] = {
+    # The generated events.parquet stores TIMESTAMP(NANOS); Spark rejects it
+    # unless this legacy flag is on (ts then loads as bigint nanos).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics for oracle comparison (FIXTURES §4).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning — coalesce small shuffle partitions, split
+    # skewed ones, convert sort-merge joins to broadcast when a side turns
+    # out small. This is the engine's answer to the reference's adaptive
+    # read-side machinery (S3BufferedPrefetchIterator.scala:32-69).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Pandas-UDF boundary (10-100x over row-at-a-time).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to any session (incl. one the driver provides)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in future Spark
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "spark-s3-shuffle-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a cluster the same
+    factory is used with ``master`` unset (spark-submit provides it).
+    """
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cpus, 32))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
