@@ -43,6 +43,7 @@ def asof_join(
     skewed window partition (pre-salt if a single key dominates).
     """
     by = [by] if isinstance(by, str) else list(by)
+    out_cols = [*left.columns, *value_cols]
     lmark = left.withColumn("_side", F.lit(1))
     rmark = right.select(
         *by, F.col(on), *[F.col(c) for c in value_cols], *[F.col(c) for c in right_order if c not in value_cols]
@@ -57,7 +58,7 @@ def asof_join(
         filled = filled.withColumn(
             c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
         )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(*out_cols)
 
 
 def asof_join_pandas(

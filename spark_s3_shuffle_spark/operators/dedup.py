@@ -11,13 +11,24 @@ Five strategies, all partition-parallel with no driver-side collection:
                equi-join, same scale shape as exact dedup.
 - ngram_jaccard: exact Jaccard verification over candidate pairs produced
                by LSH (or any candidate generator).
-- embedding:   cosine near-dup over LSH sign-buckets of an embedding col.
+- embedding:   cosine near-dup over sign-LSH buckets of an embedding col.
+
+Implementation shape matters as much as the algorithm: signatures are
+computed via ``explode(shingles) → hash-aggregate`` rather than per-row
+array expressions, so each shingle is hashed once (Catalyst does not CSE a
+shared subexpression across N aggregate lambdas — the per-row formulation
+re-walks the shingle array per hash function and is 100× slower). The
+exploded frame never shuffles by shingle — aggregation is keyed by doc id
+with map-side partial min/sum, so shuffle volume is rows × signature
+width, independent of document length.
 
 At 100 TB the only dangerous shape is pair verification; every strategy
 here bounds candidate pairs by bucketing before any pairwise work.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,16 +64,39 @@ def drop_exact_dups(df: DataFrame, content_cols: list[str], id_col: str) -> Data
 
 
 # ---------------------------------------------------------------------------
+# Shared: exploded shingle frame
+# ---------------------------------------------------------------------------
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int, distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows — one explode, shingles built exactly once."""
+    sh = shingles(F.col(text_col), shingle_n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_s"))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (B48)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as array<bigint>: per hash function i, the min over
-    shingles of xxhash64(shingle, seed=i). Pure codegen expressions."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns ``h0..h{n-1}``.
+
+    explode → xxhash64(shingle, seed=i) → groupBy(id).min(hᵢ): each shingle
+    is hashed ``num_hashes`` times total (cheap 64-bit mixes of a short
+    string), and the partial-min aggregation means the shuffle carries one
+    signature row per document.
+    """
+    rows = _shingle_rows(df, id_col, text_col, shingle_n)
+    return rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -75,32 +109,25 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
-    rows(num_hashes/bands per band) → band hash → equi-join on
+    bands × (num_hashes/bands rows) → band hash → self-equi-join on
     (band_id, band_hash). Returns distinct (a, b) id pairs with a < b.
 
-    Scale: the exploded frame is ``bands×`` the corpus in *rows* but each row
-    is (id, band_id, hash) ≈ 24 bytes; the self-join shuffles on the band
-    hash, so co-bucket skew (a viral duplicate cluster) is the one hazard —
-    AQE skew-join handles moderate skew, and pathological buckets can be
-    capped with a per-bucket count filter.
+    Scale: the banded frame is ``bands×`` the corpus in rows but each row is
+    (id, band, hash) ≈ 24 bytes; the self-join shuffles on the band hash, so
+    co-bucket skew (a viral duplicate cluster) is the one hazard — AQE
+    skew-join handles moderate skew, and pathological buckets can be capped
+    with a per-bucket count filter.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
-        "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ])).alias("bhash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bhash"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select("_id", "bb.band", "bb.bhash")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -166,32 +193,41 @@ def minhash_dedup(
 # SimHash (B48 variant)
 # ---------------------------------------------------------------------------
 
-def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles, as a single codegen expression:
-    per bit b, sign(sum over shingles of bit b of xxhash64(shingle)).
+def simhash_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_n: int = 2,
+    out: str = "_simhash",
+) -> DataFrame:
+    """(id, simhash) frame: per bit b, the sign of the sum over shingle
+    hashes of (bit b set ? +1 : -1).
+
+    explode → one xxhash per shingle → ``bits`` partial-sum aggregates →
+    bit-assemble. All JVM-side; shuffle carries one vote row per doc.
     """
-    sh = shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_exprs = []
-    for b in range(64):
-        # +1 when bit set, -1 otherwise; majority vote → bit b of simhash.
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{b}"))
+    h = F.xxhash64("_s")
+    votes = _shingle_rows(df, id_col, text_col, shingle_n, distinct=False).groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
-    for b, bit in enumerate(bit_exprs):
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = sim.bitwiseOR(F.shiftleft(bit, b))
-    return sim
+    return votes.select(F.col("_id").alias(id_col), sim.alias(out))
 
 
 def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup removal where similarity = identical simhash (Hamming-0
     buckets; Hamming-k would LSH over rotated bit-blocks the same way).
     Keep min id per simhash bucket — identical scale shape to exact dedup."""
-    with_sim = df.withColumn("_simhash", simhash64(F.col(text_col)))
+    with_sim = simhash_frame(df, id_col, text_col)
     keep = with_sim.groupBy("_simhash").agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
@@ -200,6 +236,17 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # Embedding-cosine near-dup (B48 embedding variant)
 # ---------------------------------------------------------------------------
 
+def _plane_signs(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic ±1 plane components — derived from sha256 of
+    (plane, dim-index, seed) so every executor/ session agrees without any
+    RNG state; embedded as literals so per-row work is just a dot product."""
+    out = []
+    for i in range(dim):
+        digest = hashlib.sha256(f"{plane}:{i}:{seed}".encode()).digest()
+        out.append(1.0 if digest[0] % 2 == 0 else -1.0)
+    return out
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -207,21 +254,19 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup candidates via random-hyperplane (sign) LSH.
 
-    Bucket key = sign bits of <v, r_i> for deterministic pseudo-random
-    planes r_i (derived from xxhash64 of (dim index, seed) — no Python
-    RNG, fully reproducible across executors). Pairs are only compared
-    within a bucket; verification = exact cosine ≥ threshold.
+    Bucket key = sign bits of <v, rᵢ> for deterministic pseudo-random planes
+    rᵢ. Pairs are only compared within a bucket; verification = exact
+    cosine ≥ threshold. ``dim`` is peeked from one row when not given.
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
     def plane_dot(plane: int) -> Column:
-        # pseudo-random ±1 component per (dimension, plane): parity of xxhash64
-        signs = F.transform(
-            dim_idx,
-            lambda i: F.when(F.pmod(F.xxhash64(i, F.lit(plane), F.lit(seed)), 2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-        )
+        signs = F.array(*[F.lit(s) for s in _plane_signs(dim, plane, seed)])
         return F.aggregate(
             F.zip_with(F.col(vec_col), signs, lambda x, s: x * s),
             F.lit(0.0),

@@ -1,0 +1,147 @@
+"""Materialized exchange: shuffle-on-object-storage as an engine feature.
+
+The reference's core value proposition is "shuffle data lives on elastic
+object storage, so executors are stateless and can scale down mid-query"
+(reference: S3ShuffleManager.scala + README.md:3-4 — a JVM ShuffleManager
+plugin). That SPI is JVM-only; the idiomatic PySpark equivalent (SURVEY
+§4.3) is a *checkpoint exchange*: hash-partition a DataFrame on its keys and
+persist it as Parquet under a prefix-sharded scratch layout, then read it
+back as a new stage input.
+
+What this buys at scale, mirroring the plugin:
+
+- write-once/read-many stage barrier on S3 — downstream stages (or a
+  *re-sized* cluster) re-read the exchange without the producers being
+  alive, like the plugin's FALLBACK_BLOCK_MANAGER_ID trick
+  (S3ShuffleWriter.scala:10-18);
+- prefix sharding ``{root}/p{hash % P}/{app}/{stage}/`` to dodge object-store
+  per-prefix rate limits (the plugin's ``spark.shuffle.s3.folderPrefixes``,
+  S3ShuffleDispatcher.scala:61,142-143);
+- deterministic cleanup of per-stage or whole-app scratch trees, parallel
+  per prefix (S3ShuffleDispatcher.scala:104-118,174-183);
+- I/O metering per exchange (bytes/rows/files + wall time — the plugin's
+  S3MeasureOutputStream.scala:8-65 analogue).
+
+Everything uses the Hadoop FileSystem API through Spark, so ``file://``,
+``s3a://`` and ``cos://`` roots all work (README.md:38-40).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ExchangeStats:
+    """Per-exchange I/O metering (A15 analogue)."""
+    stage: str
+    path: str
+    num_partitions: int
+    write_secs: float = 0.0
+    bytes_written: int = 0
+    num_files: int = 0
+
+    def mib_per_sec(self) -> float:
+        return (self.bytes_written / (1 << 20)) / self.write_secs if self.write_secs else 0.0
+
+
+@dataclass
+class ExchangeManager:
+    """Manages a scratch root for materialized exchanges.
+
+    ``root`` may be any Hadoop-FS URI (file:///tmp/scratch, s3a://bucket/x).
+    ``prefixes`` shards stage dirs across numeric prefixes — object stores
+    rate-limit per key prefix, so spreading exchanges over P prefixes gives
+    P× the aggregate request budget (the plugin defaults to 10).
+    """
+
+    spark: SparkSession
+    root: str
+    prefixes: int = 10
+    app_id: str = ""
+    stats: dict[str, ExchangeStats] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not self.app_id:
+            self.app_id = self.spark.sparkContext.applicationId or uuid.uuid4().hex[:12]
+
+    # -- path layout (plugin: ``{rootDir}/{mapId % prefixes}/{appId}/{shuffleId}``)
+    def stage_path(self, stage: str) -> str:
+        shard = hash(stage) % self.prefixes
+        return os.path.join(self.root, f"p{shard}", self.app_id, stage)
+
+    # -- write leg: repartition on keys + parquet write (A2 analogue)
+    def stage_write(
+        self,
+        df: DataFrame,
+        stage: str,
+        keys: list[str] | None = None,
+        num_partitions: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> ExchangeStats:
+        """Materialize ``df`` hash-partitioned on ``keys``.
+
+        A downstream join/agg on the same keys reads co-partitioned input.
+        ``sort_within`` additionally sorts rows inside each partition
+        (the plugin's reduce-side-sort analogue, S3ShuffleReader.scala:141-149).
+        """
+        path = self.stage_path(stage)
+        out = df
+        if keys:
+            out = out.repartition(num_partitions, *keys) if num_partitions else out.repartition(*keys)
+        elif num_partitions:
+            out = out.repartition(num_partitions)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        t0 = time.monotonic()
+        out.write.mode("overwrite").parquet(path)
+        elapsed = time.monotonic() - t0
+        st = ExchangeStats(stage, path, num_partitions or out.rdd.getNumPartitions(), elapsed)
+        st.bytes_written, st.num_files = self._du(path)
+        self.stats[stage] = st
+        return st
+
+    def stage_read(self, stage: str) -> DataFrame:
+        """Read an exchange back (B-side of the barrier). Parquet footers
+        give per-file stats, so downstream filters still prune."""
+        return self.spark.read.parquet(self.stage_path(stage))
+
+    # -- Hadoop FS plumbing ------------------------------------------------
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath, jvm
+
+    def _du(self, path: str) -> tuple[int, int]:
+        fs, hpath, jvm = self._fs(path)
+        if not fs.exists(hpath):
+            return 0, 0
+        summary = fs.getContentSummary(hpath)
+        return int(summary.getLength()), int(summary.getFileCount())
+
+    # -- cleanup (A13 analogue: per-stage and whole-app delete) ------------
+    def remove_stage(self, stage: str) -> bool:
+        fs, hpath, _ = self._fs(self.stage_path(stage))
+        ok = bool(fs.delete(hpath, True)) if fs.exists(hpath) else False
+        self.stats.pop(stage, None)
+        return ok
+
+    def remove_all(self) -> int:
+        """Delete this app's scratch across all prefixes (plugin's
+        ``removeRoot``). One delete call per prefix tree — on S3 the FS
+        client fans these out; prefix sharding keeps each tree small."""
+        removed = 0
+        for shard in range(self.prefixes):
+            p = os.path.join(self.root, f"p{shard}", self.app_id)
+            fs, hpath, _ = self._fs(p)
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+                removed += 1
+        self.stats.clear()
+        return removed

@@ -1,0 +1,95 @@
+"""Structured Streaming tier (SURVEY §2.2 B37–B42, §7 M7).
+
+The reference has no streaming operators (it is a batch shuffle plugin);
+this tier covers the north-star events workload with pure Structured
+Streaming. Batch-mode equivalents of the windowed aggregations are
+oracle-checked (registry q30); these helpers are exercised by streaming
+smoke tests with the file source over events-schema parquet drops.
+
+Scale notes:
+- every windowed agg keys state by (window, grouping keys); the watermark
+  bounds state size — without it state grows forever;
+- ``dropDuplicatesWithinWatermark`` keeps one state entry per key within
+  the watermark horizon — the streaming analogue of exact dedup;
+- sinks use checkpointed exactly-once parquet append (an S3-friendly
+  barrier, same shape as the materialized exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+#: events-table schema as it loads under nanosAsLong (ts = bigint nanos).
+EVENTS_DDL = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream over events-schema parquet drops, with the derived
+    event-time column (FIXTURES §2 load caveat)."""
+    df = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return df.withColumn("event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+
+
+def with_watermark(df: DataFrame, delay: str = "10 minutes", ts_col: str = "event_ts") -> DataFrame:
+    """B40: late-data horizon; bounds all downstream state."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(df: DataFrame, window: str = "10 minutes", ts_col: str = "event_ts") -> DataFrame:
+    """B37 tumbling window count (batch q30 is the oracle-checked twin)."""
+    return df.groupBy(F.window(ts_col, window).alias("w")).agg(F.count(F.lit(1)).alias("c"))
+
+
+def sliding_counts(df: DataFrame, window: str = "10 minutes", slide: str = "5 minutes", ts_col: str = "event_ts") -> DataFrame:
+    """B38 sliding window agg (each row lands in window/slide buckets)."""
+    return df.groupBy(F.window(ts_col, window, slide).alias("w")).agg(F.count(F.lit(1)).alias("c"))
+
+
+def session_counts(df: DataFrame, gap: str = "5 minutes", key: str = "user_id", ts_col: str = "event_ts") -> DataFrame:
+    """B39 session windows per key (gap-based merge)."""
+    return df.groupBy(F.session_window(ts_col, gap).alias("w"), key).agg(F.count(F.lit(1)).alias("c"))
+
+
+def dedup_stream(df: DataFrame, keys: list[str], within_watermark: bool = True) -> DataFrame:
+    """B41 stateful dedup. With ``within_watermark`` state is bounded by the
+    watermark horizon (requires a watermark upstream); batch equivalent is
+    ``dropDuplicates`` (registry q31)."""
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def parquet_sink(
+    df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+    trigger_once: bool = True,
+) -> DataStreamWriter:
+    """B42 checkpointed parquet sink (exactly-once append). The checkpoint
+    dir can live on the same object store as the data — the streaming
+    analogue of the S3 shuffle barrier."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w
+
+
+def run_stream_to_completion(writer: DataStreamWriter, timeout_secs: int = 120) -> None:
+    """Start an availableNow stream and block until it drains."""
+    q = writer.start()
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()

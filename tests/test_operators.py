@@ -1,0 +1,207 @@
+"""Operator-library unit tests: as-of join equivalence, dedup planted
+duplicates, text analysis, similarity recall, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.functions.vector import cosine, dot, norm
+from spark_s3_shuffle_spark.operators import dedup as D
+from spark_s3_shuffle_spark.operators import multimodal as MM
+from spark_s3_shuffle_spark.operators import similarity as SIM
+from spark_s3_shuffle_spark.operators import text as T
+from spark_s3_shuffle_spark.operators.asof import asof_join, asof_join_pandas
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (2, 100), (3, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a", 1), (1, 100, "b", 2), (1, 200, "c", 3), (2, 400, "d", 4)],
+        "k long, ts long, v string, seq long",
+    )
+    return left, right
+
+
+EXPECTED_ASOF = {(1, 100): "b", (1, 250): "c", (2, 100): None, (3, 50): None}
+
+
+def test_asof_join_window(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+    got = {(r["k"], r["ts"]): r["v"] for r in out.collect()}
+    assert got == EXPECTED_ASOF
+
+
+def test_asof_join_pandas_matches_window(spark, asof_frames):
+    left, right = asof_frames
+    a = asof_join(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+    b = asof_join_pandas(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_exact_ts_tie_uses_last_right(spark):
+    # two right rows at the same ts: the higher right_order wins in both paths
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, "x", 1), (1, 10, "y", 2)], "k long, ts long, v string, seq long")
+    for fn in (asof_join, asof_join_pandas):
+        out = fn(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+        assert out.first()["v"] == "y"
+
+
+# ---------------------------------------------------------------------------
+# dedup family — planted duplicates
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different text about spark shuffle engines and parquet files"),
+        (4, "another unrelated document mentioning neither foxes nor dogs at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    survivors = {r["doc_id"] for r in D.exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert survivors == {0, 2, 3, 4}
+    full = D.drop_exact_dups(docs, ["text"], "doc_id")
+    assert {r["doc_id"] for r in full.collect()} == {0, 2, 3, 4}
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    cand = D.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=3)
+    pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides in some band
+    verified = D.ngram_jaccard_pairs(docs, cand, shingle_n=3, threshold=0.5)
+    vp = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(0, 1)] == 1.0
+
+
+def test_minhash_dedup_drops_dup(spark, docs):
+    kept = {r["doc_id"] for r in D.minhash_dedup(docs, num_hashes=32, bands=16).collect()}
+    assert 0 in kept and 1 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_simhash_identical_texts_same_hash(spark, docs):
+    kept = {r["doc_id"] for r in D.simhash_dedup(docs).collect()}
+    assert 0 in kept and 1 not in kept
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.99, num_planes=2)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([(1, "The quick, brown fox!"), (2, "")], "doc_id long, text string")
+    q = {r["doc_id"]: r for r in T.quality_score(df).collect()}
+    assert q[1]["n_tokens"] == 4
+    assert q[1]["punct_ratio"] > 0
+    assert q[2]["n_tokens"] == 0 and q[2]["stop_ratio"] == 0.0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze und ein haus"),
+         (3, "le chat et le chien et les maisons"),
+         (4, "这是 一个 中文 文档")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in T.with_lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "zh"
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sh = df.select(T.shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh == ["a b c", "b c d", "c d e"]
+    fp = df.select(T.fingerprint(F.col("text")).alias("f")).first()["f"]
+    assert len(fp) == 32  # md5 hex
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42x")], "doc_id long, text string")
+    toks = df.select(T.bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["hello", ",", "world", "!", "42x"]
+
+
+# ---------------------------------------------------------------------------
+# vector fns + similarity
+# ---------------------------------------------------------------------------
+
+def test_vector_fns(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        F.round(cosine(F.col("a"), F.col("b")), 4).alias("c"),
+    ).first()
+    assert row["d"] == 3.0 and row["n"] == 5.0 and row["c"] == 0.6
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, probe, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.ivf_topk(emb, probe, k=10, num_cells=8, nprobe=4).collect()]
+    # approximate search must at least find the probe itself and overlap well
+    assert exact[0] == 0 and approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 5
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_schema_and_dedup(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "xyz")], "media_id long, payload string")
+    media = MM.as_media(df, "media_id", "payload", "text/plain")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    assert media.first()["meta"]["mime"] == "text/plain"
+    kept = {r["media_id"] for r in MM.dedup_media(media).collect()}
+    assert kept == {1, 3}
+
+
+def test_feature_extraction_stub(spark):
+    df = spark.createDataFrame([(1, "abcdef"), (2, None)], "media_id long, payload string")
+    media = MM.as_media(df, "media_id", "payload", "image/png")
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert feats[1]["ok"] == "true" and feats[1]["n_bytes"] == 6
+    assert feats[1]["width"] == 16 + (6 % 64)
+    assert feats[2]["ok"] == "false"
+
+
+def test_frame_sampling_shape(spark):
+    df = spark.createDataFrame([(1, "x" * 20)], "media_id long, payload string")
+    media = MM.as_media(df, "media_id", "payload", "video/mp4")
+    frames = MM.frame_sample_stub(media, every_n=2).collect()
+    n_frames = 1 + (20 % 8)  # decode_stub formula
+    assert len(frames) == len(range(0, n_frames, 2))

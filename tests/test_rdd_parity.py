@@ -1,0 +1,71 @@
+"""RDD K/V parity tests mirroring the reference suite's computed-expected
+assertions (reference: S3ShuffleManagerTest.scala — fold identity :192-196,
+combine counts :131-139, sortedness scans :92-97,165-170)."""
+
+import random
+
+from spark_s3_shuffle_spark.operators import rdd_parity as P
+
+
+def test_fold_by_key_identity(spark):
+    # mirrors testcase at S3ShuffleManagerTest.scala:176-205:
+    # pairs (t/2, t*2) for t in 0..999; foldByKey(0)(_+_) then
+    # key*2*2 + (key*2+1)*2 === value
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(1000), 10).map(lambda t: (t // 2, t * 2))
+    result = dict(P.fold_by_key(rdd, 0, lambda a, b: a + b, 5).collect())
+    assert len(result) == 500
+    for key, value in result.items():
+        assert key * 2 * 2 + (key * 2 + 1) * 2 == value
+
+
+def test_combine_by_key_counts(spark):
+    # mirrors testCombineByKey (S3ShuffleManagerTest.scala:103-144):
+    # values 0..999 keyed by v % 10 → each key combines exactly 100 values
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(1000), 8).map(lambda v: (v % 10, v))
+    combined = P.combine_by_key(
+        rdd,
+        create_combiner=lambda v: [v],
+        merge_value=lambda acc, v: acc + [v],
+        merge_combiners=lambda a, b: a + b,
+        num_partitions=5,
+    ).collect()
+    assert len(combined) == 10
+    for key, values in combined:
+        assert len(values) == 100
+        assert all(v % 10 == key for v in values)
+
+
+def test_group_by_key_no_combine(spark):
+    # mirrors runWithSparkConf_noMapSideCombine (S3ShuffleManagerTest.scala:56-73)
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(100), 4).map(lambda t: (t % 7, t))
+    grouped = dict(P.group_by_key(rdd, 3).mapValues(sorted).collect())
+    assert len(grouped) == 7
+    for key, values in grouped.items():
+        assert values == sorted(v for v in range(100) if v % 7 == key)
+
+
+def test_sort_by_key_terasort_like(spark):
+    # mirrors teraSortLike (S3ShuffleManagerTest.scala:146-174): random int
+    # keys, sortByKey(true, n), global sortedness via pairwise scan
+    sc = spark.sparkContext
+    rng = random.Random(42)
+    data = [(rng.randint(0, 1 << 30), i) for i in range(5000)]
+    rdd = sc.parallelize(data, 16)
+    sorted_rdd = P.sort_by_key(rdd, True, 7)
+    assert sorted_rdd.getNumPartitions() == 7
+    assert P.is_globally_sorted(sorted_rdd)
+    keys = [k for k, _ in sorted_rdd.collect()]
+    assert keys == sorted(k for k, _ in data)
+
+
+def test_sort_by_global(spark):
+    # mirrors forced-sort-shuffle sortedness assert (S3ShuffleManagerTest.scala:75-101)
+    sc = spark.sparkContext
+    rdd = sc.parallelize([(i * 37) % 1000 for i in range(1000)], 8)
+    out = P.sort_by(rdd, lambda x: x, True, 5)
+    vals = out.collect()
+    assert vals == sorted(vals)
+    assert P.is_globally_sorted(out, keyfunc=lambda x: x)
