@@ -8,10 +8,13 @@ Two implementations with identical semantics:
                           right value forward with ``last(..., ignorenulls)``
                           over an unbounded-preceding window. One shuffle on
                           the key; no Python boundary. Preferred at scale.
-- ``asof_join_pandas``  — ``applyInPandas`` + ``pandas.merge_asof`` per key
-                          group. Simpler semantics, Arrow-batched; use when
-                          tolerance windows / nearest-direction options are
-                          needed (merge_asof exposes them directly).
+- ``asof_join_pandas``  — cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
+                          Keys are hash-bucketed so each pandas call merges
+                          MANY complete key-groups at once (merge_asof's
+                          ``by=`` does the per-key split vectorized) — per-key
+                          cogroups would cost O(distinct keys) Python calls.
+                          Use when tolerance windows / nearest-direction
+                          options are needed (merge_asof exposes them).
 
 Tie handling: right rows sharing a timestamp are ordered by ``right_order``
 (default the natural extra sort keys) and the *last* one wins — both paths
@@ -24,6 +27,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_BUCKET = "__asof_bucket"
+_RPREFIX = "__asof_r_"
 
 
 def asof_join(
@@ -69,15 +75,21 @@ def asof_join_pandas(
     value_cols: Sequence[str],
     right_order: Sequence[str] = (),
     tolerance=None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """merge_asof-backed variant (Arrow-batched, per-key groups).
+    """merge_asof-backed variant (Arrow-batched, bucketed cogroups).
 
-    Co-groups both sides by key so each pandas batch holds one key's rows;
-    memory per task is bounded by the largest single key.
+    Both sides cogroup on ``hash(by) % num_buckets`` — every key's rows land
+    in exactly one bucket, and ``merge_asof(by=...)`` matches per key inside
+    the bucket, vectorized. Memory per task is bounded by bucket size; raise
+    ``num_buckets`` to shrink it (defaults to the session's shuffle
+    parallelism, ~one pandas call per task).
     """
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    if num_buckets is None:
+        num_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     left_cols = list(left.columns)
     # copy the field list: StructType.add mutates in place, and df.schema is
     # cached on the DataFrame — appending to it directly corrupts `left`.
@@ -85,17 +97,20 @@ def asof_join_pandas(
     for c in value_cols:
         out_schema = out_schema.add(right.schema[c])
 
+    rcols = [by, on, *dict.fromkeys([*right_order, *value_cols])]
+
     def merge(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        lpdf = lpdf.drop(columns=[_BUCKET])
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[*left_cols, *value_cols])
+        rpdf = rpdf.rename(columns=lambda c: c.removeprefix(_RPREFIX))
+        # merge_asof needs a global sort on `on`; within equal (key, on) the
+        # LAST right row in (on, *right_order) stable order wins, matching
+        # asof_join's window tie-break.
         lpdf = lpdf.sort_values(on, kind="mergesort")
-        # stable sort by (on, *right_order): the LAST among equal-ts right
-        # rows wins, matching asof_join's window tie-break.
-        rsel = rpdf[[on, *dict.fromkeys([*right_order, *value_cols])]].sort_values(
-            [on, *right_order], kind="mergesort"
-        )
+        rsel = rpdf[rcols].sort_values([on, *right_order], kind="mergesort")
         merged = pd.merge_asof(
-            lpdf, rsel[[on, *value_cols]], on=on, direction="backward",
+            lpdf, rsel[[by, on, *value_cols]], on=on, by=by, direction="backward",
             tolerance=tolerance, suffixes=("", "_r"),
         )
         for c in value_cols:
@@ -104,7 +119,13 @@ def asof_join_pandas(
                 merged = merged.drop(columns=[f"{c}_r"])
         return merged[[*left_cols, *value_cols]]
 
-    # alias both sides: cogroup column extraction mis-resolves when the two
-    # frames share lineage (e.g. probe derived from the right table's scan)
-    lal, ral = left.alias("_asof_l"), right.alias("_asof_r")
-    return lal.groupBy(by).cogroup(ral.groupBy(by)).applyInPandas(merge, schema=out_schema)
+    # The right side is projected through FRESH aliases: when both sides
+    # share lineage (e.g. probe derived from the right table's scan) the two
+    # cogroup children share attribute ids, and Catalyst's dedup prunes the
+    # shared column out of the right child once a downstream select narrows
+    # the output — the pandas UDF would then receive rpdf without `by`.
+    lal = left.withColumn(_BUCKET, F.pmod(F.hash(by), F.lit(num_buckets)))
+    ral = right.select(*[F.col(c).alias(f"{_RPREFIX}{c}") for c in rcols]).withColumn(
+        _BUCKET, F.pmod(F.hash(f"{_RPREFIX}{by}"), F.lit(num_buckets))
+    )
+    return lal.groupBy(_BUCKET).cogroup(ral.groupBy(_BUCKET)).applyInPandas(merge, schema=out_schema)

@@ -25,6 +25,7 @@ from pyspark.sql.types import StringType
 
 from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators import dedup as D
+from spark_s3_shuffle_spark.operators import grouped as G
 from spark_s3_shuffle_spark.operators import multimodal as MM
 from spark_s3_shuffle_spark.operators import relational as R
 from spark_s3_shuffle_spark.operators import similarity as SIM
@@ -582,17 +583,22 @@ def q32(spark, sf_dir):
     """SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
        FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "B44 grouped-map applyInPandas (per-key total, exact integer cents so the"
-    " pandas path is bit-comparable to the SQL oracle)",
+    " pandas path is bit-comparable to the SQL oracle). Bucketed: each pandas"
+    " call aggregates thousands of complete key-groups — per-key applyInPandas"
+    " is O(distinct keys) Python calls and dies at scale.",
 )
 def q33(spark, sf_dir):
     import numpy as np
 
     def per_key_total(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
-        return pd.DataFrame({"o_custkey": [pdf["o_custkey"].iloc[0]], "m_cents": [int(cents.sum())]})
+        out = pd.DataFrame({"o_custkey": pdf["o_custkey"].to_numpy(), "m_cents": cents})
+        return out.groupby("o_custkey", as_index=False, sort=False).sum()
 
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(per_key_total, "o_custkey long, m_cents long").orderBy("o_custkey")
+    return G.bucketed_apply_in_pandas(
+        o, ["o_custkey"], per_key_total, "o_custkey long, m_cents long"
+    ).orderBy("o_custkey")
 
 
 # ---------------------------------------------------------------------------
