@@ -47,8 +47,17 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     Digest-first grouping: group on sha2 of the content instead of the raw
     (possibly megabyte-sized) content columns, so shuffle rows are ~90 bytes
     regardless of document size.
+
+    NULL safety: each column is hashed separately and NULL becomes a
+    distinct sentinel *outside* the value domain of sha2 hex strings, so
+    ('a', NULL) ≠ (NULL, 'a') ≠ ('a', '') — matching SQL GROUP BY semantics
+    (concat_ws alone silently skips NULLs and would collide all three).
     """
-    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    parts = [
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("<null>"))
+        for c in content_cols
+    ]
+    digest = F.sha2(F.concat_ws("\x1f", *parts), 256)
     return (
         df.select(F.col(id_col), digest.alias("_digest"))
         .groupBy("_digest")
@@ -106,6 +115,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -115,8 +125,12 @@ def minhash_lsh_candidates(
     Scale: the banded frame is ``bands×`` the corpus in rows but each row is
     (id, band, hash) ≈ 24 bytes; the self-join shuffles on the band hash, so
     co-bucket skew (a viral duplicate cluster) is the one hazard — AQE
-    skew-join handles moderate skew, and pathological buckets can be capped
-    with a per-bucket count filter.
+    skew-join handles moderate skew, and ``max_bucket_size`` drops
+    pathological buckets outright (a bucket of B ids yields B²/2 pairs; a
+    million-way boilerplate cluster would otherwise emit 5·10¹¹ pairs from
+    one key). Members of a capped bucket still pair up via their other
+    bands, and a cluster that saturates *every* band is exact-dup-shaped —
+    the cheap digest pass should absorb it first.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -128,6 +142,14 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ])
     banded = sig.select("_id", F.explode(band_structs).alias("bb")).select("_id", "bb.band", "bb.bhash")
+    if max_bucket_size:
+        ok = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bhash")
+        )
+        banded = banded.join(ok, ["band", "bhash"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -197,39 +219,119 @@ def simhash_frame(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
     shingle_n: int = 2,
     out: str = "_simhash",
+    max_shingles: int = 30_000,
 ) -> DataFrame:
-    """(id, simhash) frame: per bit b, the sign of the sum over shingle
-    hashes of (bit b set ? +1 : -1).
+    """(id, simhash) frame: 64-bit simhash — per bit b, set iff the majority
+    of shingle hashes have bit b set.
 
-    explode → one xxhash per shingle → ``bits`` partial-sum aggregates →
-    bit-assemble. All JVM-side; shuffle carries one vote row per doc.
+    Packed-counter aggregation: instead of 64 conditional-sum aggregate
+    buffers (the naive shape — 64 wide agg buffers per group and 64 branchy
+    exprs per shingle row), each shingle row packs 4 bit-indicators into the
+    16-bit fields of one long, 16 longs total; a single SUM per packed long
+    then accumulates 4 counters at once. 17 aggregate buffers, branch-free
+    row exprs, identical result (vote>0  ⇔  2·count_set > n).
+
+    ``max_shingles`` bounds each document's shingle stream so the 16-bit
+    packed counters cannot overflow or carry across fields (sum per field ≤
+    max_shingles < 2^15, and 30 000·(2^48+2^32+2^16+1) < 2^63). Longer
+    documents are simhashed over their first 30k shingles — standard
+    practice, and far beyond where a near-dup signal saturates.
     """
+    sh = shingles(F.col(text_col), shingle_n)
+    rows = df.select(F.col(id_col).alias("_id"), F.explode(F.slice(sh, 1, max_shingles)).alias("_s"))
     h = F.xxhash64("_s")
-    votes = _shingle_rows(df, id_col, text_col, shingle_n, distinct=False).groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
+    packed_aggs = []
+    for g in range(16):
+        expr = F.lit(0).cast("long")
+        for j in range(4):
+            bit = F.shiftright(h, 4 * g + j).bitwiseAND(F.lit(1))
+            expr = expr + F.shiftleft(bit, 16 * j)
+        packed_aggs.append(F.sum(expr).alias(f"p{g}"))
+    votes = rows.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *packed_aggs)
     sim = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    for g in range(16):
+        for j in range(4):
+            cnt = F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(cnt * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            sim = sim.bitwiseOR(F.shiftleft(bit, 4 * g + j))
     return votes.select(F.col("_id").alias(id_col), sim.alias(out))
 
 
-def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup removal where similarity = identical simhash (Hamming-0
-    buckets; Hamming-k would LSH over rotated bit-blocks the same way).
-    Keep min id per simhash bucket — identical scale shape to exact dedup."""
-    with_sim = simhash_frame(df, id_col, text_col)
-    keep = with_sim.groupBy("_simhash").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+def simhash_near_dup_pairs(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "_simhash",
+    hamming_k: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤ k.
+
+    Pigeonhole banding: split the 64 bits into k+1 blocks — any pair within
+    Hamming distance k agrees exactly on at least one block, so candidates
+    are an equi-self-join on (block_id, block_value) and verification is one
+    bit_count(xor). Never an all-pairs comparison.
+
+    ``max_bucket_size`` drops degenerate blocks (e.g. a block that is all
+    zeros for half the corpus) whose within-bucket join would be quadratic —
+    the skew cap that makes this safe at 100 TB. Capped pairs can still be
+    found via their other k blocks.
+    """
+    blocks = hamming_k + 1
+    width = 64 // blocks
+    specs = []
+    for i in range(blocks):
+        lo = i * width
+        w = 64 - lo if i == blocks - 1 else width
+        bval = F.shiftright(F.col("_h"), lo) if lo else F.col("_h")
+        if w < 64:
+            bval = bval.bitwiseAND(F.lit((1 << w) - 1))
+        specs.append(F.struct(F.lit(i).alias("blk"), bval.alias("bval")))
+    banded = (
+        sim_df.select(F.col(id_col).alias("_id"), F.col(sim_col).alias("_h"))
+        .select("_id", "_h", F.explode(F.array(*specs)).alias("bb"))
+        .select("_id", "_h", "bb.blk", "bb.bval")
+    )
+    if max_bucket_size:
+        ok = (
+            banded.groupBy("blk", "bval")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("blk", "bval")
+        )
+        banded = banded.join(ok, ["blk", "bval"], "left_semi")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_k)
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_k: int = 3,
+) -> DataFrame:
+    """Near-dup removal at Hamming distance ≤ k over 64-bit simhashes
+    (k=0 degenerates to exact-bucket dedup). Drop the larger id of each
+    confirmed pair — same transitive-lite policy as minhash_dedup."""
+    sim = simhash_frame(df, id_col, text_col)
+    pairs = simhash_near_dup_pairs(sim, id_col, "_simhash", hamming_k)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -252,32 +354,88 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int = 32,
+    bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Cosine near-dup candidates via random-hyperplane (sign) LSH.
+    """Cosine near-dup pairs via *banded* random-hyperplane (sign) LSH.
 
-    Bucket key = sign bits of <v, rᵢ> for deterministic pseudo-random planes
-    rᵢ. Pairs are only compared within a bucket; verification = exact
-    cosine ≥ threshold. ``dim`` is peeked from one row when not given.
+    ``num_planes`` sign bits are split into ``bands`` band keys of
+    num_planes/bands bits each (same banding idea as MinHash-LSH): two
+    vectors are candidates iff they agree on *all* bits of *some* band.
+    With the 32/4 defaults each band has 2^8 = 256 buckets, so expected
+    bucket occupancy is n/256 *per band* and shrinks further as planes are
+    added — the bucket count scales with the plane budget, not O(1), which
+    is what keeps the within-bucket self-join from going quadratic at scale
+    (a single un-banded 2^p bucketing either kills recall for large p or
+    explodes pairs for small p). ``max_bucket_size`` additionally drops
+    degenerate buckets (e.g. a mass of zero vectors).
+
+    Verification is exact cosine ≥ threshold. The banded frame carries only
+    (id, band, key) ≈ 24-byte rows; vectors are joined back for the bounded
+    candidate set only.
+
+    ``dim`` is the embedding dimensionality and must be supplied (array
+    columns carry no length in the schema; peeking a row would put a
+    driver-side action inside plan construction).
     """
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"]) if first else 0
+        raise ValueError(
+            "embedding_near_dup_pairs requires dim= (array<float> columns "
+            "carry no length in the schema)"
+        )
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    ppb = num_planes // bands
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
     def plane_dot(plane: int) -> Column:
         signs = F.array(*[F.lit(s) for s in _plane_signs(dim, plane, seed)])
         return F.aggregate(
-            F.zip_with(F.col(vec_col), signs, lambda x, s: x * s),
+            F.zip_with(F.col("_v"), signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    bucket = F.concat_ws("", *[F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(num_planes)])
-    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bucket"))
-    left, right = b.alias("l"), b.alias("r")
+
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(ppb):
+            bit = F.when(plane_dot(b * ppb + j) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, j))
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+
+    banded = (
+        base.select("_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("_id", "bb.band", "bb.bkey")
+    )
+    if max_bucket_size:
+        ok = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bkey")
+        )
+        banded = banded.join(ok, ["band", "bkey"], "left_semi")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
     return (
-        left.join(right, (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")))
-        .withColumn("cos", F.round(cosine(F.col("l._v"), F.col("r._v")), 4))
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
         .filter(F.col("cos") >= threshold)
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"), "cos")
+        .select("a", "b", "cos")
     )

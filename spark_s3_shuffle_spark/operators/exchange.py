@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,16 +39,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class ExchangeStats:
-    """Per-exchange I/O metering (A15 analogue)."""
+    """Per-exchange I/O metering, both directions (A15 analogue — the
+    reference meters writes via S3MeasureOutputStream.scala:8-65 and reads
+    via S3BufferedPrefetchIterator.scala:155-186)."""
     stage: str
     path: str
     num_partitions: int
     write_secs: float = 0.0
     bytes_written: int = 0
     num_files: int = 0
+    read_secs: float = 0.0
+    bytes_read: int = 0
+    num_reads: int = 0
 
     def mib_per_sec(self) -> float:
         return (self.bytes_written / (1 << 20)) / self.write_secs if self.write_secs else 0.0
+
+    def read_mib_per_sec(self) -> float:
+        return (self.bytes_read / (1 << 20)) / self.read_secs if self.read_secs else 0.0
 
 
 @dataclass
@@ -72,7 +81,11 @@ class ExchangeManager:
 
     # -- path layout (plugin: ``{rootDir}/{mapId % prefixes}/{appId}/{shuffleId}``)
     def stage_path(self, stage: str) -> str:
-        shard = hash(stage) % self.prefixes
+        # crc32, NOT builtin hash(): Python salts str hashes per process
+        # (PYTHONHASHSEED), so hash(stage) would send a restarted driver to a
+        # different prefix than the one the stage was written under —
+        # breaking exactly the cross-process re-read the exchange exists for.
+        shard = zlib.crc32(stage.encode("utf-8")) % self.prefixes
         return os.path.join(self.root, f"p{shard}", self.app_id, stage)
 
     # -- write leg: repartition on keys + parquet write (A2 analogue)
@@ -101,15 +114,37 @@ class ExchangeManager:
         t0 = time.monotonic()
         out.write.mode("overwrite").parquet(path)
         elapsed = time.monotonic() - t0
-        st = ExchangeStats(stage, path, num_partitions or out.rdd.getNumPartitions(), elapsed)
+        if num_partitions is None:
+            # written-file count == partition count for a fresh write; avoids
+            # a DF→RDD conversion just to ask getNumPartitions.
+            _, nfiles = self._du(path)
+            num_partitions = nfiles or int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        st = ExchangeStats(stage, path, num_partitions, elapsed)
         st.bytes_written, st.num_files = self._du(path)
         self.stats[stage] = st
         return st
 
-    def stage_read(self, stage: str) -> DataFrame:
+    def stage_read(self, stage: str, meter: bool = True) -> DataFrame:
         """Read an exchange back (B-side of the barrier). Parquet footers
-        give per-file stats, so downstream filters still prune."""
-        return self.spark.read.parquet(self.stage_path(stage))
+        give per-file stats, so downstream filters still prune.
+
+        ``meter`` records the read on the stage's ExchangeStats (read-side
+        A15 parity: bytes at rest + listing latency; per-task stream timing
+        belongs to the Spark UI / task metrics, which local mode exposes via
+        the status tracker)."""
+        path = self.stage_path(stage)
+        t0 = time.monotonic()
+        df = self.spark.read.parquet(path)
+        if meter:
+            st = self.stats.get(stage)
+            if st is None:
+                st = ExchangeStats(stage, path, 0)
+                self.stats[stage] = st
+            bytes_at_rest, _ = self._du(path)
+            st.bytes_read += bytes_at_rest
+            st.read_secs += time.monotonic() - t0
+            st.num_reads += 1
+        return df
 
     # -- Hadoop FS plumbing ------------------------------------------------
     def _fs(self, path: str):

@@ -59,6 +59,30 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def decommission_fallback_conf(fallback_path: str) -> dict[str, str]:
+    """Config recipe for the reference's *alternative* mode (A16): shuffle
+    blocks of decommissioned executors migrate to object storage via Spark's
+    built-in FallbackStorage instead of a custom shuffle manager (reference:
+    S3ShuffleManager.scala:82-99 reuses this path; conf surface at
+    S3ShuffleDispatcher.scala:39-51).
+
+    Pass the result as ``extra_conf`` to :func:`get_spark` (static confs —
+    they must be set before the session starts). ``fallback_path`` is any
+    Hadoop-FS URI (``s3a://bucket/fallback/``, ``file:///tmp/fallback/``).
+
+    At scale this is the graceful-downscale story: an executor slated for
+    removal copies its shuffle files to ``fallback_path`` and reducers fetch
+    from there — the same "shuffle survives the executor" guarantee the
+    materialized exchange gives, but for Spark's own shuffle files.
+    """
+    return {
+        "spark.decommission.enabled": "true",
+        "spark.storage.decommission.enabled": "true",
+        "spark.storage.decommission.shuffleBlocks.enabled": "true",
+        "spark.storage.decommission.fallbackStorage.path": fallback_path.rstrip("/") + "/",
+    }
+
+
 def get_spark(
     app_name: str = "spark-s3-shuffle-spark",
     master: str | None = None,

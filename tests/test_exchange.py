@@ -3,12 +3,16 @@ prefix-sharded layout, stats, cleanup — the engine-feature analogue of the
 reference's S3 shuffle lifecycle (S3ShuffleDispatcher.scala:104-118,142-143)."""
 
 import os
+import subprocess
+import sys
 import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
 from spark_s3_shuffle_spark.operators.exchange import ExchangeManager
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture()
@@ -57,6 +61,64 @@ def test_cleanup(spark, mgr):
     mgr.stage_write(df, "b", num_partitions=1)
     assert mgr.remove_all() >= 1
     assert mgr.stats == {}
+
+
+def test_stage_path_deterministic_across_processes(spark, mgr):
+    """The shard prefix must not depend on the driver process: a restarted
+    (or re-sized) cluster re-reads a materialized stage by recomputing its
+    path (reference's stable {root}/{mapId % prefixes}/{appId}/{shuffleId}
+    layout, S3ShuffleDispatcher.scala:142-143). Python's builtin hash() is
+    salted per process, so this test runs the path computation in fresh
+    interpreters with different PYTHONHASHSEEDs and asserts agreement."""
+    script = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from spark_s3_shuffle_spark.operators.exchange import ExchangeManager\n"
+        "m = ExchangeManager(spark=None, root=sys.argv[2], prefixes=4, app_id=sys.argv[3])\n"
+        "print(m.stage_path(sys.argv[4]))\n"
+    )
+    expected = mgr.stage_path("restart-stage")
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        got = subprocess.run(
+            [sys.executable, "-c", script, REPO_ROOT, mgr.root, mgr.app_id, "restart-stage"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        assert got == expected, f"shard path differs under PYTHONHASHSEED={seed}"
+
+
+def test_cross_process_write_then_read(spark):
+    """Full elasticity round trip: a *separate driver process* materializes a
+    stage; this session (knowing only root/app_id/stage name) reads it back.
+    This is the plugin's core claim — the producing executors/driver need
+    not be alive for the consumer to fetch the exchange."""
+    tmp = tempfile.mkdtemp(prefix="exchange-xproc-")
+    script = os.path.join(tmp, "writer.py")
+    with open(script, "w") as f:
+        f.write(
+            "import sys\n"
+            f"sys.path.insert(0, {REPO_ROOT!r})\n"
+            "from pyspark.sql import SparkSession, functions as F\n"
+            "from spark_s3_shuffle_spark.operators.exchange import ExchangeManager\n"
+            "spark = (SparkSession.builder.master('local[2]').appName('xproc-writer')\n"
+            "         .config('spark.ui.enabled', 'false')\n"
+            "         .config('spark.sql.shuffle.partitions', '4').getOrCreate())\n"
+            f"mgr = ExchangeManager(spark, 'file://{tmp}/scratch', prefixes=4, app_id='sharedapp')\n"
+            "df = spark.range(100).withColumn('k', F.col('id') % 7)\n"
+            "mgr.stage_write(df, 'xproc', keys=['k'], num_partitions=2)\n"
+            "spark.stop()\n"
+        )
+    env = dict(os.environ, PYTHONHASHSEED="271828")
+    # fresh JVM + fresh interpreter; must not inherit this session's gateway
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    res = subprocess.run([sys.executable, script], env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    reader = ExchangeManager(spark, f"file://{tmp}/scratch", prefixes=4, app_id="sharedapp")
+    back = reader.stage_read("xproc")
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).first()[0] == 99 * 100 // 2
+    st = reader.stats["xproc"]
+    assert st.num_reads == 1 and st.bytes_read > 0 and st.read_secs > 0
 
 
 def test_metering(spark, mgr):

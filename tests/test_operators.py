@@ -99,6 +99,39 @@ def test_simhash_identical_texts_same_hash(spark, docs):
     assert 0 in kept and 1 not in kept
 
 
+def test_simhash_near_dup_pairs_hamming_banding(spark):
+    """Pigeonhole banding: a planted 1-bit flip must be caught; a pair
+    differing in 10 bits must be filtered by the Hamming-k verify even when
+    the flips cluster inside a single 16-bit block (so the other blocks
+    collide and the pair IS a candidate)."""
+    h0 = 0x0123456789ABCDEF
+    rows = [
+        (0, h0),
+        (1, h0 ^ (1 << 17)),          # hamming 1 → pair
+        (2, h0 ^ 0x3FF),              # 10 flips, all in block 0 → candidate but rejected
+        (3, h0 ^ ((1 << 5) | (1 << 20) | (1 << 40))),  # hamming 3, spread → pair
+    ]
+    sim = spark.createDataFrame(rows, "doc_id long, _simhash long")
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in D.simhash_near_dup_pairs(sim, hamming_k=3).collect()}
+    assert pairs[(0, 1)] == 1
+    assert pairs[(0, 3)] == 3
+    assert (0, 2) not in pairs
+
+
+def test_simhash_one_bit_flip_text_dropped(spark):
+    """End-to-end: a document whose simhash differs from a smaller-id twin
+    by ≤ hamming_k bits is removed. Identical text guarantees hamming 0;
+    a tiny suffix tweak stays within a few bits for long texts."""
+    base = " ".join(f"word{i} token{i % 7} common filler text" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " zz")], "doc_id long, text string"
+    )
+    sims = {r["doc_id"]: r["_simhash"] for r in D.simhash_frame(df).collect()}
+    hamming = bin(sims[0] ^ sims[1]).count("1")
+    kept = {r["doc_id"] for r in D.simhash_dedup(df, hamming_k=max(3, hamming)).collect()}
+    assert kept == {0}
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
@@ -106,9 +139,15 @@ def test_embedding_near_dup(spark):
         (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = D.embedding_near_dup_pairs(df, threshold=0.99, num_planes=2)
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.99, num_planes=8, bands=4, dim=4)
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert got == {(0, 1)}
+
+
+def test_embedding_near_dup_requires_dim(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        D.embedding_near_dup_pairs(df)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +214,24 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # approximate search must at least find the probe itself and overlap well
     assert exact[0] == 0 and approx[0] == 0
     assert len(set(exact) & set(approx)) >= 5
+
+
+def test_ivf_build_probe_split(spark, sf_dir):
+    """The amortized path: one materialized index, repeated probes — probe
+    results must match the single-shot ivf_topk plan exactly."""
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.build_ivf_index(emb, num_cells=8)
+    try:
+        assert idx.assignments.columns == ["vec_id", "cell", "_v"]
+        for probe_id in (0, 7):
+            probe = emb.filter(F.col("vec_id") == probe_id)
+            via_index = [tuple(r) for r in SIM.ivf_probe(idx, probe, k=5, nprobe=4).collect()]
+            one_shot = [tuple(r) for r in SIM.ivf_topk(emb, probe, k=5, num_cells=8, nprobe=4).collect()]
+            assert via_index == one_shot
+            assert via_index[0][0] == probe_id
+    finally:
+        idx.unpersist()
 
 
 # ---------------------------------------------------------------------------
