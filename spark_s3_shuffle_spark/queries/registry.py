@@ -794,6 +794,386 @@ def q47(spark, sf_dir):
     return MM.extract_features(media).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# Composite TPC-DS-class queries (the reference's de-facto SQL surface:
+# q5/q49/q67/q75 — examples/run_benchmarks.sh:29-34,
+# examples/sql/run_single_query.sh:22-28). Each composes multiple Tier-B
+# operators in ONE query the way the reference's benchmark suite does.
+# ---------------------------------------------------------------------------
+
+_Q48_SQL = """
+WITH channels AS (
+  SELECT l_suppkey AS suppkey, 'sales' AS channel,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amt
+  FROM lineitem WHERE l_returnflag <> 'R'
+  UNION ALL
+  SELECT l_suppkey, 'returns' AS channel, CAST(-l_extendedprice AS DECIMAL(18,6)) AS amt
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT n_name, channel,
+       CAST(ROUND(SUM(amt), 2) AS DOUBLE) AS total,
+       COUNT(*) AS cnt,
+       CAST(GROUPING(n_name) AS INT) AS g1, CAST(GROUPING(channel) AS INT) AS g2
+FROM channels
+JOIN supplier ON suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, channel)
+ORDER BY g1, g2, n_name NULLS FIRST, channel NULLS FIRST"""
+
+
+@_register(
+    "q48_channels_rollup",
+    _Q48_SQL,
+    "TPC-DS q5 shape: multi-channel UNION ALL → dim join chain → ROLLUP."
+    " Channels scan the fact once each with pushed returnflag predicates;"
+    " supplier and nation broadcast, so the fact side never shuffles for the"
+    " joins — the only exchange is the rollup's hash aggregate.",
+)
+def q48(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup, nat = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    sales = R.filter_rows(li, F.col("l_returnflag") != "R").select(
+        F.col("l_suppkey").alias("suppkey"), F.lit("sales").alias("channel"), amt.alias("amt")
+    )
+    returns = R.filter_rows(li, F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.lit("returns").alias("channel"),
+        (-F.col("l_extendedprice")).cast("decimal(18,6)").alias("amt"),
+    )
+    channels = R.union_all(sales, returns)
+    j = R.join(channels, sup, channels.suppkey == sup.s_suppkey, broadcast_right=True)
+    j = R.join(j, nat, j.s_nationkey == nat.n_nationkey, broadcast_right=True)
+    return R.rollup_agg(
+        j,
+        ["n_name", "channel"],
+        [
+            F.round(F.sum("amt"), 2).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("n_name").cast("int").alias("g1"),
+            F.grouping("channel").cast("int").alias("g2"),
+        ],
+    ).orderBy("g1", "g2", F.col("n_name").asc_nulls_first(), F.col("channel").asc_nulls_first())
+
+
+_Q49_SQL = """
+WITH agg AS (
+  SELECT YEAR(o_orderdate) AS y, l_suppkey AS s,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY y, s
+)
+SELECT CAST(y AS INT) AS y, s, rev, CAST(rk AS INT) AS rk FROM (
+  SELECT y, s, rev, RANK() OVER (PARTITION BY y ORDER BY rev DESC, s) AS rk FROM agg) t
+WHERE rk <= 5 ORDER BY y, rk, s"""
+
+
+@_register(
+    "q49_join_agg_rank",
+    _Q49_SQL,
+    "TPC-DS q67 shape: fact⋈fact join → hash agg → rank() over partition →"
+    " rank filter. The join shuffles both sides on orderkey (fact⋈fact, so"
+    " no broadcast); the window re-shuffles only the aggregated frame"
+    " (|years × suppliers| rows), which is cardinality-bounded.",
+)
+def q49(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = R.join(li, o, li.l_orderkey == o.o_orderkey)
+    agg = R.aggregate(
+        j,
+        [F.year("o_orderdate").alias("y"), F.col("l_suppkey").alias("s")],
+        [
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("rev")
+        ],
+    )
+    top = W.top_k_per_group(agg, ["y"], [F.col("rev").desc(), F.col("s")], 5)
+    return top.select(
+        F.col("y").cast("int").alias("y"), "s", "rev", F.col("rk").cast("int").alias("rk")
+    ).orderBy("y", "rk", "s")
+
+
+_Q50_SQL = """
+WITH sales AS (
+  SELECT YEAR(o_orderdate) AS y, l_suppkey AS s,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag <> 'R'
+  UNION ALL
+  SELECT YEAR(o_orderdate), l_suppkey, CAST(-l_extendedprice AS DECIMAL(18,6))
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'R'
+), agg AS (
+  SELECT y, s, CAST(ROUND(SUM(amt), 2) AS DOUBLE) AS rev FROM sales GROUP BY y, s
+)
+SELECT cur.s AS s, CAST(prev.y AS INT) AS prev_y, CAST(cur.y AS INT) AS cur_y,
+       prev.rev AS prev_rev, cur.rev AS cur_rev,
+       ROUND(cur.rev - prev.rev, 2) AS delta
+FROM agg cur JOIN agg prev ON cur.s = prev.s AND cur.y = prev.y + 1
+ORDER BY delta, s, cur_y LIMIT 100"""
+
+
+@_register(
+    "q50_period_delta",
+    _Q50_SQL,
+    "TPC-DS q75 shape: UNION ALL channels → per-period agg → self-join on"
+    " (key, period+1) → year-over-year delta, worst movers first. The"
+    " self-join runs on the aggregated frame only; at scale both sides are"
+    " co-partitioned on suppkey by the aggregation exchange.",
+)
+def q50(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = R.join(li, o, li.l_orderkey == o.o_orderkey)
+    amt = F.when(
+        F.col("l_returnflag") != "R",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"),
+    ).otherwise((-F.col("l_extendedprice")).cast("decimal(18,6)"))
+    # single-scan equivalent of the two UNION ALL channels: the channel split
+    # is a row-level CASE, so one join + one agg replaces two of each
+    agg = R.aggregate(
+        j,
+        [F.year("o_orderdate").alias("y"), F.col("l_suppkey").alias("s")],
+        [F.round(F.sum(amt), 2).cast("double").alias("rev")],
+    )
+    cur, prev = agg.alias("cur"), agg.alias("prev")
+    out = R.join(
+        cur, prev,
+        (F.col("cur.s") == F.col("prev.s")) & (F.col("cur.y") == F.col("prev.y") + 1),
+    ).select(
+        F.col("cur.s").alias("s"),
+        F.col("prev.y").cast("int").alias("prev_y"),
+        F.col("cur.y").cast("int").alias("cur_y"),
+        F.col("prev.rev").alias("prev_rev"),
+        F.col("cur.rev").alias("cur_rev"),
+        F.round(F.col("cur.rev") - F.col("prev.rev"), 2).alias("delta"),
+    )
+    return out.orderBy("delta", "s", "cur_y").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Previously-untested implemented paths: right/full outer (B9), exceptAll
+# (B29), cube (B21), map/struct access (B35)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q51_right_outer_join",
+    """SELECT c_custkey, COUNT(o_orderkey) AS c FROM orders
+       RIGHT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""",
+    "B9 right outer join (customer side preserved)",
+)
+def q51(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    j = R.join(o, c, o.o_custkey == c.c_custkey, how="right")
+    return R.aggregate(j, [c.c_custkey], [F.count(o.o_orderkey).alias("c")]).orderBy("c_custkey")
+
+
+@_register(
+    "q52_full_outer_join",
+    """SELECT COALESCE(a.k, b.k) AS k,
+              CASE WHEN a.k IS NULL THEN 'right_only'
+                   WHEN b.k IS NULL THEN 'left_only' ELSE 'both' END AS side
+       FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 1000) a
+       FULL JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey >= 500) b
+         ON a.k = b.k
+       ORDER BY k, side""",
+    "B9 full outer join over deliberately part-overlapping key sets, so all"
+    " three null patterns (left-only / right-only / both) appear",
+)
+def q52(spark, sf_dir):
+    a = R.filter_rows(_t(spark, sf_dir, "customer"), F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("k")
+    ).alias("a")
+    b = R.distinct_rows(
+        R.filter_rows(_t(spark, sf_dir, "orders"), F.col("o_custkey") >= 500).select(
+            F.col("o_custkey").alias("k")
+        )
+    ).alias("b")
+    j = R.join(a, b, F.col("a.k") == F.col("b.k"), how="full")
+    return j.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "right_only")
+        .when(F.col("b.k").isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    ).orderBy("k", "side")
+
+
+@_register(
+    "q53_except_all",
+    """SELECT k, COUNT(*) AS c FROM (
+         SELECT o_custkey AS k FROM orders
+         EXCEPT ALL
+         SELECT c_custkey FROM customer) t
+       GROUP BY k ORDER BY k LIMIT 500""",
+    "B29 EXCEPT ALL (multiset difference — each customer key cancels exactly"
+    " one of its order occurrences)",
+)
+def q53(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return (
+        R.except_all(o, c)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("k")
+        .limit(500)
+    )
+
+
+@_register(
+    "q54_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS s,
+              CAST(GROUPING(l_returnflag) AS INT) AS g1, CAST(GROUPING(l_linestatus) AS INT) AS g2
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "B21 CUBE aggregate (all 2^k grouping sets via one Expand)",
+)
+def q54(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("s"),
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+        ],
+    ).orderBy("g1", "g2", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+
+
+@_register(
+    "q55_map_struct_access",
+    """SELECT event_type AS mtype, COUNT(*) AS c, COUNT(DISTINCT user_id) AS u
+       FROM events GROUP BY mtype ORDER BY mtype""",
+    "B35 map/struct construction + field access: values are routed through"
+    " create_map / struct columns and extracted back out before aggregating;"
+    " the oracle proves access is lossless (Catalyst collapses the"
+    " constructor/extractor pairs, so this costs nothing at scale)",
+)
+def q55(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    enriched = ev.select(
+        F.create_map(F.lit("type"), F.col("event_type")).alias("m"),
+        F.struct("event_id", "user_id").alias("s"),
+    )
+    flat = enriched.select(
+        F.col("m")["type"].alias("mtype"), F.col("s").getField("user_id").alias("uid")
+    )
+    return R.aggregate(
+        flat, ["mtype"], [F.count(F.lit(1)).alias("c"), F.countDistinct("uid").alias("u")]
+    ).orderBy("mtype")
+
+
+# ---------------------------------------------------------------------------
+# Real UDAF (B45) and UDTF (B46)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q56_grouped_agg_udaf",
+    """SELECT o_custkey,
+              CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 - MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spread_cents
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "B45 UDAF: pandas GROUPED_AGG (Arrow-batched custom aggregate — the real"
+    " pandas_udf aggregation path, not a combineByKey equivalence claim)."
+    " Integer cents keep the Python and SQL paths bit-identical.",
+)
+def q56(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def spread_cents(v: pd.Series) -> int:
+        cents = np.floor(v.to_numpy() * 100 + 0.5).astype("int64")
+        return int(cents.max() - cents.min())
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(spread_cents("o_totalprice").alias("spread_cents"))
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "q57_udtf_tokens",
+    """SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS n_tokens,
+              CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS BIGINT) AS sum_len
+       FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+             FROM documents) t
+       WHERE LEN(tk) > 0 ORDER BY doc_id""",
+    "B46 UDTF: a real Python user-defined *table* function (one input row →"
+    " many output rows) applied via LATERAL join, then re-aggregated so the"
+    " oracle is deterministic. Row-at-a-time by nature — fine for the"
+    " coverage query; hot paths use explode()/mapInPandas instead.",
+)
+def q57(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, w string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                pos = 0
+                for w in text.lower().split(" "):
+                    if w:
+                        yield pos, w
+                        pos += 1
+
+    spark.udtf.register("q57_tokenize", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("q57_documents")
+    return spark.sql(
+        """SELECT d.doc_id, COUNT(*) AS n_tokens, SUM(LENGTH(t.w)) AS sum_len
+           FROM q57_documents d, LATERAL q57_tokenize(d.text) t
+           GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# TeraSort analogue (reference examples/terasort/run.sh:157-191)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q58_terasort",
+    """SELECT COUNT(*) AS n, CAST(1 AS INT) AS sorted,
+              MIN(MD5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+                      || '|' || CAST(l_suppkey AS VARCHAR))) AS first_key,
+              MAX(MD5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+                      || '|' || CAST(l_suppkey AS VARCHAR))) AS last_key
+       FROM lineitem""",
+    "B25/B26 TeraSort + TeraValidate analogue: binary (16-byte md5) keys,"
+    " range-partitioned total sort via repartitionByRange +"
+    " sortWithinPartitions, then a distributed TeraValidate pass"
+    " (per-partition first/last/sorted summaries only reach the driver —"
+    " reference examples/terasort/run.sh:161-191). The 'sorted' column is"
+    " computed by the validator, not assumed; hex(md5) preserves byte order"
+    " so the oracle can check the sort endpoints.",
+)
+def q58(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import rdd_parity as RP
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.unhex(
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber", "l_suppkey"))
+        ).alias("key"),
+        F.col("l_extendedprice").alias("payload"),
+    )
+    n_part = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    ts = R.sort_within_partitions(keyed, n_part, ["key"], "key")
+    ok = RP.is_globally_sorted(ts.select("key").rdd, keyfunc=lambda r: bytes(r["key"]))
+    summary = ts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(1 if ok else 0).cast("int").alias("sorted"),
+        F.min(F.hex(F.col("key"))).alias("first_key"),
+        F.max(F.hex(F.col("key"))).alias("last_key"),
+    )
+    return summary.select("n", "sorted", F.lower("first_key").alias("first_key"), F.lower("last_key").alias("last_key"))
+
+
 def query_map() -> dict[str, Builder]:
     return {name: spec.builder for name, spec in QUERIES.items()}
 

@@ -44,7 +44,10 @@ def canon(value):
 
 def rows_canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # repr-keyed sort: mixed None/str columns (ROLLUP/CUBE null groups) are
+    # not orderable directly; any deterministic total order works since both
+    # sides sort identically before comparison.
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:
