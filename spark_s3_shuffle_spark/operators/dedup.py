@@ -211,6 +211,94 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_dedup with full connected-components clustering: transitive
+    chains (A~B, B~C, A≁C) collapse to one representative per cluster
+    instead of the transitive-lite per-pair policy."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
+    confirmed = ngram_jaccard_pairs(df, cand, id_col, text_col, 3, jaccard_threshold)
+    return dedup_by_components(df, confirmed, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) labeling of the undirected graph given as (a, b)
+    edge pairs; component = min node id reachable. Returns one row per node
+    that appears in any edge.
+
+    Iterative min-label propagation, all DataFrame ops: each round every
+    node adopts the smallest label among itself and its neighbors; converges
+    in O(diameter) rounds (near-dup clusters are shallow — a dup cluster's
+    diameter is usually 1-2, so 3-4 rounds in practice; ``max_iterations``
+    bounds adversarial chains). Each round is one explode-free
+    groupBy(node).min(label) over the edge list joined to current labels —
+    shuffle volume O(|edges|) per round, no driver-side graph.
+
+    The convergence check is one aggregate per round (sum of labels strictly
+    decreases until fixpoint) — a driver-side scalar, not a collect of rows.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
+    ).union(edges.select(F.col(b_col).alias("_u"), F.col(a_col).alias("_v")))
+    labels = sym.select("_u").union(sym.select("_v")).distinct().select(
+        F.col("_u").alias("_node"), F.col("_u").alias("_comp")
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["_v"] == labels["_node"])
+            .groupBy("_u")
+            .agg(F.min("_comp").alias("_ncomp"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["_node"] == neighbor_min["_u"], "left")
+            .select(
+                "_node",
+                F.least(F.col("_comp"), F.coalesce(F.col("_ncomp"), F.col("_comp"))).alias("_comp"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=True)  # truncate the iterative lineage
+        cur_sum = labels.agg(F.sum("_comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("_node").alias("node"), F.col("_comp").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Drop every non-representative member of each near-dup cluster: the
+    transitive closure of the pair graph, keeping min-id per component.
+    Fixes the transitive-lite gap (A~B and B~C but not A~C still collapses
+    to {A}); cost is the CC rounds over the (bounded) candidate pair list,
+    not the corpus."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (B48 variant)
 # ---------------------------------------------------------------------------

@@ -751,6 +751,19 @@ def q44(spark, sf_dir):
 
 
 @_register(
+    "q59_minhash_dedup_cc", None,
+    "B48 MinHash-LSH near-dup removal with full connected-components"
+    " clustering (transitive chains collapse to one representative; the"
+    " iterative min-label propagation is DataFrame-only and O(diameter)"
+    " rounds over the bounded candidate pair list)",
+    tags=("hash-specific",),
+)
+def q59(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_cc(d, "doc_id", "text").select("doc_id").orderBy("doc_id")
+
+
+@_register(
     "q45_embedding_neardup", None,
     "B48 embedding-cosine near-dup pairs via banded sign-LSH (32 planes in 4"
     " bands). The fixture corpus has no true near-dups (max pairwise cos"

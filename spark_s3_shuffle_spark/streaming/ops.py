@@ -66,6 +66,38 @@ def dedup_stream(df: DataFrame, keys: list[str], within_watermark: bool = True) 
     return df.dropDuplicates(keys)
 
 
+def stateful_running_totals(df: DataFrame, key: str = "user_id", value_col: str = "value") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the escape
+    hatch for stateful semantics Structured Streaming's built-ins lack
+    (here: per-key running event count + value total, emitted every
+    micro-batch in update mode).
+
+    Scale shape: state is one (long, double) pair per key, partitioned by
+    the grouping key across executors; each micro-batch touches only keys
+    present in that batch, Arrow-batched into pandas. At 100 TB of events
+    the state store is bounded by |distinct keys| — pair with a timeout
+    (GroupStateTimeout) for unbounded key spaces.
+    """
+    import pandas as pd  # local: keep module import-light for non-streaming users
+
+    out_schema = f"{key} long, events long, total_value double"
+    state_schema = "events long, total_value double"
+
+    def fn(key_tuple, pdf_iter, state):
+        events, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            events += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((events, total))
+        yield pd.DataFrame({key: [key_tuple[0]], "events": [events], "total_value": [total]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def parquet_sink(
     df: DataFrame,
     out_path: str,

@@ -94,6 +94,28 @@ def test_minhash_dedup_drops_dup(spark, docs):
     assert 3 in kept and 4 in kept
 
 
+def test_connected_components_chain(spark):
+    """A 5~7, 7~3 chain is one component labeled by its min id (3), plus an
+    isolated pair; transitive-lite would wrongly keep both 3 and 5."""
+    edges = spark.createDataFrame([(5, 7), (3, 7), (10, 11)], "a long, b long")
+    comp = {r["node"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comp == {3: 3, 5: 3, 7: 3, 10: 10, 11: 10}
+
+
+def test_dedup_by_components_transitive_chain(spark):
+    rows = [(3, "x"), (5, "y"), (7, "z"), (9, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 7), (3, 7)], "a long, b long")
+    kept = {r["doc_id"] for r in D.dedup_by_components(df, pairs).collect()}
+    assert kept == {3, 9}
+
+
+def test_minhash_dedup_cc_matches_lite_on_simple_dups(spark, docs):
+    kept = {r["doc_id"] for r in D.minhash_dedup_cc(docs, num_hashes=32, bands=16).collect()}
+    assert 0 in kept and 1 not in kept
+    assert 3 in kept and 4 in kept
+
+
 def test_simhash_identical_texts_same_hash(spark, docs):
     kept = {r["doc_id"] for r in D.simhash_dedup(docs).collect()}
     assert 0 in kept and 1 not in kept

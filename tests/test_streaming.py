@@ -58,6 +58,37 @@ def test_stream_dedup_within_watermark(spark, events_drop_dir):
     assert got.count() == expected
 
 
+def test_stateful_running_totals(spark, sf_dir, events_drop_dir):
+    """applyInPandasWithState custom operator: the final per-user state must
+    equal the batch groupBy totals (update-mode emits per micro-batch, so
+    take the max events per key from the memory sink)."""
+    stream = S.read_events_stream(spark, f"{events_drop_dir}/in")
+    totals = S.stateful_running_totals(stream, "user_id", "value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(F.max("events").alias("events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+    g = {r["user_id"]: r["events"] for r in got.collect()}
+    b = {r["user_id"]: r["events"] for r in batch.collect()}
+    assert g == b
+
+
 def test_session_and_sliding_windows_run(spark, events_drop_dir):
     # bench-tier ops (B38/B39): smoke that the streaming plans run to completion
     base = S.with_watermark(S.read_events_stream(spark, f"{events_drop_dir}/in"), "30 minutes")
