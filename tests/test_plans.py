@@ -54,6 +54,45 @@ def test_flagship_exchange_count(spark, sf_dir):
     assert I.count_exchanges(q12) <= 2
 
 
+def test_q48_dims_broadcast_and_channel_filters_push(spark, sf_dir):
+    """Composite q5-shape: both dim joins must be broadcast (zero fact-side
+    join shuffle) and the channel predicates must reach the lineitem scan."""
+    q48 = QUERIES["q48_channels_rollup"].builder(spark, sf_dir)
+    plan = I.formatted_plan(q48)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    pushed = I.pushed_filters(q48)
+    assert any("l_returnflag" in f for f in pushed), pushed
+
+
+def test_q49_window_after_agg_not_raw(spark, sf_dir):
+    """q67 shape: the rank window must consume the aggregated frame — plan
+    order is scan → join → HashAggregate → Window, never Window over raw."""
+    q49 = QUERIES["q49_join_agg_rank"].builder(spark, sf_dir)
+    plan = I.formatted_plan(q49)
+    assert "Window" in plan
+    # formatted trees print root-first: Window (downstream) must appear
+    # BEFORE HashAggregate (its input) in the text
+    assert plan.index("Window") < plan.index("HashAggregate")
+    # rank()+filter must push a per-partition group limit below the window
+    assert "WindowGroupLimit" in plan
+
+
+def test_q50_limit_is_take_ordered(spark, sf_dir):
+    q50 = QUERIES["q50_period_delta"].builder(spark, sf_dir)
+    assert I.plan_has(q50, "TakeOrderedAndProject")
+
+
+def test_q58_terasort_is_range_partitioned(spark, sf_dir):
+    """TeraSort analogue must plan a range exchange (sampled bounds), not a
+    hash shuffle or a global single-partition sort."""
+    from spark_s3_shuffle_spark.operators import relational as R
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(F.unhex(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))).alias("key"))
+    ts = R.sort_within_partitions(keyed, 8, ["key"], "key")
+    plan = I.formatted_plan(ts)
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+
+
 def test_scan_count_uses_parquet_stats(spark, sf_dir):
     q01 = QUERIES["q01_scan_count"].builder(spark, sf_dir)
     # count(*) over parquet should not read any data columns
