@@ -116,7 +116,9 @@ def run_suite(spark, sf_dir: str, runs: int) -> dict[str, float]:
 def main() -> None:
     baseline_mode = "--baseline" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5" if baseline_mode else "1"))
+    # medians on both sides: a single engine sample vs a baseline median
+    # would let one GC pause masquerade as a 5× regression
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5" if baseline_mode else "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -255,6 +257,10 @@ def connected_components(
     sym = edges.select(
         F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
     ).union(edges.select(F.col(b_col).alias("_u"), F.col(a_col).alias("_v")))
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without this the (possibly expensive — LSH + verify) upstream
+    # pair pipeline would re-execute per round per join side.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("_u").union(sym.select("_v")).distinct().select(
         F.col("_u").alias("_node"), F.col("_u").alias("_comp")
     )
@@ -328,8 +334,14 @@ def simhash_frame(
     practice, and far beyond where a near-dup signal saturates.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    rows = df.select(F.col(id_col).alias("_id"), F.explode(F.slice(sh, 1, max_shingles)).alias("_s"))
-    h = F.xxhash64("_s")
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.slice(sh, 1, max_shingles)).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_hh"))
+    # the hash is materialized as a projected column FIRST: the 16 packed
+    # aggregates below reference it 64 times, and Catalyst does not CSE a
+    # subexpression shared across aggregate expressions — inlining
+    # xxhash64(_s) there would hash every shingle 64×.
+    h = F.col("_hh")
     packed_aggs = []
     for g in range(16):
         expr = F.lit(0).cast("long")
@@ -480,26 +492,27 @@ def embedding_near_dup_pairs(
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
-    def plane_dot(plane: int) -> Column:
-        signs = F.array(*[F.lit(s) for s in _plane_signs(dim, plane, seed)])
-        return F.aggregate(
-            F.zip_with(F.col("_v"), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # One numpy matmul per Arrow batch computes ALL plane dots at once —
+    # the Column formulation (num_planes × zip_with+aggregate higher-order
+    # fns per row) measured ~10× slower at 32 planes. The plane matrix is a
+    # deterministic closure constant shipped to workers once.
+    from pyspark.sql.functions import pandas_udf
 
-    band_structs = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
-        for j in range(ppb):
-            bit = F.when(plane_dot(b * ppb + j) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            key = key.bitwiseOR(F.shiftleft(bit, j))
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    planes = np.array(
+        [_plane_signs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
+    ).T  # (dim, num_planes)
+    weights = 1 << np.arange(ppb, dtype=np.int64)
 
-    banded = (
-        base.select("_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("_id", "bb.band", "bb.bkey")
-    )
+    @pandas_udf("array<long>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (X @ planes) >= 0                         # (batch, num_planes)
+        out = np.empty((X.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            out[:, b] = bits[:, b * ppb : (b + 1) * ppb] @ weights
+        return pd.Series(list(out))
+
+    banded = base.select("_id", F.posexplode(band_keys(F.col("_v"))).alias("band", "bkey"))
     if max_bucket_size:
         ok = (
             banded.groupBy("band", "bkey")

