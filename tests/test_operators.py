@@ -238,6 +238,34 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_probe_prunes_to_nprobe_cells(spark):
+    """Scale contract of the probe path: a single-probe query plans ONE
+    pruned scan (IN-list on cell, no join/exchange in the plan) and keeps
+    useful recall vs brute force on a corpus big enough to be signal."""
+    from spark_s3_shuffle_spark.plans import inspect as I
+    dim = 16
+    vec = F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1000)) / 500.0 - 1.0) for i in range(dim)])
+    corpus = spark.range(30_000).select(F.col("id").alias("vec_id"), vec.alias("embedding")).persist()
+    try:
+        idx = SIM.build_ivf_index(corpus, num_cells=16)
+        probe = corpus.filter(F.col("vec_id") == 0)
+        out = SIM.ivf_probe(idx, probe, k=10, nprobe=4)
+        plan = I.formatted_plan(out)
+        import re
+        assert re.search(r"Condition : .*cell#\d+ IN ", plan), plan[:1500]
+        # the probe's own plan (everything above the cached index relation)
+        # must be join- and exchange-free: one pruned scan + filter + top-k
+        probe_section = plan.split("InMemoryRelation")[0]
+        assert "Join" not in probe_section and "Exchange" not in probe_section, probe_section
+        exact = [r["vec_id"] for r in SIM.cosine_topk(corpus, probe, k=10).collect()]
+        approx = [r["vec_id"] for r in out.collect()]
+        assert approx[0] == 0
+        assert len(set(exact) & set(approx)) >= 5
+        idx.unpersist()
+    finally:
+        corpus.unpersist()
+
+
 def test_ivf_build_probe_split(spark, sf_dir):
     """The amortized path: one materialized index, repeated probes — probe
     results must match the single-shot ivf_topk plan exactly."""
