@@ -10,8 +10,9 @@ Two tiers:
                          the probe's ``nprobe`` nearest cells, then
                          brute-force only within those cells. The scan is
                          cut by ~nprobe/C; this is the 100 TB path.
-- ``lsh_bucket_topk``  — sign-LSH bucketed variant sharing the bucketing
-                         used by embedding near-dup.
+- ``lsh_topk``         — sign-LSH banded variant sharing the plane family
+                         used by embedding near-dup: precomputed band keys,
+                         any-band-match candidate filter, exact rescoring.
 
 The probe vector is carried as a broadcast 1-row frame — never collected to
 a Python literal — so the same code runs when "probe" is a million-row query
@@ -22,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,6 +221,97 @@ def ivf_probe(
         candidates.crossJoin(F.broadcast(p))
         .select(index.id_col, F.round(cosine(F.col("_v"), F.col("_probe")), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(index.id_col))
+        .limit(k)
+    )
+
+
+def with_lsh_keys(
+    vectors: DataFrame,
+    dim: int,
+    num_planes: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out: str = "lsh_keys",
+) -> DataFrame:
+    """Attach the banded sign-LSH key array (same plane family as
+    embedding_near_dup_pairs): ``out[b]`` is the b-th band's packed sign
+    bits. Precompute + persist/write this once per corpus version; probes
+    then pay only the key *comparison*, not the key computation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_s3_shuffle_spark.operators.dedup import _plane_signs
+
+    ppb = num_planes // bands
+    planes = np.array(
+        [_plane_signs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
+    ).T
+    weights = 1 << np.arange(ppb, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (X @ planes) >= 0
+        keys = np.empty((X.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            keys[:, b] = bits[:, b * ppb : (b + 1) * ppb] @ weights
+        return pd.Series(list(keys))
+
+    return vectors.select(F.col(id_col), F.col(vec_col), band_keys(F.col(vec_col)).alias(out))
+
+
+def lsh_topk(
+    keyed: DataFrame,
+    probe: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_vec_col: str = "embedding",
+    seed: int = 42,
+    keys_col: str = "lsh_keys",
+) -> DataFrame:
+    """Approximate top-k via banded sign-LSH: candidates are vectors sharing
+    ≥1 band key with the probe; only candidates get the exact cosine. Same
+    recall/selectivity trade as the near-dup banding (any-band-match), but
+    tuned for retrieval: the band predicate is a plain Column comparison
+    over the precomputed key array — one scan, zero shuffle, cosine math cut
+    to the candidate fraction (~bands/2^(planes/bands) of the corpus for
+    random data, everything similar to the probe for clustered data).
+
+    ``keyed`` should come from :func:`with_lsh_keys` (the keys column is
+    computed on the fly if absent — correct, but then each probe pays the
+    key computation scan)."""
+    import numpy as np
+
+    from spark_s3_shuffle_spark.operators.dedup import _plane_signs
+
+    if keys_col not in keyed.columns:
+        keyed = with_lsh_keys(keyed, dim, num_planes, bands, id_col, vec_col, seed, keys_col)
+    head = probe.select(_as_double(F.col(probe_vec_col)).alias("_probe")).take(1)
+    if not head:
+        raise ValueError("empty probe")
+    q = np.asarray(head[0]["_probe"], dtype=np.float64)
+    ppb = num_planes // bands
+    planes = np.array(
+        [_plane_signs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
+    ).T
+    bits = (q @ planes) >= 0
+    weights = 1 << np.arange(ppb, dtype=np.int64)
+    probe_keys = [int(bits[b * ppb : (b + 1) * ppb] @ weights) for b in range(bands)]
+    match_any = None
+    for b, pk in enumerate(probe_keys):
+        cond = F.element_at(F.col(keys_col), b + 1) == F.lit(pk)
+        match_any = cond if match_any is None else (match_any | cond)
+    probe_lit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        keyed.filter(match_any)
+        .select(id_col, F.round(cosine(_as_double(F.col(vec_col)), probe_lit), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
 

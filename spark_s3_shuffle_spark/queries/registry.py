@@ -646,6 +646,21 @@ def q34b(spark, sf_dir):
     return SIM.ivf_probe(get_ivf_index(spark, sf_dir), probe, k=10, nprobe=3)
 
 
+@_register(
+    "q34c_lsh_topk", None,
+    "B49 sign-LSH banded approximate top-k: precomputed band-key column,"
+    " any-band-match candidate filter (plain Column predicate, one scan,"
+    " zero shuffle), exact cosine rescoring of candidates only"
+    " (approx → rows-only check)",
+    tags=("approx",),
+)
+def q34c(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    keyed = SIM.with_lsh_keys(emb, dim=64, num_planes=16, bands=4)
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.lsh_topk(keyed, probe, dim=64, k=10, num_planes=16, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis (B50)
 # ---------------------------------------------------------------------------

@@ -266,6 +266,17 @@ def test_ivf_probe_prunes_to_nprobe_cells(spark):
         corpus.unpersist()
 
 
+def test_lsh_topk_finds_probe_and_overlaps(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    keyed = SIM.with_lsh_keys(emb, dim=64, num_planes=16, bands=4)
+    probe = emb.filter(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, probe, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.lsh_topk(keyed, probe, dim=64, k=10, num_planes=16, bands=4).collect()]
+    assert approx[0] == 0  # the probe shares every band with itself
+    assert len(set(exact) & set(approx)) >= 3
+
+
 def test_ivf_build_probe_split(spark, sf_dir):
     """The amortized path: one materialized index, repeated probes — probe
     results must match the single-shot ivf_topk plan exactly."""
