@@ -56,6 +56,33 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+_SIZE_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40, "EiB": 1 << 60}
+
+
+def shuffle_volumes(df: DataFrame) -> list[dict]:
+    """Per-exchange shuffle volume of an EXECUTED DataFrame (run an action
+    first): AQE stamps materialized ShuffleQueryStage nodes with
+    ``Statistics(sizeInBytes=…, rowCount=…)`` in the explain output. This is
+    the engine's analogue of the reference's per-query shuffle-volume
+    numbers (BASELINE.md's q5=9.6GB table) and of its write-side metering
+    (S3MeasureOutputStream.scala:8-65) — measured, per stage, no listener
+    plumbing."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(
+        r"ShuffleQueryStage \(\d+\), Statistics\(sizeInBytes=([\d.]+)\s*(\w+)(?:, rowCount=([\d.E+]+))?\)",
+        plan,
+    ):
+        size = float(m.group(1)) * _SIZE_UNITS.get(m.group(2), 1)
+        rows = int(float(m.group(3))) if m.group(3) else None
+        out.append({"bytes": int(size), "rows": rows})
+    return out
+
+
+def total_shuffle_bytes(df: DataFrame) -> int:
+    return sum(s["bytes"] for s in shuffle_volumes(df))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider is better (fewer breaks out
     of generated code). Spark renders them as ``WholeStageCodegen (n)`` in

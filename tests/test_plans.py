@@ -93,6 +93,19 @@ def test_q58_terasort_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan[:2000]
 
 
+def test_shuffle_volume_metering(spark, sf_dir):
+    """A15 metering analogue: executed plans expose per-exchange shuffle
+    sizes; an aggregation's shuffle must be cardinality-bounded (tiny), and
+    an un-aggregated total sort must shuffle the whole input (bigger)."""
+    agg = QUERIES["q12_tpch_q1_agg"].builder(spark, sf_dir)
+    agg.collect()
+    agg_vols = I.shuffle_volumes(agg)
+    assert agg_vols and all(v["bytes"] > 0 for v in agg_vols)
+    sort = QUERIES["q58_terasort"].builder(spark, sf_dir)
+    sort.collect()
+    assert I.total_shuffle_bytes(sort) > I.total_shuffle_bytes(agg) * 10
+
+
 def test_scan_count_uses_parquet_stats(spark, sf_dir):
     q01 = QUERIES["q01_scan_count"].builder(spark, sf_dir)
     # count(*) over parquet should not read any data columns
