@@ -296,6 +296,47 @@ def test_ivf_build_probe_split(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# skew mitigation
+# ---------------------------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    from spark_s3_shuffle_spark.operators import skew as SK
+    # 90% of the big side lands on one hot key — the shape AQE can't split
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dim"))
+    plain = big.join(small, "k").select("k", "payload", "dim")
+    salted = SK.salted_join(big, small, "k").select("k", "payload", "dim")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from spark_s3_shuffle_spark.operators import skew as SK
+    big = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    salted = SK.with_salt(big, salt=8)
+    # deterministic salt: same frame → same salts; hot key spread over >1 value
+    assert salted.select("_salt").distinct().count() > 1
+    again = SK.with_salt(big, salt=8)
+    assert salted.exceptAll(again).count() == 0
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from spark_s3_shuffle_spark.operators import skew as SK
+    df = spark.range(5000).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    plain = {r["k"]: (r["s"], r["c"]) for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()}
+    salted = SK.salted_agg(
+        df, ["k"],
+        partial_aggs=[F.sum("v").alias("ps"), F.count("v").alias("pc")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+    )
+    got = {r["k"]: (r["s"], r["c"]) for r in salted.collect()}
+    assert got == plain
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
