@@ -726,7 +726,17 @@ def q39(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@_register("q40_lang_id", None, "B50 heuristic language ID (heuristic → rows-only check)", tags=("heuristic",))
+@_register(
+    "q40_lang_id", None,
+    "B50 heuristic language ID (heuristic → rows-only check). Note: the"
+    " fixture corpus draws every lang label from the SAME English word pool"
+    " (verified: no CJK codepoints, shared top-vocabulary across labels), so"
+    " content-based accuracy against the label column is bounded at the"
+    " majority-class base rate — the operator demonstrates the marker-based"
+    " plumbing, and real deployments swap in fastText/CLD3 behind the same"
+    " column expression seam.",
+    tags=("heuristic",),
+)
 def q40(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.with_lang_id(d, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")

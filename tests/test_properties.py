@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): operator invariants on adversarial
+inputs, not just planted fixtures. The reference has no property tests
+(SURVEY §5.1); these pin the semantics the oracle queries can't reach —
+NULL handling, tie policies, transitive closure, salting neutrality.
+
+Each property runs a bounded number of examples against the shared local
+session (deadline disabled: Spark job latency is not the property under
+test).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.operators import dedup as D
+from spark_s3_shuffle_spark.operators import skew as SK
+from spark_s3_shuffle_spark.operators.asof import asof_join, asof_join_pandas
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def kv_events(draw):
+    """(key, ts, seq) right-side rows plus (key, ts) probes, with heavy
+    key/ts collisions to stress tie policies."""
+    keys = draw(st.lists(st.integers(0, 4), min_size=1, max_size=12))
+    right = [
+        (k, draw(st.integers(0, 20)), i)
+        for i, k in enumerate(keys)
+    ]
+    probes = draw(
+        st.lists(st.tuples(st.integers(0, 5), st.integers(0, 20)), min_size=1, max_size=8)
+    )
+    return right, probes
+
+
+@PROP
+@given(data=kv_events())
+def test_asof_window_and_pandas_paths_agree(spark, data):
+    right_rows, probe_rows = data
+    right = spark.createDataFrame(
+        [(k, t, f"v{s}", s) for k, t, s in right_rows], "k long, ts long, v string, seq long"
+    )
+    left = spark.createDataFrame(list(set(probe_rows)), "k long, ts long")
+    a = asof_join(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+    b = asof_join_pandas(left, right, on="ts", by="k", value_cols=["v"], right_order=["seq"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab \x1f", max_size=6)), min_size=1, max_size=10
+    )
+)
+def test_exact_dedup_is_min_id_per_distinct_content(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in D.exact_dedup(df, ["text"], "doc_id").collect())
+    # model: min doc_id per distinct value, NULL its own group (SQL GROUP BY)
+    first: dict = {}
+    for i, t in rows:
+        first.setdefault(t, i)
+    assert got == sorted(first.values())
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"] for r in D.connected_components(df).collect()}
+    # model: classic union-find with min-id representative
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
+@PROP
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=1, max_size=30),
+    salt=st.integers(2, 6),
+)
+def test_salted_agg_is_neutral(spark, rows, salt):
+    df = spark.createDataFrame(rows, "k long, v long")
+    plain = {(r["k"]): (r["s"], r["c"]) for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()}
+    salted = SK.salted_agg(
+        df, ["k"],
+        partial_aggs=[F.sum("v").alias("ps"), F.count("v").alias("pc")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+        salt=salt,
+    )
+    got = {(r["k"]): (r["s"], r["c"]) for r in salted.collect()}
+    assert got == plain
+
+
+@PROP
+@given(
+    big=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25),
+    small=st.lists(st.integers(0, 5), min_size=1, max_size=6),
+    salt=st.integers(2, 5),
+)
+def test_salted_join_is_neutral(spark, big, small, salt):
+    bdf = spark.createDataFrame(big, "k long, p long")
+    sdf = spark.createDataFrame([(k, k * 10) for k in set(small)], "k long, d long")
+    plain = sorted(map(tuple, bdf.join(sdf, "k").collect()))
+    got = sorted(map(tuple, SK.salted_join(bdf, sdf, "k", salt=salt).collect()))
+    assert got == plain
