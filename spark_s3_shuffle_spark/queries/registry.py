@@ -726,15 +726,39 @@ def q39(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_Q40_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['the','and','of'], x))) AS s_en,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['der','und','ein'], x))) AS s_de,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['le','et','les'], x))) AS s_fr,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['el','de','los'], x))) AS s_es,
+         REGEXP_MATCHES(text, '[一-鿿]') AS cjk
+  FROM t)
+SELECT doc_id, lang,
+       CASE WHEN cjk THEN 'zh'
+            WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+            WHEN s_de > s_en THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM s ORDER BY doc_id"""
+
+
 @_register(
-    "q40_lang_id", None,
-    "B50 heuristic language ID (heuristic → rows-only check). Note: the"
-    " fixture corpus draws every lang label from the SAME English word pool"
-    " (verified: no CJK codepoints, shared top-vocabulary across labels), so"
-    " content-based accuracy against the label column is bounded at the"
-    " majority-class base rate — the operator demonstrates the marker-based"
-    " plumbing, and real deployments swap in fastText/CLD3 behind the same"
-    " column expression seam.",
+    "q40_lang_id",
+    _Q40_SQL,
+    "B50 heuristic language ID — marker-stopword argmax with first-in-order"
+    " tie-breaking, CJK short-circuit; the oracle replicates the exact fold"
+    " semantics. Note: the fixture corpus draws every lang label from the"
+    " SAME English word pool (verified: no CJK codepoints, shared"
+    " top-vocabulary across labels), so content-based accuracy against the"
+    " label column is bounded at the majority-class base rate — the"
+    " operator demonstrates deterministic plumbing; real deployments swap"
+    " in fastText/CLD3 behind the same column-expression seam.",
     tags=("heuristic",),
 )
 def q40(spark, sf_dir):
@@ -789,12 +813,18 @@ def q59(spark, sf_dir):
 
 
 @_register(
-    "q45_embedding_neardup", None,
+    "q45_embedding_neardup",
+    """SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b,
+              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                    CAST(list_transform(embedding,
+                         (x, i) -> CAST(x + 0.001 * (((i - 1) % 3) - 1) AS FLOAT)) AS DOUBLE[])), 4) AS cos
+       FROM embeddings WHERE vec_id < 5 ORDER BY a, b""",
     "B48 embedding-cosine near-dup pairs via banded sign-LSH (32 planes in 4"
     " bands). The fixture corpus has no true near-dups (max pairwise cos"
-    " ≈ 0.60), so the query plants five deterministic perturbed twins; the"
-    " operator must recover exactly those five pairs.",
-    tags=("hash-specific",),
+    " ≈ 0.60), so the query plants five deterministic perturbed twins. The"
+    " oracle asserts the operator recovers EXACTLY those five pairs with"
+    " their exact cosines — full recall of the planted dups and zero false"
+    " positives; the planes are deterministic, so so is the LSH outcome.",
 )
 def q45(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
