@@ -776,6 +776,92 @@ def q41(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@_register(
+    "q63_quality_percentile_filter",
+    """WITH bounds AS (
+         SELECT QUANTILE_CONT(n_chars, 0.05) AS lo, QUANTILE_CONT(n_chars, 0.95) AS hi
+         FROM documents)
+       SELECT COUNT(*) AS kept,
+              CAST(ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS DOUBLE) AS avg_chars
+       FROM documents, bounds WHERE n_chars BETWEEN lo AND hi""",
+    "B50 training-pipeline length filter: keep documents between the exact"
+    " interpolated p5/p95 of n_chars (Spark percentile ≡ DuckDB"
+    " QUANTILE_CONT). The percentile agg is one reduce to a 1-row frame,"
+    " broadcast back over the scan — no driver collect; at 100 TB swap in"
+    " percentile_approx for a single-pass sketch of the same shape.",
+)
+def q63(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).cast("double").alias("avg_chars"),
+        )
+    )
+
+
+_Q64_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_id,
+         LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), marked AS (
+  SELECT user_id, sec, event_id,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         sec
+  FROM marked
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS span_secs
+FROM sessions GROUP BY user_id ORDER BY user_id"""
+
+
+@_register(
+    "q64_sessionization",
+    _Q64_SQL,
+    "Batch sessionization (gaps-and-islands, 30-min gap): lag → new-session"
+    " marker → running-sum session ids → per-user session stats. The"
+    " oracle-able batch twin of the streaming session window (B39); one"
+    " exchange on user_id serves both window passes and the final agg.",
+)
+def q64(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # integral seconds on BOTH sides: double-epoch spans diverge on the
+    # final bigint cast (Spark truncates, DuckDB rounds)
+    sec = F.floor(F.col("ts") / F.lit(1e9)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id", "ts", sec.alias("sec"), "event_id",
+        F.lag(sec).over(w).alias("prev_sec"),
+    ).withColumn(
+        "new_session",
+        F.when(F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(run))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("sec") - F.min("sec")).cast("long").alias("span_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: near-dup dedup family (B48) — hash-specific → rows-only checks
 # ---------------------------------------------------------------------------
@@ -1017,6 +1103,122 @@ def q50(spark, sf_dir):
         F.round(F.col("cur.rev") - F.col("prev.rev"), 2).alias("delta"),
     )
     return out.orderBy("delta", "s", "cur_y").limit(100)
+
+
+_Q60_SQL = """
+WITH per_channel AS (
+  SELECT l_linestatus AS channel, l_suppkey AS s,
+         CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS DOUBLE) AS ret_qty,
+         CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS tot_qty
+  FROM lineitem GROUP BY channel, s
+), ranked AS (
+  SELECT channel, s, ROUND(ret_qty / tot_qty, 4) AS return_ratio,
+         RANK() OVER (PARTITION BY channel ORDER BY ret_qty / tot_qty DESC, s) AS rk
+  FROM per_channel WHERE tot_qty > 0
+)
+SELECT channel, s, return_ratio, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10 ORDER BY channel, rk, s"""
+
+
+@_register(
+    "q60_returns_rank",
+    _Q60_SQL,
+    "TPC-DS q49 shape (the 4th query of the reference's benchmark set,"
+    " examples/run_benchmarks.sh:31): per-channel worst return ratios —"
+    " conditional agg → ratio → rank within channel → rank filter → ordered"
+    " union of channels. One fact scan; the window runs over the"
+    " cardinality-bounded aggregate.",
+)
+def q60(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per_channel = R.aggregate(
+        li,
+        [F.col("l_linestatus").alias("channel"), F.col("l_suppkey").alias("s")],
+        [
+            F.round(F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0)), 2)
+            .cast("double").alias("ret_qty"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("tot_qty"),
+        ],
+    ).filter(F.col("tot_qty") > 0)
+    ranked = W.ranked(
+        per_channel,
+        ["channel"],
+        [(F.col("ret_qty") / F.col("tot_qty")).desc(), F.col("s")],
+    )
+    return (
+        ranked.filter(F.col("rk") <= 10)
+        .select(
+            "channel", "s",
+            F.round(F.col("ret_qty") / F.col("tot_qty"), 4).alias("return_ratio"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("channel", "rk", "s")
+    )
+
+
+@_register(
+    "q61_window_family",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+              CAST(DENSE_RANK() OVER w AS INT) AS drk,
+              CAST(NTILE(4) OVER w AS INT) AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 4) AS prk,
+              ROUND(CUME_DIST() OVER w, 4) AS cd,
+              FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+              LEAD(o_orderkey, 1, -1) OVER w AS next_ok
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, rn LIMIT 2000""",
+    "B22/B23 window-function family breadth: row_number, dense_rank, ntile,"
+    " percent_rank, cume_dist, first_value, lead — one window spec, one"
+    " exchange+sort for all seven functions.",
+)
+def q61(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.spec(["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.dense_rank().over(w).cast("int").alias("drk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("prk"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_ok"),
+        )
+        .orderBy("o_custkey", "rn")
+        .limit(2000)
+    )
+
+
+@_register(
+    "q62_scalar_breadth",
+    """SELECT c_custkey,
+              LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+              REPLACE(LOWER(c_mktsegment), ' ', '_') AS seg,
+              CAST(LENGTH(TRIM(c_name)) AS INT) AS name_len,
+              REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num,
+              CAST(ROUND(ABS(c_acctbal), 2) AS DOUBLE) AS abs_bal,
+              CAST(c_custkey % 7 AS BIGINT) AS mod7,
+              CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal = 0 THEN 'zero' ELSE 'pos' END AS sign
+       FROM customer ORDER BY c_custkey""",
+    "B30/B32/B33 scalar-function breadth: lpad/replace/trim/regexp_extract/"
+    "abs/round/mod/CASE in one projection — all codegen, zero shuffle"
+    " besides the output sort.",
+)
+def q62(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.lower("c_mktsegment"), F.lit(" "), F.lit("_")).alias("seg"),
+        F.length(F.trim("c_name")).cast("int").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+        F.round(F.abs("c_acctbal"), 2).cast("double").alias("abs_bal"),
+        (F.col("c_custkey") % 7).cast("long").alias("mod7"),
+        F.when(F.col("c_acctbal") < 0, "neg").when(F.col("c_acctbal") == 0, "zero").otherwise("pos").alias("sign"),
+    ).orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------
