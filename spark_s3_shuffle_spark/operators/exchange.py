@@ -99,9 +99,15 @@ class ExchangeManager:
     ) -> ExchangeStats:
         """Materialize ``df`` hash-partitioned on ``keys``.
 
-        A downstream join/agg on the same keys reads co-partitioned input.
-        ``sort_within`` additionally sorts rows inside each partition
-        (the plugin's reduce-side-sort analogue, S3ShuffleReader.scala:141-149).
+        The files are physically clustered by key, but a plain parquet
+        re-read carries no partitioner metadata, so Catalyst will still
+        plan an exchange for a downstream join/agg (the data movement is
+        cheap — rows for one key sit in one file — but the stage boundary
+        remains). For a *shuffle-free* downstream join use
+        :meth:`stage_write_bucketed`, which records bucketing in the
+        session catalog. ``sort_within`` additionally sorts rows inside
+        each partition (the plugin's reduce-side-sort analogue,
+        S3ShuffleReader.scala:141-149).
         """
         path = self.stage_path(stage)
         out = df
@@ -145,6 +151,45 @@ class ExchangeManager:
             st.read_secs += time.monotonic() - t0
             st.num_reads += 1
         return df
+
+    # -- bucketed variant: co-located, shuffle-free downstream joins -------
+    def stage_write_bucketed(
+        self,
+        df: DataFrame,
+        stage: str,
+        keys: list[str],
+        num_buckets: int = 32,
+        sort_within: list[str] | None = None,
+    ) -> ExchangeStats:
+        """Materialize ``df`` as a BUCKETED table on ``keys``: bucketing
+        metadata lands in the session catalog, so two stages bucketed the
+        same way join/aggregate with ZERO exchange — Catalyst trusts the
+        bucket layout (this is the property a plain parquet re-read cannot
+        give, and the true analogue of the plugin's "reducers read
+        pre-partitioned map output" layout). Bucket files live under the
+        same prefix-sharded scratch path; table name = stage name
+        (catalog-sanitized). Lifetime is the session's, matching shuffle
+        scratch semantics.
+        """
+        path = self.stage_path(stage)
+        table = f"exchange_{stage}".replace("-", "_").replace("/", "_")
+        t0 = time.monotonic()
+        writer = df.write.mode("overwrite").format("parquet").option("path", path)
+        writer = writer.bucketBy(num_buckets, *keys)
+        if sort_within:
+            writer = writer.sortBy(*sort_within)
+        writer.saveAsTable(table)
+        elapsed = time.monotonic() - t0
+        st = ExchangeStats(stage, path, num_buckets, elapsed)
+        st.bytes_written, st.num_files = self._du(path)
+        self.stats[stage] = st
+        return st
+
+    def stage_read_bucketed(self, stage: str) -> DataFrame:
+        """Read a bucketed exchange via the catalog (keeps the bucket spec —
+        a plain ``spark.read.parquet`` of the same files would discard it)."""
+        table = f"exchange_{stage}".replace("-", "_").replace("/", "_")
+        return self.spark.table(table)
 
     # -- Hadoop FS plumbing ------------------------------------------------
     def _fs(self, path: str):

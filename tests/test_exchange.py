@@ -121,6 +121,27 @@ def test_cross_process_write_then_read(spark):
     assert st.num_reads == 1 and st.bytes_read > 0 and st.read_secs > 0
 
 
+def test_bucketed_stages_join_without_shuffle(spark, mgr):
+    """The co-location contract: two stages bucketed on the same key join
+    with ZERO exchange in the plan — the materialized analogue of the
+    plugin's pre-partitioned map output (reducers read their partition
+    directly). A plain parquet re-read of the same files cannot do this."""
+    from spark_s3_shuffle_spark.plans import inspect as I
+
+    a = spark.range(2000).withColumn("k", F.col("id") % 50).withColumn("va", F.col("id") * 2)
+    b = spark.range(1000).withColumn("k", F.col("id") % 50).withColumn("vb", F.col("id") * 3)
+    mgr.stage_write_bucketed(a.select("k", "va"), "bucket_a", keys=["k"], num_buckets=4)
+    mgr.stage_write_bucketed(b.select("k", "vb"), "bucket_b", keys=["k"], num_buckets=4)
+    ra, rb = mgr.stage_read_bucketed("bucket_a"), mgr.stage_read_bucketed("bucket_b")
+    joined = ra.join(rb, "k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the join to rely on bucketing
+    try:
+        assert I.count_exchanges(joined) == 0, I.formatted_plan(joined)[:1500]
+        assert joined.count() == 2000 * 1000 // 50  # 40 ids per key on a, 20 on b, 50 keys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_metering(spark, mgr):
     df = spark.range(10_000).withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
     st = mgr.stage_write(df, "metered", num_partitions=4)
