@@ -125,6 +125,111 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style rule-based quality flags, one boolean per rule plus
+    the conjunction — the standard pre-training corpus filter family
+    (word-count bounds, mean word length, symbol ratio, stopword presence).
+    Pure Column expressions: one scan, zero shuffle, codegen throughout.
+
+    Rules (thresholds per the published Gopher heuristics, adapted to the
+    fixture's vocabulary):
+    - 10 ≤ n_tokens ≤ 100k
+    - 2 ≤ mean token length ≤ 12
+    - symbol ratio (#/…/ellipsis) ≤ 0.1
+    - contains ≥ 1 stopword (proxy for "is running text")
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n).otherwise(F.lit(0.0))
+    sym = F.length(t) - F.length(F.regexp_replace(t, r"[#…]|\.\.\.", ""))
+    sym_ratio = F.when(F.length(t) > 0, sym / F.length(t)).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x))) > 0
+    flags = {
+        "ok_tokens": (n >= 10) & (n <= 100_000),
+        "ok_mean_len": (mean_len >= 2) & (mean_len <= 12),
+        "ok_symbols": sym_ratio <= 0.1,
+        "ok_stopwords": has_stop,
+    }
+    out = df
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(
+        "quality_pass",
+        F.col("ok_tokens") & F.col("ok_mean_len") & F.col("ok_symbols") & F.col("ok_stopwords"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preparation step of a training pipeline. Returns
+    (id, chunk_id, chunk_text, n_chunk_tokens); one row per chunk via a
+    single explode, no shuffle, chunk boundaries deterministic.
+
+    Scale: rows multiply by ~n_tokens/(chunk_tokens-overlap) BEFORE any
+    exchange — size downstream shuffles accordingly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk start positions 0, step, 2*step, ... while start < n (≥1 chunk)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * step)
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_ctoks"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", F.col("_ctoks")).alias("chunk_text"),
+            F.size("_ctoks").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Flag training documents sharing any ``ngram``-gram with a held-out
+    test corpus — the standard n-gram-collision decontamination check run
+    before pre-training. Returns the train frame with ``contaminated``
+    (boolean) and ``n_hits`` (distinct colliding n-grams).
+
+    Scale shape: both sides explode to (doc, ngram-hash) rows and meet in
+    an equi-join keyed by the 64-bit hash — never doc×doc pairs. The test
+    side is the small one (benchmarks are ≪ training corpora); its distinct
+    n-gram set broadcasts, so the training scan never shuffles. Collisions
+    are counted per train doc with a hash-agg bounded by |train docs|.
+    """
+    tr = train.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("_s"))
+    te = test.select(F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("_s")).distinct()
+    tr_h = tr.select("_id", F.xxhash64("_s").alias("_h"))
+    te_h = F.broadcast(te.select(F.xxhash64("_s").alias("_h")).distinct())
+    hits = (
+        tr_h.join(te_h, "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.countDistinct("_h").alias("n_hits"))
+    )
+    return (
+        train.join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles as strings — the MinHash/Jaccard input unit.
 

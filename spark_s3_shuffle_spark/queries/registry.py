@@ -862,6 +862,123 @@ def q64(spark, sf_dir):
     )
 
 
+_Q65_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         LEN(tk) BETWEEN 10 AND 100000 AS ok_tokens,
+         (CASE WHEN LEN(tk) > 0 THEN LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) / LEN(tk) ELSE 0 END) BETWEEN 2 AND 12 AS ok_mean_len,
+         (CASE WHEN LENGTH(text) > 0
+               THEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[#…]|\\.\\.\\.', '', 'g'))) / LENGTH(text)
+               ELSE 0 END) <= 0.1 AS ok_symbols,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['the','a','of','and','to','in','is','it'], x))) > 0 AS ok_stopwords
+  FROM t)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_tokens,
+       CAST(SUM(CASE WHEN ok_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_mean_len,
+       CAST(SUM(CASE WHEN ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_symbols,
+       CAST(SUM(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopwords,
+       CAST(SUM(CASE WHEN ok_tokens AND ok_mean_len AND ok_symbols AND ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f"""
+
+
+@_register(
+    "q65_gopher_quality",
+    _Q65_SQL,
+    "B50 Gopher/C4-style rule-based quality filter: per-rule pass counts +"
+    " full-conjunction survivors. Pure column expressions, one scan, zero"
+    " shuffle before the final count aggregate.",
+)
+def q65(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags(d)
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok_tokens").cast("int")).cast("long").alias("n_ok_tokens"),
+        F.sum(F.col("ok_mean_len").cast("int")).cast("long").alias("n_ok_mean_len"),
+        F.sum(F.col("ok_symbols").cast("int")).cast("long").alias("n_ok_symbols"),
+        F.sum(F.col("ok_stopwords").cast("int")).cast("long").alias("n_ok_stopwords"),
+        F.sum(F.col("quality_pass").cast("int")).cast("long").alias("n_pass"),
+    )
+
+
+_Q66_SHINGLE8 = """CASE WHEN LEN(tk) >= 8
+       THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 7),
+                                         i -> ARRAY_TO_STRING(tk[i:i+7], ' ')))
+       ELSE [ARRAY_TO_STRING(tk, ' ')] END"""
+
+_Q66_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+tr AS (
+  SELECT doc_id, UNNEST({_Q66_SHINGLE8}) AS s FROM toks),
+te AS (
+  SELECT DISTINCT UNNEST({_Q66_SHINGLE8}) AS s FROM toks WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_hits
+  FROM tr WHERE s IN (SELECT s FROM te) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id"""
+
+
+@_register(
+    "q66_decontamination",
+    _Q66_SQL,
+    "B50/B47 test-set decontamination: flag training docs sharing any"
+    " 8-gram with a held-out slice (doc_id%10=0 stands in for the"
+    " benchmark corpus). Exploded n-gram hashes meet in a broadcast"
+    " semi-join keyed by xxhash64 — never doc×doc pairs; the training scan"
+    " never shuffles.",
+)
+def q66(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    out = T.decontaminate(d, test, "doc_id", "text", ngram=8)
+    return out.select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits"), "contaminated"
+    ).orderBy("doc_id")
+
+
+_Q67_SQL = """
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shape AS (
+  SELECT doc_id, LEN(tk) AS n,
+         GREATEST(CAST(CEIL((LEN(tk) - 8) / 56.0) AS BIGINT), 1) AS n_chunks
+  FROM toks)
+SELECT doc_id, n_chunks,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, CAST(n_chunks AS INT) - 1),
+                                    i -> LEAST(64, GREATEST(n - i * 56, 0)))) AS BIGINT) AS total_chunk_tokens
+FROM shape ORDER BY doc_id"""
+
+
+@_register(
+    "q67_chunking",
+    _Q67_SQL,
+    "B50 context-window chunking: 64-token chunks with 8-token overlap, one"
+    " explode, boundaries deterministic; the oracle recomputes the chunk"
+    " shape closed-form per document.",
+)
+def q67(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("total_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: near-dup dedup family (B48) — hash-specific → rows-only checks
 # ---------------------------------------------------------------------------

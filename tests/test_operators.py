@@ -207,6 +207,45 @@ def test_shingles_and_fingerprint(spark):
     assert len(fp) == 32  # md5 hex
 
 
+def test_chunk_documents_boundaries(spark):
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "tiny doc")], "doc_id long, text string")
+    chunks = T.chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: step 56 → chunks at 0 (64 toks) and 56 (44 toks)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 44]
+    assert c1[0]["chunk_text"].split()[56:] == c1[1]["chunk_text"].split()[:8]  # overlap
+    # doc 2: single short chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+
+
+def test_decontaminate_flags_overlap(spark):
+    shared = " ".join(f"t{i}" for i in range(10))
+    train = spark.createDataFrame(
+        [(1, shared + " extra words here"), (2, "completely different content " + " ".join(f"x{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.decontaminate(train, test, ngram=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+def test_gopher_quality_flags(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away today again"
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, "### ## # " + good + " # ## ###" + " #" * 40)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.gopher_quality_flags(df).collect()}
+    assert got[1]["quality_pass"]
+    assert not got[2]["ok_tokens"] and not got[2]["quality_pass"]
+    assert not got[3]["ok_symbols"] and not got[3]["quality_pass"]
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42x")], "doc_id long, text string")
     toks = df.select(T.bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
