@@ -862,6 +862,34 @@ def q64(spark, sf_dir):
     )
 
 
+@_register(
+    "q68_changelog_compaction",
+    """SELECT user_id, event_type AS last_type,
+              CAST(ROUND(value, 4) AS DOUBLE) AS last_value
+       FROM (SELECT user_id, event_type, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) t
+       WHERE rn = 1 ORDER BY user_id""",
+    "CDC changelog compaction (latest-record-wins upsert): one row_number"
+    " window per key, rank filter pushed as WindowGroupLimit — the standard"
+    " merge/compaction step of an incremental pipeline; state per key is"
+    " O(1) during the streaming-sorted scan.",
+)
+def q68(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).cast("double").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _Q65_SQL = """
 WITH t AS (
   SELECT doc_id, text,

@@ -93,6 +93,22 @@ def test_q58_terasort_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan[:2000]
 
 
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    """B2 at scale: a sink partitioned by a filter column must let the
+    re-read prune whole directories (PartitionFilters in the scan, pruned
+    row count) — the layout decision that turns a 100 TB scan into a 1 TB
+    one for selective readers."""
+    from spark_s3_shuffle_spark.sources.catalog import load_table, write_parquet
+    ev = load_table(spark, sf_dir, "events").drop("event_ts")
+    out = f"file://{tmp_path}/events_by_type"
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = I.formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == expected
+
+
 def test_shuffle_volume_metering(spark, sf_dir):
     """A15 metering analogue: executed plans expose per-exchange shuffle
     sizes; an aggregation's shuffle must be cardinality-bounded (tiny), and
