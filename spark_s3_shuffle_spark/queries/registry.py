@@ -862,6 +862,55 @@ def q64(spark, sf_dir):
     )
 
 
+_Q69_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+
+@_register(
+    "q69_tpch_q5",
+    _Q69_SQL,
+    "TPC-H Q5 verbatim shape: 6-table fact⋈dim chain with the local-supplier"
+    " same-nation condition, selective date + region predicates, revenue"
+    " rollup per nation. Dims (supplier/nation/region/customer at fixture"
+    " scale) broadcast; the date predicate pushes to the orders scan; the"
+    " only large exchanges are the fact⋈fact orderkey join and the final"
+    " cardinality-bounded agg.",
+)
+def q69(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 @_register(
     "q68_changelog_compaction",
     """SELECT user_id, event_type AS last_type,
