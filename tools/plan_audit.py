@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "q34_cosine_topk",
     "q34b_ivf_topk",
     "q34c_lsh_topk",
+    "q63_quality_percentile_filter",  # 1-row percentile-bounds broadcast
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
