@@ -44,6 +44,25 @@ def combine_by_key(
     return rdd.combineByKey(create_combiner, merge_value, merge_combiners, num_partitions)
 
 
+def reduce_by_key(rdd: RDD, func: Callable[[V, V], V], num_partitions: int | None = None) -> RDD:
+    """reduceByKey — foldByKey without a zero value; map-side combine on.
+    DataFrame equivalent: ``df.groupBy(k).agg(<assoc agg>)``."""
+    return rdd.reduceByKey(func, num_partitions)
+
+
+def aggregate_by_key(
+    rdd: RDD,
+    zero: C,
+    seq_func: Callable[[C, V], C],
+    comb_func: Callable[[C, C], C],
+    num_partitions: int | None = None,
+) -> RDD:
+    """aggregateByKey — combineByKey with a zero value instead of a
+    create-combiner fn (the shape Spark's own foldByKey/reduceByKey are
+    built from)."""
+    return rdd.aggregateByKey(zero, seq_func, comb_func, num_partitions)
+
+
 def group_by_key(rdd: RDD, num_partitions: int | None = None) -> RDD:
     """groupByKey — NO map-side combine: every value crosses the wire.
     At scale prefer aggregation; this exists for parity with the

@@ -862,6 +862,44 @@ def q64(spark, sf_dir):
     )
 
 
+_Q70_SQL = """
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shape AS (
+  SELECT doc_id, tk,
+         CAST(GREATEST(CEIL((LEN(tk) - 8) / 56.0), 1) AS INT) AS n_chunks
+  FROM toks),
+chunks AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, n_chunks - 1),
+                               i -> ARRAY_TO_STRING(tk[i*56 + 1 : i*56 + 64], ' '))) AS chunk_text
+  FROM shape)
+SELECT COUNT(*) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(LENGTH(chunk_text)) AS BIGINT) AS total_chars
+FROM chunks"""
+
+
+@_register(
+    "q70_chunk_dedup",
+    _Q70_SQL,
+    "Composite training-pipeline stage: chunk every document (64-token"
+    " windows, 8 overlap) then measure chunk-granularity duplication —"
+    " dedup at chunk level is how repeated boilerplate inside otherwise-"
+    "unique documents gets caught. One explode + one digest-style distinct"
+    " agg; the distinct count shuffles hashes, not chunk payloads.",
+)
+def q70(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_text").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+    )
+
+
 _Q69_SQL = """
 SELECT n_name,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue

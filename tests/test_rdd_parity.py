@@ -37,6 +37,32 @@ def test_combine_by_key_counts(spark):
         assert all(v % 10 == key for v in values)
 
 
+def test_reduce_by_key_matches_fold(spark):
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(1000), 8).map(lambda t: (t % 25, t))
+    reduced = dict(P.reduce_by_key(rdd, lambda a, b: a + b, 5).collect())
+    assert len(reduced) == 25
+    for key, value in reduced.items():
+        assert value == sum(v for v in range(1000) if v % 25 == key)
+
+
+def test_aggregate_by_key_mean(spark):
+    # aggregateByKey with a (sum, count) accumulator — the UDAF primitive
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(600), 6).map(lambda t: (t % 3, t))
+    agg = dict(
+        P.aggregate_by_key(
+            rdd, (0, 0),
+            seq_func=lambda acc, v: (acc[0] + v, acc[1] + 1),
+            comb_func=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+            num_partitions=4,
+        ).collect()
+    )
+    for key, (s, c) in agg.items():
+        expect = [v for v in range(600) if v % 3 == key]
+        assert c == len(expect) and s == sum(expect)
+
+
 def test_group_by_key_no_combine(spark):
     # mirrors runWithSparkConf_noMapSideCombine (S3ShuffleManagerTest.scala:56-73)
     sc = spark.sparkContext

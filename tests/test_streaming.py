@@ -89,6 +89,45 @@ def test_stateful_running_totals(spark, sf_dir, events_drop_dir):
     assert g == b
 
 
+def test_foreach_batch_into_materialized_exchange(spark, sf_dir, events_drop_dir):
+    """Streaming → exchange integration: each micro-batch lands as a
+    hash-partitioned materialized stage via foreachBatch + ExchangeManager,
+    and the union of staged batches equals the input — the streaming-write
+    analogue of the reference's per-map-task S3 objects (one immutable
+    object tree per unit of work, readable by any later consumer)."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from spark_s3_shuffle_spark.operators.exchange import ExchangeManager
+
+    tmp = tempfile.mkdtemp(prefix="stream-exchange-")
+    mgr = ExchangeManager(spark, f"file://{tmp}/scratch", prefixes=4)
+    seen = []
+
+    def sink(batch_df, batch_id):
+        stage = f"events_batch_{batch_id}"
+        mgr.stage_write(batch_df, stage, keys=["user_id"], num_partitions=2)
+        seen.append(stage)
+
+    stream = S.read_events_stream(spark, f"{events_drop_dir}/in", max_files_per_trigger=2)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).option(
+        "checkpointLocation", f"{tmp}/ckpt"
+    ).start()
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    assert seen, "no micro-batches materialized"
+    total = 0
+    for stage in seen:
+        total += mgr.stage_read(stage).count()
+    expected = spark.read.parquet(f"{events_drop_dir}/in").count()
+    assert total == expected
+    assert sum(st.bytes_written for st in mgr.stats.values()) > 0
+    mgr.remove_all()
+
+
 def test_session_and_sliding_windows_run(spark, events_drop_dir):
     # bench-tier ops (B38/B39): smoke that the streaming plans run to completion
     base = S.with_watermark(S.read_events_stream(spark, f"{events_drop_dir}/in"), "30 minutes")
