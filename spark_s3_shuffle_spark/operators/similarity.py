@@ -166,6 +166,32 @@ def build_ivf_index(
     return IVFIndex(assignments, centroids, id_col, num_cells, cells, matrix)
 
 
+def ivf_probe_vector(
+    index: IVFIndex,
+    vector,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serving-shape probe: the query vector arrives as plain Python floats
+    (parameter binding — how an ANN endpoint receives it), so the whole
+    query is exactly ONE Spark job: cell ranking against the driver-side
+    coarse quantizer, an IN-list pruned scan, codegen cosine, top-k heap."""
+    import numpy as np
+
+    q = np.asarray(list(vector), dtype=np.float64)
+    M = index.centroid_matrix
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q) + 1e-12)
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], index.cells[i]))
+    chosen = [index.cells[i] for i in order[:nprobe]]
+    probe_lit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        index.assignments.filter(F.col("cell").isin(chosen))
+        .select(index.id_col, F.round(cosine(F.col("_v"), probe_lit), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(index.id_col))
+        .limit(k)
+    )
+
+
 def ivf_probe(
     index: IVFIndex,
     probe: DataFrame,
@@ -184,29 +210,14 @@ def ivf_probe(
     the fixture corpus (2k vectors) is job-overhead-bound and shows parity
     instead.
     """
-    import numpy as np
-
     p = probe.select(_as_double(F.col(probe_vec_col)).alias("_probe"))
     head = p.take(2)
     if len(head) == 1:
-        # single-probe serving path: rank cells against the driver-side
-        # coarse quantizer (numpy, no Spark job), bind the nprobe winners as
-        # an IN-list — on a cell-partitioned index table this is the filter
-        # that partition-prunes the scan to nprobe/num_cells of the data.
-        q = np.asarray(head[0]["_probe"], dtype=np.float64)
-        M = index.centroid_matrix
-        sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q) + 1e-12)
-        order = sorted(range(len(sims)), key=lambda i: (-sims[i], index.cells[i]))
-        chosen = [index.cells[i] for i in order[:nprobe]]
-        # the probe vector is already in hand — inline it as a literal so
-        # the whole probe is ONE job: pruned scan → codegen score → top-k
-        probe_lit = F.array(*[F.lit(float(x)) for x in q])
-        return (
-            index.assignments.filter(F.col("cell").isin(chosen))
-            .select(index.id_col, F.round(cosine(F.col("_v"), probe_lit), 4).alias("cos"))
-            .orderBy(F.col("cos").desc(), F.col(index.id_col))
-            .limit(k)
-        )
+        # single-probe path: the vector is in hand after the dispatch read —
+        # delegate to the parameter-bound serving probe (one job, pruned
+        # scan; on a cell-partitioned index table the IN-list filter is
+        # what partition-prunes to nprobe/num_cells of the data)
+        return ivf_probe_vector(index, head[0]["_probe"], k, nprobe)
     # probe-table path: everything stays distributed — rank cells per probe
     # row via broadcast join, then semi-join on the cell key
     cell_rank = (
