@@ -875,6 +875,54 @@ def q64(spark, sf_dir):
     )
 
 
+@_register(
+    "q71_pivot",
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+              CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS F,
+              CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS O,
+              CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS P
+       FROM orders GROUP BY y ORDER BY y""",
+    "Pivot (long→wide): revenue by year × order status. The status values"
+    " are pinned explicitly — an unpinned pivot needs a distinct-value scan"
+    " first, an extra pass a 100 TB job should never pay silently. Planned"
+    " as one hash aggregate with CASE projections (no extra shuffle).",
+)
+def q71(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("y"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double"))
+        .orderBy("y")
+    )
+
+
+@_register(
+    "q72_unpivot",
+    """SELECT c_custkey, kind, CAST(ROUND(val, 2) AS DOUBLE) AS val
+       FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+                    CAST(c_nationkey AS DOUBLE) AS nation
+             FROM customer) t
+       UNPIVOT (val FOR kind IN (balance, nation))
+       ORDER BY c_custkey, kind""",
+    "Unpivot/melt (wide→long): two measure columns become (kind, val)"
+    " rows. Pure row expansion — zero shuffle besides the output sort;"
+    " rows double BEFORE any exchange, so size downstream accordingly.",
+)
+def q72(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+    )
+    return (
+        wide.unpivot("c_custkey", ["balance", "nation"], "kind", "val")
+        .select("c_custkey", "kind", F.round("val", 2).cast("double").alias("val"))
+        .orderBy("c_custkey", "kind")
+    )
+
+
 _Q70_SQL = """
 WITH toks AS (
   SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
