@@ -81,10 +81,13 @@ def sort_by(rdd: RDD, keyfunc: Callable[[Any], Any], ascending: bool = True, num
 
 
 def is_globally_sorted(rdd: RDD, keyfunc: Callable[[Any], Any] = lambda kv: kv[0]) -> bool:
-    """Distributed sortedness check (TeraValidate analogue,
+    """RDD-layer sortedness check (TeraValidate analogue,
     examples/terasort/run.sh:161-191): verify each partition is internally
     sorted and partition boundaries are non-decreasing. Only per-partition
-    (first, last, ok) triples reach the driver."""
+    (first, last, ok) triples reach the driver — but the scan itself is
+    per-row Python, so this exists ONLY for RDD API-parity tests. The
+    engine/query path uses the Arrow-vectorized DataFrame twin,
+    ``operators.relational.validate_total_sort``."""
 
     def partition_summary(idx: int, it):
         first = last = None

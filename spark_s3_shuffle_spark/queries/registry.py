@@ -1714,14 +1714,14 @@ def q57(spark, sf_dir):
     "B25/B26 TeraSort + TeraValidate analogue: binary (16-byte md5) keys,"
     " range-partitioned total sort via repartitionByRange +"
     " sortWithinPartitions, then a distributed TeraValidate pass"
-    " (per-partition first/last/sorted summaries only reach the driver —"
-    " reference examples/terasort/run.sh:161-191). The 'sorted' column is"
-    " computed by the validator, not assumed; hex(md5) preserves byte order"
-    " so the oracle can check the sort endpoints.",
+    " (reference examples/terasort/run.sh:161-191). The 'sorted' column is"
+    " computed by the validator, not assumed: one Arrow-batched pass emits a"
+    " per-partition (cnt, first, last, monotone) summary — no shuffle, no"
+    " per-row Python — and the boundary check windows over the tiny summary"
+    " table only. hex(md5) preserves byte order so the oracle can check the"
+    " sort endpoints.",
 )
 def q58(spark, sf_dir):
-    from spark_s3_shuffle_spark.operators import rdd_parity as RP
-
     li = _t(spark, sf_dir, "lineitem")
     keyed = li.select(
         F.unhex(
@@ -1731,14 +1731,7 @@ def q58(spark, sf_dir):
     )
     n_part = max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
     ts = R.sort_within_partitions(keyed, n_part, ["key"], "key")
-    ok = RP.is_globally_sorted(ts.select("key").rdd, keyfunc=lambda r: bytes(r["key"]))
-    summary = ts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.lit(1 if ok else 0).cast("int").alias("sorted"),
-        F.min(F.hex(F.col("key"))).alias("first_key"),
-        F.max(F.hex(F.col("key"))).alias("last_key"),
-    )
-    return summary.select("n", "sorted", F.lower("first_key").alias("first_key"), F.lower("last_key").alias("last_key"))
+    return R.validate_total_sort(ts, "key")
 
 
 #: Explicit registry ordering. The driver's correctness harness samples the

@@ -95,3 +95,42 @@ def test_sort_by_global(spark):
     vals = out.collect()
     assert vals == sorted(vals)
     assert P.is_globally_sorted(out, keyfunc=lambda x: x)
+
+
+def test_validate_total_sort_plan_side(spark):
+    """TeraValidate DataFrame twin: Arrow-batched per-partition summaries,
+    no .rdd / per-row Python in the path; positive + negative cases."""
+    from pyspark.sql import functions as F
+
+    from spark_s3_shuffle_spark.operators import relational as R
+
+    df = spark.range(0, 5000).select(
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("key")
+    )
+    ts = R.sort_within_partitions(df, 7, ["key"], "key")
+    row = R.validate_total_sort(ts, "key").collect()[0]
+    assert row["n"] == 5000
+    assert row["sorted"] == 1
+    assert row["first_key"] < row["last_key"]
+
+    # negative: deliberately round-robin shuffled, not sorted
+    scrambled = df.repartition(7)
+    bad = R.validate_total_sort(scrambled, "key").collect()[0]
+    assert bad["n"] == 5000
+    assert bad["sorted"] == 0
+
+
+def test_validate_total_sort_detects_boundary_violation(spark):
+    """Partitions each internally sorted but ranges interleaved across
+    partitions must fail the boundary check."""
+    from pyspark.sql import functions as F
+
+    from spark_s3_shuffle_spark.operators import relational as R
+
+    df = spark.range(0, 1000).select(F.col("id").cast("long").alias("key"))
+    # hash-partition (interleaves ranges) then sort within partitions:
+    # locally monotone, globally wrong
+    local_sorted = df.repartition(5, "key").sortWithinPartitions("key")
+    row = R.validate_total_sort(local_sorted, "key").collect()[0]
+    assert row["n"] == 1000
+    assert row["sorted"] == 0

@@ -56,9 +56,11 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duck_connection(sf_dir)
     failures = []
+    ran = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = spec.builder(spark, sf_dir)
             scols = sdf.columns
@@ -93,7 +95,7 @@ def main() -> int:
             print(f"FAIL {name}: values differ; first diffs: {diff}")
             continue
         print(f"ok   {name}: {len(srows)} rows match")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass")
     if failures:
         print("FAILURES:")
         for n, msg in failures:
