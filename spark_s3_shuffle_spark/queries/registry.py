@@ -792,22 +792,26 @@ def q41(spark, sf_dir):
 @_register(
     "q63_quality_percentile_filter",
     """WITH bounds AS (
-         SELECT QUANTILE_CONT(n_chars, 0.05) AS lo, QUANTILE_CONT(n_chars, 0.95) AS hi
+         SELECT QUANTILE_DISC(n_chars, 0.05) AS lo, QUANTILE_DISC(n_chars, 0.95) AS hi
          FROM documents)
        SELECT COUNT(*) AS kept,
               CAST(ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS DOUBLE) AS avg_chars
        FROM documents, bounds WHERE n_chars BETWEEN lo AND hi""",
-    "B50 training-pipeline length filter: keep documents between the exact"
-    " interpolated p5/p95 of n_chars (Spark percentile ≡ DuckDB"
-    " QUANTILE_CONT). The percentile agg is one reduce to a 1-row frame,"
-    " broadcast back over the scan — no driver collect; at 100 TB swap in"
-    " percentile_approx for a single-pass sketch of the same shape.",
+    "B50 training-pipeline length filter: keep documents between the p5/p95"
+    " of n_chars. The default path is percentile_approx — a bounded-memory"
+    " GK sketch that merges partial per-partition summaries, so the"
+    " aggregation buffer never holds the data (exact F.percentile buffers"
+    " every value in one final buffer: OOM-by-construction at 100 TB). The"
+    " sketch returns a discrete data value (= DuckDB QUANTILE_DISC), and at"
+    " fixture scale (N << accuracy=10000) it is exact, so the oracle match"
+    " is still a hash-equality check. The 1-row bounds frame is broadcast"
+    " back over the scan — no driver collect.",
 )
 def q63(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bounds = d.agg(
-        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
-        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+        F.percentile_approx("n_chars", F.lit(0.05), F.lit(10000)).alias("lo"),
+        F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000)).alias("hi"),
     )
     return (
         d.crossJoin(F.broadcast(bounds))
