@@ -251,8 +251,12 @@ def connected_components(
     groupBy(node).min(label) over the edge list joined to current labels —
     shuffle volume O(|edges|) per round, no driver-side graph.
 
-    The convergence check is one aggregate per round (sum of labels strictly
-    decreases until fixpoint) — a driver-side scalar, not a collect of rows.
+    The convergence check is exact and id-type-agnostic: each round counts
+    rows whose label changed (min-label propagation only ever lowers a
+    label, so changed == 0 is the fixpoint). One driver-side scalar per
+    round over the already-checkpointed labels — never a numeric-sum
+    fingerprint, which silently fails for string node ids (sum over strings
+    is NULL/illegal), and never a collect of rows.
     """
     sym = edges.select(
         F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
@@ -264,25 +268,25 @@ def connected_components(
     labels = sym.select("_u").union(sym.select("_v")).distinct().select(
         F.col("_u").alias("_node"), F.col("_u").alias("_comp")
     )
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["_v"] == labels["_node"])
             .groupBy("_u")
             .agg(F.min("_comp").alias("_ncomp"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, labels["_node"] == neighbor_min["_u"], "left")
             .select(
                 "_node",
+                F.col("_comp").alias("_old"),
                 F.least(F.col("_comp"), F.coalesce(F.col("_ncomp"), F.col("_comp"))).alias("_comp"),
             )
         )
-        labels = labels.localCheckpoint(eager=True)  # truncate the iterative lineage
-        cur_sum = labels.agg(F.sum("_comp")).first()[0]
-        if cur_sum == prev_sum:
+        stepped = stepped.localCheckpoint(eager=True)  # truncate the iterative lineage
+        labels = stepped.select("_node", "_comp")
+        changed = stepped.filter(F.col("_comp") != F.col("_old")).limit(1).count()
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("_node").alias("node"), F.col("_comp").alias("component"))
 
 

@@ -199,11 +199,21 @@ class ExchangeManager:
         return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath, jvm
 
     def _du(self, path: str) -> tuple[int, int]:
-        fs, hpath, jvm = self._fs(path)
+        """(bytes, file count) of the stage's DATA files only. Walks the
+        tree and filters to ``part-*`` — getContentSummary would also count
+        ``_SUCCESS`` and local-FS ``.crc`` sidecars, inflating the recorded
+        partition count (e.g. 5 for a 4-partition write)."""
+        fs, hpath, _ = self._fs(path)
         if not fs.exists(hpath):
             return 0, 0
-        summary = fs.getContentSummary(hpath)
-        return int(summary.getLength()), int(summary.getFileCount())
+        nbytes = nfiles = 0
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().startswith("part-"):
+                nbytes += int(f.getLen())
+                nfiles += 1
+        return nbytes, nfiles
 
     # -- cleanup (A13 analogue: per-stage and whole-app delete) ------------
     def remove_stage(self, stage: str) -> bool:

@@ -55,7 +55,25 @@ def salted_join(
     """Equi-join where ``big`` has pathological key skew: join on
     (on..., salt) so each hot key spreads over ``salt`` tasks. Result is
     identical to ``big.join(small, on, how)`` (verified by test); the salt
-    column never escapes."""
+    column never escapes.
+
+    Only big-side-preserving join types are legal: the small side is
+    replicated ``salt`` times, so for right/full outer joins every
+    UNMATCHED small-side row would be emitted once per salt value
+    (``salt`` duplicate output rows). Those shapes raise ``ValueError`` —
+    flip the join around (the preserved side should be the skewed big
+    side) or dedupe explicitly."""
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti", "cross",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated small "
+            "side would duplicate unmatched preserved rows. Use one of "
+            f"{sorted(allowed)} (flip the join so the skewed side is preserved)."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, salt)
     s = replicate_salts(small, salt)

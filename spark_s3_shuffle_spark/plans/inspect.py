@@ -56,7 +56,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
-_SIZE_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40, "EiB": 1 << 60}
+_SIZE_UNITS = {
+    "B": 1,
+    "KiB": 1 << 10,
+    "MiB": 1 << 20,
+    "GiB": 1 << 30,
+    "TiB": 1 << 40,
+    "PiB": 1 << 50,
+    "EiB": 1 << 60,
+}
 
 
 def shuffle_volumes(df: DataFrame) -> list[dict]:
@@ -73,7 +81,12 @@ def shuffle_volumes(df: DataFrame) -> list[dict]:
         r"ShuffleQueryStage \(\d+\), Statistics\(sizeInBytes=([\d.]+)\s*(\w+)(?:, rowCount=([\d.E+]+))?\)",
         plan,
     ):
-        size = float(m.group(1)) * _SIZE_UNITS.get(m.group(2), 1)
+        unit = m.group(2)
+        if unit not in _SIZE_UNITS:
+            # never silently treat an unknown unit as bytes — at the scales
+            # this tool targets that underreports by up to 2^50
+            raise ValueError(f"unknown size unit {unit!r} in plan statistics: {m.group(0)}")
+        size = float(m.group(1)) * _SIZE_UNITS[unit]
         rows = int(float(m.group(3))) if m.group(3) else None
         out.append({"bytes": int(size), "rows": rows})
     return out

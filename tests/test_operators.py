@@ -403,3 +403,29 @@ def test_frame_sampling_shape(spark):
     frames = MM.frame_sample_stub(media, every_n=2).collect()
     n_frames = 1 + (20 % 8)  # decode_stub formula
     assert len(frames) == len(range(0, n_frames, 2))
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """ADVICE r2: convergence must be id-type-agnostic. A 5-node string-id
+    chain needs 2+ propagation rounds; a numeric-sum fingerprint would
+    terminate after round 1 (sum over strings is NULL) and mislabel the
+    tail."""
+    edges = spark.createDataFrame(
+        [("docB", "docC"), ("docC", "docD"), ("docD", "docE"), ("docA", "docB")],
+        "a string, b string",
+    )
+    comp = {r["node"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comp == {n: "docA" for n in ("docA", "docB", "docC", "docD", "docE")}
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    from spark_s3_shuffle_spark.operators import skew as SK
+
+    big = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            SK.salted_join(big, small, "k", how=how)
+    # left outer stays legal: preserved side is the (salted) big side
+    out = SK.salted_join(big, small, "k", how="left")
+    assert out.count() == 100
