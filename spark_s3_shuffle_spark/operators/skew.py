@@ -80,6 +80,34 @@ def salted_join(
     return b.join(s, [*keys, "_salt"], how).drop("_salt")
 
 
+def salted_top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    k: int,
+    salt: int = 8,
+    out: str = "rk",
+) -> DataFrame:
+    """Two-pass per-group top-k for skewed group keys — the shape
+    ``windowing.top_k_per_group`` cannot survive when one key holds a large
+    share of the table (a window partition is ONE task; AQE does not split
+    skewed window partitions).
+
+    Pass 1 ranks within (keys…, salt) so each hot key spreads over ``salt``
+    tasks and keeps only rank ≤ k per salt bucket; pass 2 re-ranks the
+    ≤ salt·k survivors per key. Exactly equivalent to the unsalted operator
+    (property-tested, ties included): any row with global rank ≤ k in its
+    group has rank ≤ k in its salt bucket too, so pass 1 never discards a
+    final top-k row. The second exchange moves at most salt·k rows per key,
+    not the key's full row count."""
+    from spark_s3_shuffle_spark.operators import windowing as W
+
+    ks = list(keys)
+    salted = with_salt(df, salt)
+    partial = W.top_k_per_group(salted, [*ks, "_salt"], order_by, k, out).drop(out, "_salt")
+    return W.top_k_per_group(partial, ks, order_by, k, out)
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -128,14 +128,162 @@ def test_foreach_batch_into_materialized_exchange(spark, sf_dir, events_drop_dir
     mgr.remove_all()
 
 
-def test_session_and_sliding_windows_run(spark, events_drop_dir):
-    # bench-tier ops (B38/B39): smoke that the streaming plans run to completion
+def test_sliding_stream_matches_batch(spark, sf_dir, events_drop_dir):
+    """B38 in streaming mode, verified against the batch twin: every emitted
+    (window, count) must equal the batch sliding-window count; only
+    tail windows the final watermark hasn't passed may be withheld."""
     base = S.with_watermark(S.read_events_stream(spark, f"{events_drop_dir}/in"), "30 minutes")
-    for i, agg in enumerate([
-        S.sliding_counts(base, "10 minutes", "5 minutes"),
-        S.session_counts(base, "5 minutes"),
-    ]):
-        out = f"{events_drop_dir}/out3_{i}"
-        ckpt = f"{events_drop_dir}/ckpt3_{i}"
-        S.run_stream_to_completion(S.parquet_sink(agg, out, ckpt))
-        assert spark.read.parquet(out).count() > 0
+    agg = S.sliding_counts(base, "10 minutes", "5 minutes")
+    out = f"{events_drop_dir}/out_slide"
+    ckpt = f"{events_drop_dir}/ckpt_slide"
+    S.run_stream_to_completion(S.parquet_sink(agg, out, ckpt))
+
+    emitted = {
+        r["ws"]: r["c"]
+        for r in spark.read.parquet(out).select(F.col("w.start").alias("ws"), "c").collect()
+    }
+    full = {
+        r["ws"]: r["c"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("event_ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("ws"), "c")
+        .collect()
+    }
+    assert emitted, "stream emitted nothing"
+    for ws, c in emitted.items():
+        assert full[ws] == c, (ws, c, full.get(ws))
+    missing = set(full) - set(emitted)
+    assert all(ws > max(emitted) for ws in missing), "non-tail window withheld"
+    assert len(missing) <= 8, f"too many withheld windows: {len(missing)}"
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_drop_dir):
+    """B39 in streaming mode: emitted (user, session-start) counts must
+    equal the batch session_window twin; withheld sessions are bounded."""
+    base = S.with_watermark(S.read_events_stream(spark, f"{events_drop_dir}/in"), "30 minutes")
+    agg = S.session_counts(base, "5 minutes")
+    out = f"{events_drop_dir}/out_sess"
+    ckpt = f"{events_drop_dir}/ckpt_sess"
+    S.run_stream_to_completion(S.parquet_sink(agg, out, ckpt))
+
+    emitted = {
+        (r["user_id"], r["ws"]): r["c"]
+        for r in spark.read.parquet(out)
+        .select("user_id", F.col("w.start").alias("ws"), "c")
+        .collect()
+    }
+    full = {
+        (r["user_id"], r["ws"]): r["c"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("event_ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("user_id", F.col("w.start").alias("ws"), "c")
+        .collect()
+    }
+    assert emitted, "stream emitted nothing"
+    for k, c in emitted.items():
+        assert full[k] == c, (k, c, full.get(k))
+    missing = set(full) - set(emitted)
+    # only sessions near the global tail (inside the watermark horizon) may
+    # be withheld by append mode
+    assert len(missing) <= max(5, len(full) // 20), f"{len(missing)}/{len(full)} withheld"
+
+
+def test_rate_source_smoke(spark):
+    """B37 t1: the rate source (deterministic rows-per-batch variant) feeds
+    the same windowed-count pipeline; a couple of micro-batches must land in
+    the memory sink."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )  # schema: (timestamp timestamp, value long)
+    agg = (
+        stream.withWatermark("timestamp", "1 minute")
+        .groupBy(F.window("timestamp", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # NOTE: never processAllAvailable() on a rate source — it always has
+        # more data, so that call would block forever. Poll the sink instead.
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("rate_counts").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_counts").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 2, rows
+    assert all(r["c"] % 100 == 0 for r in rows), rows
+
+
+def test_late_rows_older_than_watermark_are_dropped(spark):
+    """B40: a row arriving in a later micro-batch with event time older than
+    the advanced watermark must NOT update its (already-final) window, while
+    an on-time row in the same batch must land."""
+    import os
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="late-data-")
+    indir = f"{tmp}/in"
+    base = 1_700_000_400  # 10-minute-window aligned (epoch % 600 == 0)
+
+    def drop_file(rows):
+        spark.createDataFrame(rows, S.EVENTS_DDL).coalesce(1).write.mode("append").parquet(indir)
+
+    # batch 0: one event per minute for an hour -> watermark becomes
+    # max(event_ts) - 5 min = minute 54 once committed
+    drop_file([(i, (base + 60 * i) * 10**9, 1, "e", 1.0, "{}") for i in range(60)])
+    time.sleep(1.2)  # distinct mtime so the file source orders the drops
+    # batch 1: on-time filler — the watermark computed from batch 0 is
+    # COMMITTED after this batch, so batch 2's filter actually uses it
+    # (the watermark used to drop rows in batch N is the one finalized at
+    # the end of batch N-1)
+    drop_file([(500, (base + 55 * 60) * 10**9, 1, "e", 1.0, "{}")])
+    time.sleep(1.2)
+    # batch 2: one LATE row (minute 0, window end 10 < watermark 54) and one
+    # on-time row (minute 58, window end 60 > watermark)
+    drop_file([
+        (1000, (base + 30) * 10**9, 1, "e", 1.0, "{}"),
+        (1001, (base + 3500) * 10**9, 1, "e", 1.0, "{}"),
+    ])
+    assert len([f for f in os.listdir(indir) if f.startswith("part-")]) == 3
+
+    stream = S.read_events_stream(spark, indir, max_files_per_trigger=1)
+    agg = S.tumbling_counts(S.with_watermark(stream, "5 minutes"), "10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in q.recentProgress
+    )
+
+    got = (
+        spark.table("late_counts")
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(F.max("c").alias("c"))
+        .collect()
+    )
+    by_start = {int(r["ws"].timestamp()) - base: r["c"] for r in got}
+    assert by_start[0] == 10, f"late row was NOT dropped: {by_start}"
+    assert by_start[3000] == 12, f"on-time rows missing: {by_start}"
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
