@@ -1738,6 +1738,26 @@ def q58(spark, sf_dir):
     return R.validate_total_sort(ts, "key")
 
 
+# ---------------------------------------------------------------------------
+# SQL-text front door (reference examples/sql/run_benchmark.sh:158-159: the
+# benchmark driver consumes SQL TEXT over registered tables)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q73_sql_text_channels",
+    _Q48_SQL,
+    "SQL-text parity: the exact q48 SQL executed through spark.sql over"
+    " register_temp_views — proving the text front door produces the same"
+    " rows as the DataFrame formulation under the same DuckDB oracle (the"
+    " reference's benchmark driver consumes SQL text, not an API).",
+)
+def q73(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(_Q48_SQL)
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
