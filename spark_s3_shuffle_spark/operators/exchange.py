@@ -32,6 +32,7 @@ import os
 import time
 import uuid
 import zlib
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,13 @@ class ExchangeStats:
     read_secs: float = 0.0
     bytes_read: int = 0
     num_reads: int = 0
+    # task-level read metrics (A15 read side): aggregated from per-task
+    # input metrics by Spark's AppStatusListener, harvested per metered
+    # read window — see ExchangeManager.metered_read
+    task_input_bytes: int = 0
+    task_input_records: int = 0
+    task_read_millis: int = 0
+    metered_stages: int = 0
 
     def mib_per_sec(self) -> float:
         return (self.bytes_written / (1 << 20)) / self.write_secs if self.write_secs else 0.0
@@ -151,6 +159,59 @@ class ExchangeManager:
             st.read_secs += time.monotonic() - t0
             st.num_reads += 1
         return df
+
+    # -- task-level read metering (A15 read side) --------------------------
+    def _stage_list(self):
+        """All stages from the driver's AppStatusStore — the store Spark's
+        own AppStatusListener populates from per-task metric updates."""
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        return store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+
+    def _stage_input_metrics(self) -> dict[int, tuple[int, int, int]]:
+        """stageId -> (inputBytes, inputRecords, executorRunTimeMillis)."""
+        stages = self._stage_list()
+        out: dict[int, tuple[int, int, int]] = {}
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            out[int(s.stageId())] = (
+                int(s.inputBytes()), int(s.inputRecords()), int(s.executorRunTime()),
+            )
+        return out
+
+    @contextmanager
+    def metered_read(self, stage: str):
+        """Read an exchange with task-level read metering (the reference
+        meters each read stream's wall time in
+        S3BufferedPrefetchIterator.scala:155-186; the Spark-native analogue
+        is the per-task input metrics the AppStatusListener already
+        aggregates per stage).
+
+        Usage::
+
+            with mgr.metered_read("stage") as df:
+                df.agg(...).collect()      # any action(s)
+
+        On exit, input bytes/records and executor run time of every stage
+        that completed inside the window are added to the stage's
+        ExchangeStats (task_input_bytes / task_input_records /
+        task_read_millis). The window attributes ALL new stages to this
+        read — meter one exchange read at a time per driver."""
+        before = set(self._stage_input_metrics())
+        df = self.stage_read(stage)
+        yield df
+        st = self.stats[stage]
+        for sid, (ib, ir, rt) in self._stage_input_metrics().items():
+            if sid in before:
+                continue
+            st.task_input_bytes += ib
+            st.task_input_records += ir
+            st.task_read_millis += rt
+            st.metered_stages += 1
 
     # -- bucketed variant: co-located, shuffle-free downstream joins -------
     def stage_write_bucketed(

@@ -148,3 +148,23 @@ def test_metering(spark, mgr):
     assert st.write_secs > 0
     assert st.mib_per_sec() > 0
     assert mgr.stats["metered"] is st
+
+
+def test_metered_read_populates_task_metrics(spark, mgr):
+    """A15 read side: a metered read window must record task-level input
+    bytes/records and executor time from the status store."""
+    df = spark.range(50_000).withColumn("k", F.col("id") % 7).withColumn(
+        "payload", F.sha2(F.col("id").cast("string"), 256)
+    )
+    mgr.stage_write(df, "metered", keys=["k"], num_partitions=4)
+    with mgr.metered_read("metered") as back:
+        total = back.agg(F.sum("id")).first()[0]
+    assert total == 49_999 * 50_000 // 2
+    st = mgr.stats["metered"]
+    assert st.metered_stages >= 1
+    assert st.task_input_records == 50_000
+    assert st.task_input_bytes > 0
+    assert st.task_read_millis >= 0
+    # the coarse _du-based byte meter and the task-level meter agree on
+    # magnitude (same files read once)
+    assert st.task_input_bytes <= st.bytes_read * 2
