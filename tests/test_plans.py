@@ -127,3 +127,24 @@ def test_scan_count_uses_parquet_stats(spark, sf_dir):
     # count(*) over parquet should not read any data columns
     schemas = I.read_schema_columns(q01)
     assert all(len(s) == 0 for s in schemas), schemas
+
+
+def test_q60_q69_fact_joins_broadcast(spark, sf_dir):
+    """Composite suite scale invariant: dimension joins must be broadcast so
+    the fact table never shuffles for a join — shuffle volume stays bounded
+    by aggregate cardinality, not fact rows."""
+    q69 = QUERIES["q69_tpch_q5"].builder(spark, sf_dir)
+    plan69 = I.formatted_plan(q69)
+    # TPC-H Q5: customer/supplier/nation/region joins all broadcast; the
+    # only non-broadcast join may be the fact-fact lineitem⋈orders
+    assert plan69.count("BroadcastHashJoin") >= 4, plan69[:3000]
+
+    # q60 is joinless (single-fact agg → window): its shuffles must be the
+    # partial/final agg exchange + the window over the aggregated frame +
+    # the final sort — never more, and the window must carry a group limit
+    # so only top-k rows per channel survive the sort
+    q60 = QUERIES["q60_returns_rank"].builder(spark, sf_dir)
+    plan60 = I.formatted_plan(q60)
+    assert "SortMergeJoin" not in plan60 and "BroadcastHashJoin" not in plan60
+    assert I.count_exchanges(q60) <= 3, plan60[:3000]
+    assert "WindowGroupLimit" in plan60, plan60[:3000]
