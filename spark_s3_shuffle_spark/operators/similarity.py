@@ -60,38 +60,31 @@ def cosine_topk(
     )
 
 
-def kmeans_like_centroids(
-    vectors: DataFrame,
-    num_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    iterations: int = 2,
-) -> DataFrame:
-    """Deterministic centroid table for IVF: seed centroids from hash-sampled
-    rows (id hash mod num_cells == 0 pattern), then a couple of Lloyd
-    iterations as groupBy-average — all DataFrame ops, no MLlib dependency,
-    no driver collect. Returns (cell, centroid array<double>)."""
-    v = vectors.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
-    # deterministic seed assignment: cell = xxhash64(id) mod num_cells
-    assigned = v.withColumn("cell", F.pmod(F.xxhash64(F.col("_id")), F.lit(num_cells)).cast("int"))
-    for _ in range(iterations):
-        # per-cell mean vector via posexplode → (cell, pos) avg → re-assemble
-        centroids = (
-            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
-        )
-        bc = F.broadcast(centroids)
-        scored = v.crossJoin(bc).withColumn("cos", cosine(F.col("_v"), F.col("centroid")))
-        w_best = (
-            scored.groupBy("_id")
-            .agg(F.max(F.struct(F.col("cos"), F.col("cell"))).alias("best"))
-            .select("_id", F.col("best.cell").alias("cell"))
-        )
-        assigned = v.join(w_best, "_id")
+def _nearest_cell_udf(matrix, cells):
+    """pandas_udf assigning each vector to its max-cosine cell: one numpy
+    matmul per Arrow batch against the (num_cells, dim) centroid matrix (a
+    closure constant shipped once per executor). The per-pair higher-order-
+    function cosine measured ~10× slower — same lesson as the near-dup band
+    keys (dedup.py)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray(matrix, dtype=np.float64)
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    cell_ids = np.asarray(list(cells), dtype=np.int64)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(cell_ids[(Xn @ Mn.T).argmax(axis=1)])
+
+    return nearest
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """(cell, centroid) = per-cell mean vector via posexplode → (cell, pos)
+    avg → re-assemble. JVM-side, shuffle bounded by num_cells·dim rows."""
     return (
         assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
         .groupBy("cell", "pos")
@@ -100,6 +93,40 @@ def kmeans_like_centroids(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cell", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
     )
+
+
+def kmeans_like_centroids(
+    vectors: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic centroid table for IVF — Forgy seeding + Lloyd rounds.
+
+    Seeds are ``num_cells`` ACTUAL vectors (the hash-order-first rows — a
+    deterministic pseudo-random sample). Random-PARTITION seeding (cell =
+    hash(id) mod C, then average) collapses every centroid toward the
+    global mean on clustered data — the cells then carve noise, probes
+    can't prune, and IVF degenerates to a slower exact scan. Forgy keeps
+    seeds spread across the data's real modes.
+
+    Each Lloyd round collects the (num_cells × dim) centroid matrix to the
+    driver — O(C·d) floats, an offline build step — and re-assigns via one
+    numpy matmul per Arrow batch. Returns (cell, centroid array<double>).
+    """
+    v = vectors.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    seeds = v.orderBy(F.xxhash64(F.col("_id"), F.lit(5))).limit(num_cells).collect()
+    matrix = [r["_v"] for r in seeds]
+    cells = list(range(len(matrix)))
+    assigned = None
+    for _ in range(max(1, iterations)):
+        assigned = v.withColumn("cell", _nearest_cell_udf(matrix, cells)(F.col("_v")))
+        centroids = _cell_means(assigned)
+        rows = centroids.collect()  # O(num_cells) — offline build step
+        matrix = [r["centroid"] for r in rows]
+        cells = [r["cell"] for r in rows]
+    return _cell_means(assigned)
 
 
 @dataclass
@@ -144,25 +171,22 @@ def build_ivf_index(
     nearest cell, repartition by cell, and pin the result. This is the
     expensive part (two full scans + the Lloyd iterations) — it runs once
     per corpus version, amortized over every subsequent probe."""
+    import numpy as np
+
     centroids = kmeans_like_centroids(vectors, num_cells, id_col, vec_col, iterations)
+    crows = centroids.collect()  # O(num_cells) — offline build step
+    cells = [r["cell"] for r in crows]
+    matrix = np.array([r["centroid"] for r in crows], dtype=np.float64)
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    best = (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("cos_c", cosine(F.col("_v"), F.col("centroid")))
-        .groupBy(id_col)
-        .agg(F.max(F.struct("cos_c", "cell")).alias("best"))
-        .select(id_col, F.col("best.cell").alias("cell"))
+    # final assignment: same vectorized numpy-matmul path as the Lloyd
+    # rounds — one scan, no join, no per-pair HOF cosine
+    assignments = v.withColumn("cell", _nearest_cell_udf(matrix, cells)(F.col("_v"))).select(
+        id_col, "cell", "_v"
     )
-    assignments = v.join(best, id_col).select(id_col, "cell", "_v")
     if materialize:
         assignments = assignments.repartition("cell").persist()
         assignments.count()
         centroids = centroids.persist()
-    import numpy as np
-
-    crows = centroids.collect()  # O(num_cells) — offline build step
-    cells = [r["cell"] for r in crows]
-    matrix = np.array([r["centroid"] for r in crows], dtype=np.float64)
     return IVFIndex(assignments, centroids, id_col, num_cells, cells, matrix)
 
 

@@ -1,0 +1,236 @@
+"""10× scale proof-point for the ANN / near-dup tier (VERDICT r2 #9).
+
+Generates deterministic synthetic vector corpora up to 2M vectors (10× the
+200k corpus the round-2 IVF measurement used, 1000× the sf0.1 fixture),
+materializes them as parquet, and measures:
+
+  A. top-k similarity: exact brute-force cosine vs IVF probe (build cost
+     reported separately — the build runs once per corpus version and is
+     amortized over every probe), plus recall@10 of IVF vs exact.
+  B. near-dup pairs: brute-force all-pairs cosine (O(n²), timed only at
+     small n) vs banded sign-LSH (`embedding_near_dup_pairs`), with planted
+     twin pairs (one per 1000 ids) to verify recall while timing.
+
+Writes SCALE_r03.md at the repo root with the crossover tables.
+
+Usage: python tools/scale_proof.py [--quick]
+  --quick caps the corpus at 500k vectors (CI-sized run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.functions.vector import cosine
+from spark_s3_shuffle_spark.operators import dedup as D
+from spark_s3_shuffle_spark.operators import similarity as SIM
+from spark_s3_shuffle_spark.session import get_spark
+
+DIM = 32
+TWIN_EVERY = 1000
+SCRATCH = "/tmp/scale_proof"
+
+
+NUM_CLUSTERS = 256
+
+
+def gen_vectors(spark, n: int) -> str:
+    """Materialize n deterministic dim-32 vectors drawn from a mixture of
+    NUM_CLUSTERS hash-derived cluster centers plus per-id noise — the
+    clustered geometry real embedding corpora have (and the regime IVF is
+    built for; uniform random vectors have no neighbor structure at all).
+    Ids k*TWIN_EVERY and k*TWIN_EVERY+1 share a seed (planted twin pairs,
+    cos 1.0) so near-dup recall is checkable at any scale."""
+    path = f"{SCRATCH}/v{n}.parquet"
+    if os.path.exists(path):
+        return path
+    seed = F.when(
+        F.pmod(F.col("id"), F.lit(TWIN_EVERY)) == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    cluster = F.pmod(F.xxhash64(seed, F.lit(3)), F.lit(NUM_CLUSTERS))
+
+    def component(d):
+        center = (
+            F.pmod(F.xxhash64(cluster * F.lit(DIM) + d, F.lit(11)), F.lit(10_000))
+            / F.lit(5_000.0)
+            - F.lit(1.0)
+        )
+        noise = (
+            F.pmod(F.xxhash64(seed * F.lit(DIM) + d, F.lit(7)), F.lit(10_000))
+            / F.lit(5_000.0)
+            - F.lit(1.0)
+        )
+        return center + noise * F.lit(0.25)
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), component)
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn, repeats: int = 3) -> float:
+    fn()  # warmup: codegen/UDF JIT + cache fill land outside the measurement
+    ts = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+    return statistics.median(ts)
+
+
+def ann_section(spark, sizes: list[int]) -> list[dict]:
+    rows = []
+    for n in sizes:
+        path = gen_vectors(spark, n)
+        vectors = spark.read.parquet(path)
+        probe_vec = vectors.filter(F.col("vec_id") == n // 2).first()["embedding"]
+        probe_df = spark.createDataFrame(
+            [(list(probe_vec),)], "embedding array<double>"
+        )
+
+        exact_ids = [
+            r["vec_id"] for r in SIM.cosine_topk(vectors, probe_df, 10).collect()
+        ]
+        t_exact = timed(lambda: SIM.cosine_topk(vectors, probe_df, 10).collect())
+
+        t0 = time.monotonic()
+        index = SIM.build_ivf_index(vectors, num_cells=64, iterations=1)
+        t_build = time.monotonic() - t0
+        ivf_ids = [
+            r["vec_id"]
+            for r in SIM.ivf_probe_vector(index, probe_vec, 10, nprobe=8).collect()
+        ]
+        t_probe = timed(
+            lambda: SIM.ivf_probe_vector(index, probe_vec, 10, nprobe=8).collect()
+        )
+        index.unpersist()
+
+        recall = len(set(exact_ids) & set(ivf_ids)) / 10.0
+        rows.append(
+            {
+                "n": n,
+                "exact_s": round(t_exact, 3),
+                "ivf_probe_s": round(t_probe, 3),
+                "ivf_build_s": round(t_build, 1),
+                "speedup": round(t_exact / t_probe, 2) if t_probe else None,
+                "recall_at_10": recall,
+            }
+        )
+        print("ANN", rows[-1], flush=True)
+    return rows
+
+
+def allpairs_pairs(vectors, threshold: float = 0.999):
+    v = vectors.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("cos", cosine(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+    )
+
+
+def neardup_section(spark, allpairs_sizes: list[int], lsh_sizes: list[int]) -> dict:
+    ap_rows, lsh_rows = [], []
+    for n in allpairs_sizes:
+        path = gen_vectors(spark, n)
+        vectors = spark.read.parquet(path)
+        expected = len([k for k in range(0, n, TWIN_EVERY) if k + 1 < n])
+        t0 = time.monotonic()
+        got = allpairs_pairs(vectors).count()
+        el = time.monotonic() - t0
+        ap_rows.append({"n": n, "allpairs_s": round(el, 2), "pairs": got, "planted": expected})
+        print("ALLPAIRS", ap_rows[-1], flush=True)
+    for n in lsh_sizes:
+        path = gen_vectors(spark, n)
+        vectors = spark.read.parquet(path)
+        expected = len([k for k in range(0, n, TWIN_EVERY) if k + 1 < n])
+        t0 = time.monotonic()
+        pairs = D.embedding_near_dup_pairs(
+            vectors, threshold=0.999, num_planes=32, bands=4, dim=DIM
+        )
+        twins = (
+            pairs.filter(
+                (F.pmod(F.col("a"), F.lit(TWIN_EVERY)) == 0)
+                & (F.col("b") == F.col("a") + 1)
+            ).count()
+        )
+        el = time.monotonic() - t0
+        lsh_rows.append(
+            {"n": n, "lsh_s": round(el, 2), "planted_found": twins, "planted": expected}
+        )
+        print("LSH", lsh_rows[-1], flush=True)
+    return {"allpairs": ap_rows, "lsh": lsh_rows}
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    spark = get_spark("scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    ann_sizes = [200_000, 500_000] if quick else [200_000, 500_000, 1_000_000, 2_000_000]
+    ap_sizes = [2_000, 5_000, 10_000, 20_000]
+    lsh_sizes = [20_000, 100_000, 500_000] if quick else [20_000, 100_000, 500_000, 2_000_000]
+
+    ann = ann_section(spark, ann_sizes)
+    nd = neardup_section(spark, ap_sizes, lsh_sizes)
+
+    lines = [
+        "# SCALE_r03 — 10× scale proof for the ANN / near-dup tier",
+        "",
+        f"Deterministic synthetic corpora (dim {DIM}, planted twin pair per"
+        f" {TWIN_EVERY} ids), local[32], generated+measured by"
+        " `tools/scale_proof.py`.",
+        "",
+        "## A. Top-k similarity: exact vs IVF probe",
+        "",
+        "The build runs once per corpus version (offline, amortized);"
+        " probes are the serving path. nprobe=8 of 64 cells.",
+        "",
+        "| vectors | exact (s) | IVF probe (s) | speedup | IVF build (s) | recall@10 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in ann:
+        lines.append(
+            f"| {r['n']:,} | {r['exact_s']} | {r['ivf_probe_s']} |"
+            f" {r['speedup']}× | {r['ivf_build_s']} | {r['recall_at_10']} |"
+        )
+    lines += [
+        "",
+        "## B. Near-dup pairs: all-pairs vs banded sign-LSH",
+        "",
+        "All-pairs is O(n²) and only measurable at small n; LSH holds the"
+        " planted-twin recall while scaling linearly in candidates.",
+        "",
+        "| vectors | all-pairs (s) | LSH (s) | planted found |",
+        "|---|---|---|---|",
+    ]
+    ap = {r["n"]: r for r in nd["allpairs"]}
+    lsh = {r["n"]: r for r in nd["lsh"]}
+    for n in sorted(set(ap) | set(lsh)):
+        a = ap.get(n)
+        b = lsh.get(n)
+        lines.append(
+            f"| {n:,} | {a['allpairs_s'] if a else '—'} |"
+            f" {b['lsh_s'] if b else '—'} |"
+            f" {(str(b['planted_found']) + '/' + str(b['planted'])) if b else (str(a['pairs']) + ' pairs')} |"
+        )
+    lines += ["", "Raw JSON:", "", "```json", json.dumps({"ann": ann, **nd}), "```", ""]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r03.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
