@@ -1738,6 +1738,35 @@ def q58(spark, sf_dir):
     return R.validate_total_sort(ts, "key")
 
 
+@_register(
+    "q74_salted_topk_per_group",
+    """SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk FROM (
+         SELECT o_custkey, o_orderkey,
+                RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
+    "Skew-safe per-group top-k: two-pass salted rank (partial top-k on"
+    " (key, salt), final over the ≤ salt·k survivors) — exact same rows as"
+    " the single-window q18 formulation under the same oracle, but each hot"
+    " key spreads over `salt` tasks instead of one (AQE cannot split a"
+    " skewed window partition).",
+)
+def q74(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import skew as SK
+
+    o = _t(spark, sf_dir, "orders")
+    topk = SK.salted_top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+        salt=8,
+    )
+    return (
+        topk.select("o_custkey", "o_orderkey", F.col("rk").cast("int").alias("rk"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text front door (reference examples/sql/run_benchmark.sh:158-159: the
 # benchmark driver consumes SQL TEXT over registered tables)
