@@ -155,9 +155,13 @@ def neardup_section(spark, allpairs_sizes: list[int], lsh_sizes: list[int]) -> d
         path = gen_vectors(spark, n)
         vectors = spark.read.parquet(path)
         expected = len([k for k in range(0, n, TWIN_EVERY) if k + 1 < n])
+        # the bucket count scales with the plane budget (dedup.py docstring):
+        # hold expected bucket occupancy ≈ n / 2^(planes/bands) under the
+        # 10k cap by adding planes as the corpus grows
+        num_planes = 32 if n <= 500_000 else 48
         t0 = time.monotonic()
         pairs = D.embedding_near_dup_pairs(
-            vectors, threshold=0.999, num_planes=32, bands=4, dim=DIM
+            vectors, threshold=0.999, num_planes=num_planes, bands=4, dim=DIM
         )
         twins = (
             pairs.filter(
@@ -167,7 +171,13 @@ def neardup_section(spark, allpairs_sizes: list[int], lsh_sizes: list[int]) -> d
         )
         el = time.monotonic() - t0
         lsh_rows.append(
-            {"n": n, "lsh_s": round(el, 2), "planted_found": twins, "planted": expected}
+            {
+                "n": n,
+                "lsh_s": round(el, 2),
+                "planted_found": twins,
+                "planted": expected,
+                "num_planes": num_planes,
+            }
         )
         print("LSH", lsh_rows[-1], flush=True)
     return {"allpairs": ap_rows, "lsh": lsh_rows}
