@@ -57,6 +57,37 @@ def session_counts(df: DataFrame, gap: str = "5 minutes", key: str = "user_id", 
     return df.groupBy(F.session_window(ts_col, gap).alias("w"), key).agg(F.count(F.lit(1)).alias("c"))
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "event_ts",
+    within: str = "10 minutes",
+    left_watermark: str = "20 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side events within
+    ``within`` AFTER the left event, per ``key``.
+
+    Both sides carry a watermark and the join condition bounds event time on
+    both ends — the two requirements that let Spark evict join state (an
+    unbounded stream-stream join buffers both streams forever). State per
+    side is bounded by (watermark + interval) of data, independent of total
+    stream length — the property that keeps this runnable on an unbounded
+    100 TB/day stream. The right watermark must cover the left's delay plus
+    the join interval, or matches near the horizon are dropped.
+    """
+    l = left.withWatermark(ts_col, left_watermark).alias("l")
+    r = right.withWatermark(ts_col, right_watermark).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def dedup_stream(df: DataFrame, keys: list[str], within_watermark: bool = True) -> DataFrame:
     """B41 stateful dedup. With ``within_watermark`` state is bounded by the
     watermark horizon (requires a watermark upstream); batch equivalent is

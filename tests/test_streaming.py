@@ -287,3 +287,45 @@ def test_late_rows_older_than_watermark_are_dropped(spark):
     assert by_start[0] == 10, f"late row was NOT dropped: {by_start}"
     assert by_start[3000] == 12, f"on-time rows missing: {by_start}"
     assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_drop_dir):
+    """Watermarked stream-stream join (view → click within 10 min per user)
+    must reproduce the batch interval-join rows; only matches the final
+    watermark withheld may be missing."""
+    src = f"{events_drop_dir}/in"
+    views = S.read_events_stream(spark, src).filter(F.col("event_type") == "view")
+    clicks = S.read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    joined = S.stream_stream_interval_join(views, clicks).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    out = f"{events_drop_dir}/out_ssj"
+    ckpt = f"{events_drop_dir}/ckpt_ssj"
+    S.run_stream_to_completion(S.parquet_sink(joined, out, ckpt), timeout_secs=180)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    bviews = ev.filter(F.col("event_type") == "view").alias("l")
+    bclicks = ev.filter(F.col("event_type") == "click").alias("r")
+    expected = {
+        tuple(r)
+        for r in bviews.join(
+            bclicks,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.event_ts") >= F.col("l.event_ts"))
+            & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got <= expected, f"{len(got - expected)} spurious rows"
+    missing = expected - got
+    assert len(missing) <= max(5, len(expected) // 20), f"{len(missing)}/{len(expected)} missing"
