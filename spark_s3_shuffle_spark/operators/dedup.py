@@ -544,3 +544,93 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    iterations: int = 2,
+    probes: int = 2,
+    max_cell_size: int | None = 50_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster embeddings with the
+    IVF coarse quantizer, then verify exact cosine ONLY within a cluster
+    (the published SemDeDup recipe — near-dups land in the same semantic
+    cluster, so cross-cluster pairs never need to be considered).
+
+    ``probes`` soft-assigns each vector to its top-p nearest cells (p=2
+    default): a near-dup pair that straddles a cell BOUNDARY has, by
+    construction, near-equal cosine to both adjacent centroids, so the two
+    vectors share their top-2 cell sets and the pair is still found —
+    single-assignment SemDeDup measurably loses boundary twins (one of the
+    five planted q81 pairs at sf0.1). Candidates are distinct'd before the
+    exact-cosine verify, so overlap never double-counts a pair.
+
+    Complements the sign-LSH route (``embedding_near_dup_pairs``): LSH
+    bounds pair work by random-hyperplane buckets (recall controlled by
+    the plane budget), this bounds it by learned k-means cells (recall
+    controlled by cluster granularity vs dup distance). At 100 TB the
+    cluster assignment is one scan + numpy-matmul pandas_udf against a
+    broadcast (num_cells × dim) centroid matrix; the within-cell self-join
+    shuffles on the cell key only, and ``max_cell_size`` drops degenerate
+    mega-cells (quadratic blow-up guard, same policy as the LSH bucket
+    cap). Centroid fitting is an offline O(num_cells · dim) build step —
+    amortized per corpus version like the IVF index build.
+
+    Returns (a, b, cos) with a < b and cos ≥ threshold, cosines rounded
+    to 4 decimals.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_s3_shuffle_spark.operators.similarity import kmeans_like_centroids
+
+    cents = kmeans_like_centroids(
+        df, num_cells=num_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
+    )
+    rows = cents.collect()  # O(num_cells) — offline build step
+    M = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    cell_ids = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+    p = min(max(1, probes), len(cell_ids))
+
+    @pandas_udf("array<long>")
+    def topp_cells(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        sims = Xn @ Mn.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series(list(cell_ids[top]))
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    assigned = base.select("_id", F.explode(topp_cells(F.col("_v"))).alias("cell"))
+    if max_cell_size:
+        ok = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") <= max_cell_size)
+            .select("cell")
+        )
+        assigned = assigned.join(ok, "cell", "left_semi")
+    left, right = assigned.alias("l"), assigned.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.cell") == F.col("r.cell")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

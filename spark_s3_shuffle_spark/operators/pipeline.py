@@ -1,0 +1,225 @@
+"""Training-data pipeline operators (north-star tier, SURVEY §2.2 B47-B50
+extensions): repetition signals, PII redaction, deterministic hash
+sampling, TF-IDF term ranking, and inverted-index construction.
+
+Everything here is built for the 100 TB regime:
+
+- Per-document signals (repetition, PII, sampling) are pure Column
+  expressions — one scan, zero shuffle, whole-stage codegen.
+- Corpus-level structures (TF-IDF, inverted index) shuffle on bounded
+  keys (vocabulary / (doc, term) pairs after in-doc aggregation), never
+  on raw text, and posting lists are capped *before* any collect_list so
+  aggregation buffers stay bounded regardless of term skew.
+
+The repetition heuristics follow the published Gopher repetition-removal
+rules (duplicate-word fraction, most-frequent-n-gram character share);
+the reference engine's own corpus tooling stops at TPC-DS, so these are
+additive capability, mirrored 1:1 by DuckDB oracles in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.operators.text import tokens
+
+
+def _bigrams(toks: Column) -> Column:
+    """Word bigrams via two offset slices + zip_with (codegen; no explode).
+    Empty array for docs with <2 tokens — matching the oracle's
+    ``range(1, len(words))`` formulation."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e. the
+    max element frequency — computed with one ``aggregate`` fold over the
+    row's own array. O(m log m) per row (the sort), ZERO shuffle: the
+    alternative explode → groupBy(doc, gram) → max ships one row per
+    (doc, distinct gram) through an exchange, which at corpus scale is a
+    shuffle the size of the corpus itself."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(sorted_arr), zero, step, lambda acc: acc["best"])
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition-removal signals per document:
+
+    - ``dup_word_frac``: 1 − distinct_words / words (share of repeated
+      word occurrences),
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (the "fraction of text inside the top n-gram"
+      rule),
+    - ``rep_ok``: the conjunction under the published-style thresholds.
+
+    One scan, zero shuffle: the per-doc max-frequency is a sorted-array
+    run-length fold (see ``_max_run_length``), not an explode/groupBy.
+    """
+    toks = tokens(F.col(text_col))
+    grams = _bigrams(toks)
+    stats = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+        F.size(grams).alias("_m"),
+        _max_run_length(grams).alias("_maxc"),
+    )
+    n, nd, m, maxc = F.col("_n"), F.col("_nd"), F.col("_m"), F.col("_maxc")
+    dup_frac = F.when(n > 0, 1 - nd / n).otherwise(F.lit(0.0))
+    top_gram = F.when(m > 0, maxc / m).otherwise(F.lit(0.0))
+    # rep_ok counts only EXCESS occurrences of the top bigram ((maxc-1)/m):
+    # a short dup-free doc has top_gram = 1/m by pigeonhole, which must not
+    # trip a repetition filter.
+    excess = F.when(m > 0, (maxc - 1) / m).otherwise(F.lit(0.0))
+    return stats.select(
+        F.col(id_col),
+        F.round(dup_frac, 4).alias("dup_word_frac"),
+        F.round(top_gram, 4).alias("top_bigram_frac"),
+        ((dup_frac <= 0.75) & (excess <= 0.2)).alias("rep_ok"),
+    )
+
+
+#: Redaction patterns — deliberately simple character classes valid in both
+#: Java regex (Spark) and RE2 (DuckDB oracle), so both engines find the
+#: exact same spans.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact email addresses and phone-shaped digit groups, returning the
+    cleaned text plus per-document redaction counts. Pure Column regex —
+    one scan, zero shuffle, no Python boundary. Real deployments extend
+    the pattern list (SSNs, credit cards, street addresses); the plumbing
+    — count-then-replace in one projection — is the scale-relevant part.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    cleaned = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(cleaned, F.lit(PHONE_RE), 0))
+    cleaned = F.regexp_replace(cleaned, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        cleaned.alias("clean_text"),
+    )
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic [0, 100) bucket from the md5 of a key — the portable
+    sampling primitive (md5 is bit-identical across engines, unlike
+    xxhash64/DuckDB ``hash()``). Content-addressed, so the same row keeps
+    the same fate across reruns, retries, and engine versions — the
+    property that makes sampled pipelines reproducible."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % 100).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose ``hash_bucket(key) < pct`` — a deterministic ~pct%
+    sample with zero shuffle and zero RNG state. Unlike ``df.sample()``,
+    the selection is stable under retries and partition re-splits (it
+    depends only on row content), which is what a reproducible training
+    mixture needs."""
+    if not 0 <= pct <= 100:
+        raise ValueError("pct must be in [0, 100]")
+    return df.filter(hash_bucket(F.col(key_col), salt) < pct)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    Shuffle shape at scale: the raw explode aggregates to (doc, term, tf)
+    rows — bounded by per-doc distinct terms, not token count — then the
+    document-frequency side is a vocabulary-bound aggregate joined back on
+    the term key. N arrives via a broadcast 1-row aggregate, never a
+    driver action. The final per-doc top-k is one window over the already
+    doc-partitioned tf rows.
+    """
+    base = df.select(F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = base.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Build a capped inverted index: per term, the document frequency and
+    the first ``max_postings`` doc ids (ascending) as a CSV string.
+
+    The cap is applied with a row_number window BEFORE collect_list, so
+    the aggregation buffer per term is ≤ max_postings ids even for a term
+    that appears in every document — an uncapped collect_list on a
+    stopword at 100 TB is an OOM by construction. df counts come from the
+    full (term, doc) set, so the cap never changes the statistics.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("_doc")
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= max_postings)
+    postings = top.groupBy("term").agg(
+        F.concat_ws(",", F.transform(F.sort_array(F.collect_list("_doc")), lambda d: d.cast("string"))).alias(
+            "postings_csv"
+        )
+    )
+    return (
+        dfreq.filter(F.col("df") >= min_df)
+        .join(postings, "term")
+        .select("term", "df", "postings_csv")
+    )

@@ -27,6 +27,7 @@ from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators import dedup as D
 from spark_s3_shuffle_spark.operators import grouped as G
 from spark_s3_shuffle_spark.operators import multimodal as MM
+from spark_s3_shuffle_spark.operators import pipeline as PL
 from spark_s3_shuffle_spark.operators import relational as R
 from spark_s3_shuffle_spark.operators import similarity as SIM
 from spark_s3_shuffle_spark.operators import text as T
@@ -1785,6 +1786,241 @@ def q73(spark, sf_dir):
 
     register_temp_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return spark.sql(_Q48_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline tier II (north-star): repetition signals, PII redaction,
+# deterministic sampling, corpus cleanup composite, TF-IDF, inverted index,
+# SemDeDup-style semantic dedup. All oracle-checked.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q75_repetition_signals",
+    r"""WITH g AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+                list_transform(range(1, len(list_filter(string_split(lower(text), ' '), x -> x <> ''))),
+                    i -> list_filter(string_split(lower(text), ' '), x -> x <> '')[i] || ' ' ||
+                         list_filter(string_split(lower(text), ' '), x -> x <> '')[i+1]) AS grams
+         FROM documents),
+       gx AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM gx GROUP BY doc_id, gram),
+       mx AS (SELECT doc_id, MAX(c) AS maxc FROM gc GROUP BY doc_id)
+       SELECT g.doc_id,
+              ROUND(CASE WHEN len(words) > 0 THEN 1 - len(list_distinct(words))*1.0/len(words) ELSE 0 END, 4) AS dup_word_frac,
+              ROUND(CASE WHEN len(grams) > 0 THEN COALESCE(mx.maxc, 0)*1.0/len(grams) ELSE 0 END, 4) AS top_bigram_frac,
+              ((CASE WHEN len(words) > 0 THEN 1 - len(list_distinct(words))*1.0/len(words) ELSE 0 END) <= 0.75
+               AND (CASE WHEN len(grams) > 0 THEN (COALESCE(mx.maxc, 1) - 1)*1.0/len(grams) ELSE 0 END) <= 0.2) AS rep_ok
+       FROM g LEFT JOIN mx USING (doc_id) ORDER BY doc_id""",
+    "Gopher repetition-removal signals: duplicate-word fraction +"
+    " most-frequent-bigram share, per document. The Spark side computes the"
+    " max bigram frequency as a sorted-array run-length fold INSIDE the row"
+    " (zero shuffle; the oracle's explode→groupBy formulation would ship a"
+    " corpus-sized exchange at 100 TB).",
+)
+def q75(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return PL.repetition_signals(d).orderBy("doc_id")
+
+
+@_register(
+    "q76_pii_redaction",
+    r"""WITH p AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE text END AS t1
+         FROM documents),
+       p2 AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 11 = 3
+                     THEN t1 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE t1 END AS t2
+         FROM p),
+       r AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+                regexp_replace(t2, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g') AS c1
+         FROM p2)
+       SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(c1, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(c1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+       FROM r ORDER BY doc_id""",
+    "PII redaction (emails + phone-shaped digits): count-then-replace in one"
+    " projection, pure Column regex. The fixture has no PII, so the query"
+    " plants deterministic emails/phones on a doc_id-keyed subset; the"
+    " oracle plants identically and checks the md5 of the redacted text —"
+    " byte-exact redaction, not just counts.",
+)
+def q76(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(t, F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(t),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = PL.pii_redact(planted)
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q77_hash_sample",
+    """SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM documents
+       WHERE CAST(concat('0x', substring(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 5
+       GROUP BY lang ORDER BY lang""",
+    "Deterministic ~5% sample via md5 bucketing (portable across engines,"
+    " unlike xxhash64/DuckDB hash()): selection depends only on row content,"
+    " so it is stable under retries, partition re-splits, and reruns — the"
+    " reproducibility property df.sample() lacks. Zero shuffle until the"
+    " tiny per-lang aggregate.",
+)
+def q77(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = PL.hash_sample(d, "doc_id", 5, salt="s")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q78_cleanup_pipeline",
+    r"""WITH base AS (SELECT * FROM documents WHERE source NOT IN ('src1', 'src7')),
+       w AS (SELECT doc_id, lang, text,
+                    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+             FROM base),
+       q AS (
+         SELECT * FROM w
+         WHERE len(words) BETWEEN 10 AND 100000
+           AND (list_aggregate(list_transform(words, x -> len(x)), 'sum') * 1.0 / len(words)) BETWEEN 2 AND 12
+           AND ((len(text) - len(regexp_replace(text, '[#…]|\.\.\.', '', 'g'))) * 1.0 / len(text)) <= 0.1
+           AND list_has_any(words, ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'])),
+       dd AS (SELECT * FROM q
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+       SELECT lang, COUNT(*) AS n_docs, SUM(len(words)) AS sum_tokens
+       FROM dd GROUP BY lang ORDER BY lang""",
+    "Flagship corpus-cleanup composite — the standard pre-training sequence"
+    " in ONE query: source blocklist (broadcast anti-join) → Gopher quality"
+    " gate (one scan, codegen) → exact dedup keyed by content digest (keep"
+    " min doc_id; 32-byte digests shuffle, never payloads) → per-language"
+    " token accounting. The fact table never shuffles until the digest"
+    " dedup, and that exchange is bounded by distinct-content count.",
+)
+def q78(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame([("src1",), ("src7",)], ["source"])
+    base = d.join(F.broadcast(blocked), "source", "left_anti")
+    q = T.gopher_quality_flags(base).filter(F.col("quality_pass"))
+    dd = D.drop_exact_dups(q, ["text"], "doc_id")
+    return (
+        dd.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q79_tfidf_topterms",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+                     FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+       dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT COUNT(*) AS nn FROM documents),
+       s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                    tf.tf * LN((nn + 1.0) / (dfq.df + 1.0)) AS tfidf
+             FROM tf JOIN dfq USING (term) CROSS JOIN n)
+       SELECT doc_id, term, tf, df, ROUND(tfidf, 4) AS tfidf
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
+       WHERE rn <= 3 ORDER BY doc_id, term""",
+    "Top-3 TF-IDF terms per document. Scale shape: explode aggregates to"
+    " (doc, term, tf) map-side before any exchange; document frequency is a"
+    " vocabulary-bound aggregate joined back on the term key; N arrives via"
+    " a broadcast 1-row aggregate (never a driver action); the per-doc"
+    " top-k is one window over already-doc-keyed rows.",
+)
+def q79(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return PL.tfidf_top_terms(d, k=3).orderBy("doc_id", "term")
+
+
+@_register(
+    "q80_inverted_index",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+                     FROM documents),
+       p AS (SELECT DISTINCT term, doc_id FROM toks),
+       dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+       top AS (SELECT term, doc_id
+               FROM (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM p)
+               WHERE rn <= 10),
+       post AS (SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
+                FROM top GROUP BY term)
+       SELECT dfq.term, dfq.df, post.postings_csv
+       FROM dfq JOIN post USING (term) ORDER BY term""",
+    "Capped inverted index: per term, document frequency + first-10 posting"
+    " list (CSV string for engine-portable comparison). The cap is applied"
+    " with a row_number window BEFORE collect_list, so the aggregation"
+    " buffer per term is ≤ 10 ids even for a stopword that appears in every"
+    " document — the uncapped formulation is an OOM at corpus scale; df"
+    " counts come from the full (term, doc) set so the cap never changes"
+    " the statistics.",
+)
+def q80(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return PL.inverted_index(d, max_postings=10, min_df=1).orderBy("term")
+
+
+@_register(
+    "q81_semantic_dedup",
+    """SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b,
+              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                    CAST(list_transform(embedding,
+                         (x, i) -> CAST(x + 0.001 * (((i - 1) % 3) - 1) AS FLOAT)) AS DOUBLE[])), 4) AS cos
+       FROM embeddings WHERE vec_id < 5 ORDER BY a, b""",
+    "SemDeDup-style semantic near-dup: k-means cells (the IVF coarse"
+    " quantizer) bound the pairwise cosine verification to within-cluster"
+    " pairs — the published SemDeDup recipe, complementing the sign-LSH"
+    " route (q45) with a learned partitioning. Same planted-twin oracle as"
+    " q45: exact recall of the five perturbed twins, zero false positives.",
+)
+def q81(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: (x + 0.001 * ((i % 3) - 1)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return D.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, num_cells=8
+    ).orderBy("a", "b")
 
 
 #: Explicit registry ordering. The driver's correctness harness samples the

@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     "q34b_ivf_topk",
     "q34c_lsh_topk",
     "q63_quality_percentile_filter",  # 1-row percentile-bounds broadcast
+    "q79_tfidf_topterms",  # 1-row corpus-count (N) broadcast into the idf expr
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
