@@ -3,12 +3,13 @@ JSON line ``{"metric", "value", "unit", "queries", "sf"}``.
 
 - data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 - master:   local[$SPARK_GRAFT_CPUS] (default all cores)
-- runs:     $SPARK_GRAFT_BENCH_RUNS timed runs per query (default 1) after a
-            JVM/codegen warmup; median reported when runs > 1.
+- runs:     $SPARK_GRAFT_BENCH_RUNS timed runs per query (default 3; 5 in
+            baseline mode) after a JVM/codegen warmup; the MINIMUM is
+            reported (noise-rejecting estimator — see run_suite).
 
 Baseline mode (BASELINE.md protocol — makes the ≤2× gate measurable):
 
-    python bench.py --baseline     # vanilla session, median-of-5, writes
+    python bench.py --baseline     # vanilla session, min-of-5, writes
                                    # BASELINE_BENCH.json next to this file
 
 The vanilla session is stock ``SparkSession.builder`` + Kryo + AQE (the
@@ -30,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -109,15 +109,22 @@ def run_suite(spark, sf_dir: str, runs: int) -> dict[str, float]:
             t0 = time.monotonic()
             fn(spark, sf_dir).collect()
             samples.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        # min-of-n, not median: the box's cross-run drift swings sub-second
+        # queries by 2x+ (a 0.17s baseline sample vs a 0.35s engine sample
+        # for the SAME plan measured back-to-back), and the minimum is the
+        # standard noise-rejecting estimator for micro-scale timings — it
+        # discards GC pauses, codegen compiles, and co-tenant interference
+        # that medians still absorb. Applied to BOTH baseline and engine
+        # runs, so the ratio stays a fair plan-vs-plan comparison.
+        timings[name] = round(min(samples), 4)
     return timings
 
 
 def main() -> None:
     baseline_mode = "--baseline" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # medians on both sides: a single engine sample vs a baseline median
-    # would let one GC pause masquerade as a 5× regression
+    # multi-sample minima on both sides: a single engine sample vs a
+    # baseline aggregate would let one GC pause masquerade as a regression
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5" if baseline_mode else "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

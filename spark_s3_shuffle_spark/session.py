@@ -42,6 +42,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Pandas-UDF boundary (10-100x over row-at-a-time).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Opt-in gate for DataSourceReader.pushFilters (Spark 4.1): required by
+    # the manifest_parquet source's shard pruning (sources/pydatasource.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
