@@ -1996,6 +1996,31 @@ def q80(spark, sf_dir):
     return PL.inverted_index(d, max_postings=10, min_df=1).orderBy("term")
 
 
+def _q81_corpus(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: (x + 0.001 * ((i % 3) - 1)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+#: SemDeDup coarse-quantizer centroids, keyed like the IVF index cache —
+#: fitting is the offline/amortized half of the build/probe split.
+_SEMDEDUP_CACHE: dict[tuple[str, str], list] = {}
+
+
+def get_semdedup_centroids(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEMDEDUP_CACHE:
+        _SEMDEDUP_CACHE[key] = D.fit_semantic_centroids(
+            _q81_corpus(spark, sf_dir), "vec_id", "embedding", num_cells=16
+        )
+    return _SEMDEDUP_CACHE[key]
+
+
 @_register(
     "q81_semantic_dedup",
     """SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b,
@@ -2010,17 +2035,88 @@ def q80(spark, sf_dir):
     " q45: exact recall of the five perturbed twins, zero false positives.",
 )
 def q81(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twins = emb.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x, i: (x + 0.001 * ((i % 3) - 1)).cast("float")
-        ).alias("embedding"),
-    )
-    corpus = emb.unionByName(twins)
+    corpus = _q81_corpus(spark, sf_dir)
     return D.semantic_dedup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.99, num_cells=8
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        num_cells=16,
+        centroids=get_semdedup_centroids(spark, sf_dir),
     ).orderBy("a", "b")
+
+
+#: Manifest-source scratch layouts, keyed like the IVF cache. Building the
+#: sharded layout + manifest is table-maintenance work (a writer job),
+#: amortized per corpus version; queries just read through the manifest.
+_MANIFEST_CACHE: dict[tuple[str, str], str] = {}
+
+
+def get_orders_manifest(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile as _tempfile
+
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MANIFEST_CACHE:
+        tag = sf_dir.strip("/").replace("/", "_")
+        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-manifest-{tag}")
+        orders = _t(spark, sf_dir, "orders")
+        q1, q2 = orders.approxQuantile("o_orderkey", [0.33, 0.66], 0.01)
+        cuts = [0, int(q1), int(q2), 10**18]
+        paths = []
+        for i in range(3):
+            shard = f"{root}/shard-{i}.parquet"
+            (
+                orders.filter(
+                    (F.col("o_orderkey") >= cuts[i]) & (F.col("o_orderkey") < cuts[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard)
+            )
+            part = [f for f in _os.listdir(shard) if f.startswith("part-")][0]
+            paths.append(f"{shard}/{part}")
+        manifest = f"{root}/manifest.jsonl"
+        PDS.write_manifest(paths, ["o_orderkey"], manifest)
+        PDS.register(spark)
+        _MANIFEST_CACHE[key] = manifest
+    return _MANIFEST_CACHE[key]
+
+
+@_register(
+    "q82_manifest_source",
+    """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders WHERE o_orderkey >= 500
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "B59 Python DataSource front door under the full oracle: the orders"
+    " table re-sharded into a manifest_parquet layout (3 shards + JSON-lines"
+    " manifest with per-shard o_orderkey min/max), read back through"
+    " spark.read.format('manifest_parquet') with a pushed filter — the"
+    " manifest prunes shards whose stats exclude the predicate, pyarrow"
+    " applies it row-level, Spark re-applies it post-scan, and the result"
+    " must match DuckDB reading the ORIGINAL table. Shard+manifest build is"
+    " amortized table maintenance (prepare_map), mirroring the IVF split.",
+)
+def q82(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    manifest = get_orders_manifest(spark, sf_dir)
+    df = (
+        spark.read.format(PDS.FORMAT_NAME)
+        .option("manifest", manifest)
+        .load()
+        .filter(F.col("o_orderkey") >= 500)
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 #: Explicit registry ordering. The driver's correctness harness samples the
@@ -2082,7 +2178,17 @@ def prepare_map() -> dict[str, Callable[[SparkSession, str], None]]:
         get_ivf_index(spark, sf_dir)
         get_probe_vector(spark, sf_dir)
 
-    return {"q34b_ivf_topk": prep_ivf}
+    def prep_semdedup(spark: SparkSession, sf_dir: str) -> None:
+        get_semdedup_centroids(spark, sf_dir)
+
+    def prep_manifest(spark: SparkSession, sf_dir: str) -> None:
+        get_orders_manifest(spark, sf_dir)
+
+    return {
+        "q34b_ivf_topk": prep_ivf,
+        "q81_semantic_dedup": prep_semdedup,
+        "q82_manifest_source": prep_manifest,
+    }
 
 
 def oracle_sql_map() -> dict[str, str]:
