@@ -223,3 +223,56 @@ def inverted_index(
         .join(postings, "term")
         .select("term", "df", "postings_csv")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mixture builder
+    ("keep 10% of en, 50% of de, all of fr"). Same md5-bucket selection as
+    ``hash_sample`` (content-addressed, retry/partition-invariant), with
+    the rate chosen per stratum by a CASE chain; one scan, zero shuffle,
+    zero RNG state. Rates are integer percents in [0, 100]."""
+    for stratum, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 100]")
+    rate = F.lit(default_pct)
+    for stratum, pct in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key_col), salt) < rate)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    out: str = "batch_id",
+) -> DataFrame:
+    """Assign rows (chunks) to fixed-token-budget batches by running-offset
+    division: batch = floor(offset / budget) where offset is the running
+    token sum BEFORE the row — the deterministic sequence-packing step
+    between chunking and batch serialization.
+
+    Scale shape: the running sum is one window. With ``partition_cols``
+    (recommended: shard/language/date keys) each partition packs
+    independently — embarrassingly parallel, which is how a 100 TB corpus
+    packs in practice. WITHOUT partition_cols the window is a single
+    total order (one task holds the sort tail) — correct, but only for
+    corpus slices that fit a task; the operator exists for both because
+    the oracle needs the deterministic global form.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(token_col).over(w)
+    offset = cum - F.col(token_col)
+    return df.withColumn(out, F.floor(offset / F.lit(budget)).cast("long"))

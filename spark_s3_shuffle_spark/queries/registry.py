@@ -2046,6 +2046,133 @@ def q81(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+@_register(
+    "q83_scd2_history",
+    """WITH ordered AS (
+         SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       changes AS (
+         SELECT user_id, sec, event_id, event_type FROM ordered
+         WHERE prev_type IS NULL OR event_type <> prev_type),
+       hist AS (
+         SELECT user_id, event_type,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS INT) AS version,
+                sec AS valid_from,
+                LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+         FROM changes)
+       SELECT user_id, version, event_type, valid_from, valid_to,
+              (valid_to IS NULL) AS is_current
+       FROM hist ORDER BY user_id, version LIMIT 2000""",
+    "SCD2 (type-2 slowly-changing dimension) build from a changelog: dedupe"
+    " consecutive repeats with lag, then version + [valid_from, valid_to)"
+    " intervals via row_number/lead — the standard warehouse dimension-"
+    " maintenance pattern over the events stream. One exchange on user_id"
+    " serves the change-detection AND interval windows (same sort order);"
+    " at 100 TB the changelog shuffles once, keyed by the dimension's"
+    " natural key.",
+)
+def q83(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts") / F.lit(1e9)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", sec.alias("sec"), "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    w2 = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    hist = marked.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).alias("version"),
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w2).alias("valid_to"),
+    )
+    return (
+        hist.select(
+            "user_id", "version", "event_type", "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+        .limit(2000)
+    )
+
+
+@_register(
+    "q84_stratified_sample",
+    """SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM documents
+       WHERE CAST(concat('0x', substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+             < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 100 ELSE 0 END)
+       GROUP BY lang ORDER BY lang""",
+    "Training-mixture builder: per-stratum deterministic sampling (keep 10%"
+    " of en, 50% of de, all of fr, drop the rest) via the md5-bucket"
+    " primitive with a CASE-chosen rate — content-addressed selection,"
+    " stable under retries/re-partitioning, zero RNG state, one scan.",
+)
+def q84(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = PL.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 10, "de": 50, "fr": 100}, default_pct=0, salt="mix"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q85_token_packing",
+    """WITH w AS (SELECT doc_id, lang,
+                         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+                  FROM documents),
+       chunks AS (
+         SELECT doc_id, lang, i - 1 AS chunk_id,
+                LEAST(64, len(words) - (i - 1) * 56) AS n_tokens
+         FROM w, UNNEST(range(1, GREATEST(CAST(CEIL((len(words) - 8) / 56.0) AS BIGINT), 1) + 1)) AS t(i)),
+       packed AS (
+         SELECT lang, doc_id, chunk_id, n_tokens,
+                CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - n_tokens) / 512.0) AS BIGINT) AS batch_id
+         FROM chunks)
+       SELECT lang, batch_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       FROM packed GROUP BY lang, batch_id ORDER BY lang, batch_id""",
+    "Sequence packing: chunk documents (64-token windows, 8 overlap), then"
+    " assign chunks to 512-token batches by running-offset division within"
+    " each language partition — the deterministic packing step between"
+    " chunking and batch serialization. Per-partition windows pack"
+    " embarrassingly parallel at scale (pipeline.pack_by_token_budget"
+    " docstring); the oracle re-derives chunk lengths arithmetically"
+    " (every chunk is full-width except the tail).",
+)
+def q85(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=8)
+    with_lang = chunks.join(d.select("doc_id", "lang"), "doc_id")
+    packed = PL.pack_by_token_budget(
+        with_lang,
+        "n_chunk_tokens",
+        512,
+        order_cols=["doc_id", "chunk_id"],
+        partition_cols=["lang"],
+    )
+    return (
+        packed.groupBy("lang", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang", "batch_id")
+    )
+
+
 #: Manifest-source scratch layouts, keyed like the IVF cache. Building the
 #: sharded layout + manifest is table-maintenance work (a writer job),
 #: amortized per corpus version; queries just read through the manifest.
