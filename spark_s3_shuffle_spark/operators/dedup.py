@@ -614,9 +614,15 @@ def semantic_dedup_pairs(
     )
     assigned = base.select("_id", F.explode(topp_cells(F.col("_v"))).alias("cell"))
     if max_cell_size:
+        # Occupancy = DISTINCT members per cell. Under soft assignment each
+        # vector lands in up to ``probes`` cells, so a raw row count would be
+        # up to probes x the true membership and the quadratic guard would
+        # bite probes x earlier than the parameter name implies; the cap is
+        # meant to bound the within-cell self-join, whose size is exactly
+        # (distinct members choose 2).
         ok = (
             assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("_csz"))
+            .agg(F.countDistinct("_id").alias("_csz"))
             .filter(F.col("_csz") <= max_cell_size)
             .select("cell")
         )

@@ -172,12 +172,18 @@ class ExchangeManager:
             sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
         )
 
-    def _stage_input_metrics(self) -> dict[int, tuple[int, int, int]]:
-        """stageId -> (inputBytes, inputRecords, executorRunTimeMillis)."""
+    def _stage_input_metrics(self, completed_only: bool = False) -> dict[int, tuple[int, int, int]]:
+        """stageId -> (inputBytes, inputRecords, executorRunTimeMillis).
+
+        ``completed_only`` keeps only stages with status COMPLETE — a stage
+        still RUNNING reports partial task metrics that would be harvested
+        once and never reconciled with its final values."""
         stages = self._stage_list()
         out: dict[int, tuple[int, int, int]] = {}
         for i in range(stages.size()):
             s = stages.apply(i)
+            if completed_only and str(s.status()) != "COMPLETE":
+                continue
             out[int(s.stageId())] = (
                 int(s.inputBytes()), int(s.inputRecords()), int(s.executorRunTime()),
             )
@@ -199,13 +205,15 @@ class ExchangeManager:
         On exit, input bytes/records and executor run time of every stage
         that completed inside the window are added to the stage's
         ExchangeStats (task_input_bytes / task_input_records /
-        task_read_millis). The window attributes ALL new stages to this
-        read — meter one exchange read at a time per driver."""
+        task_read_millis). Only stages with status COMPLETE at window exit
+        are harvested — a RUNNING stage's partial counts would be added once
+        and never reconciled. The window attributes ALL new completed stages
+        to this read — meter one exchange read at a time per driver."""
         before = set(self._stage_input_metrics())
         df = self.stage_read(stage)
         yield df
         st = self.stats[stage]
-        for sid, (ib, ir, rt) in self._stage_input_metrics().items():
+        for sid, (ib, ir, rt) in self._stage_input_metrics(completed_only=True).items():
             if sid in before:
                 continue
             st.task_input_bytes += ib

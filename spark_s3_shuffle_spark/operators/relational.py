@@ -234,8 +234,12 @@ def validate_total_sort(df: DataFrame, key_col: str) -> DataFrame:
     return chk.agg(
         F.sum("cnt").alias("n"),
         F.min(F.col("ok").cast("int")).alias("sorted"),
-        F.lower(F.min(F.hex("first"))).alias("first_key"),
-        F.lower(F.max(F.hex("last"))).alias("last_key"),
+        # min/max in the key's NATIVE type, hex only for display: min over
+        # hex() strings is lexicographic on variable-width text (hex(16)='10'
+        # sorts before hex(15)='F') and would misreport the endpoints for
+        # numeric or variable-length keys.
+        F.lower(F.hex(F.min("first"))).alias("first_key"),
+        F.lower(F.hex(F.max("last"))).alias("last_key"),
     )
 
 

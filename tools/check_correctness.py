@@ -4,11 +4,17 @@ Runs every registry query through Spark AND its DuckDB oracle on the same
 parquet fixtures, then compares row count, column names, and values
 (columns sorted by name, rows sorted, floats rounded-as-declared).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a full-registry artifact in the driver's CORRECTNESS
+format (rows_match / schema_match / hash_match per query) so oracle
+coverage past the driver's 50-entry window is committed evidence, not just
+a claim in a docstring.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -51,55 +57,82 @@ def rows_canon(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("correctness-check")
     con = duck_connection(sf_dir)
     failures = []
+    report: dict[str, dict] = {}
     ran = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
         ran += 1
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             sdf = spec.builder(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            rec["err"] = f"SPARK ERROR: {type(e).__name__}: {e}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: spark error {e}")
             continue
         if spec.oracle is None:
+            rec["rows_match"] = rec["schema_match"] = True
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
             res = con.execute(spec.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            rec["err"] = f"DUCKDB ERROR: {type(e).__name__}: {e}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: duckdb error {e}")
             continue
         if sorted(scols) != sorted(dcols):
-            failures.append((name, f"columns {scols} vs {dcols}"))
+            rec["err"] = f"columns {scols} vs {dcols}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             continue
+        rec["schema_match"] = True
         if len(srows) != len(drows):
-            failures.append((name, f"rowcount {len(srows)} vs {len(drows)}"))
+            rec["err"] = f"rowcount {len(srows)} vs {len(drows)}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
             continue
+        rec["rows_match"] = True
         sc, dc = rows_canon(scols, srows), rows_canon(dcols, drows)
         if sc != dc:
             diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-            failures.append((name, f"values differ, first diffs: {diff}"))
+            rec["err"] = f"values differ, first diffs: {diff}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: values differ; first diffs: {diff}")
             continue
+        rec["hash_match"] = True
         print(f"ok   {name}: {len(srows)} rows match")
     print(f"\n{ran - len(failures)}/{ran} pass")
     if failures:
         print("FAILURES:")
         for n, msg in failures:
             print(f"  {n}: {msg}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({ran} queries)")
     return 1 if failures else 0
 
 
