@@ -2246,6 +2246,255 @@ def q82(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H breadth pack (round 4): the reference's own benchmark suite is
+# TPC-DS/TPC-H SQL over a shuffle plugin (examples/sql/run_benchmark.sh:158,
+# examples/run_benchmarks.sh:29-34) — these are the classic join/agg shapes a
+# reference user actually runs, adapted to the fixture schema (lineitem has
+# no commitdate/receiptdate, customer no phone, so Q4/Q12/Q22 are out of
+# reach; Q3/Q6/Q10/Q13/Q14/Q18/Q19 adapt faithfully). Conventions: decimal
+# accumulation, ROUND cast double, explicit tie-breaking ORDER BY.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q86_tpch_q3",
+    """SELECT l_orderkey,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1996-03-15'
+         AND l_shipdate  > TIMESTAMP '1996-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10""",
+    "TPC-H Q3 shipping priority: segment-filtered customer x date-filtered"
+    " orders x lineitem, revenue per urgent order, top 10. Both date"
+    " predicates push to the scans; customer is dim-sized relative to the"
+    " facts so AQE broadcasts it; the ORDER BY+LIMIT plans as"
+    " TakeOrderedAndProject over the cardinality-bounded aggregate.",
+)
+def q86(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q87_tpch_q6",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate, the"
+    " canonical pushdown probe — all three predicates reach the parquet"
+    " reader as PushedFilters, zero shuffle beyond the single-row partial"
+    " agg merge. The shape that must saturate scan bandwidth at 100 TB.",
+)
+def q87(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+    return li.agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+@_register(
+    "q88_tpch_q10",
+    """SELECT c_custkey, c_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+              CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS c_acctbal, n_name
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+    "TPC-H Q10 returned-item reporting: one-quarter order window, R-flagged"
+    " lineitems, lost revenue per customer, top 20. Nation broadcast"
+    " explicitly (25 rows at any scale); date + returnflag predicates push"
+    " to the scans; top-20 is TakeOrderedAndProject.",
+)
+def q88(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q89_tpch_q18",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+              CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+       GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       LIMIT 100""",
+    "TPC-H Q18 large-volume customer: the HAVING-subquery shape — aggregate"
+    " the fact on orderkey, keep >250-quantity orders, semi-join orders to"
+    " the survivors, rejoin lineitem, re-aggregate. Both lineitem passes"
+    " shuffle on l_orderkey so AQE reuses one exchange partitioning; the"
+    " semi-join side is cardinality-bounded (big orders only) and"
+    " broadcastable at any scale where the threshold is selective.",
+)
+def q89(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q90_tpch_q13",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) t
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+    "TPC-H Q13 customer order distribution (comment filter adapted to the"
+    " fixture's o_orderpriority): LEFT OUTER join with an extra non-equi"
+    " ON-condition, count per customer INCLUDING zero-order customers, then"
+    " histogram. The two-level aggregate collapses to customer-count then"
+    " distinct-count-value cardinality — tiny shuffles after the outer join.",
+)
+def q90(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q91_tpch_q14",
+    """SELECT CAST(ROUND(
+                100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                  ELSE 0 END)
+                       / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "TPC-H Q14 promotion effect: one-month lineitem slice x part, CASE-split"
+    " revenue share. The month predicate pushes down and bounds the probe"
+    " side to ~1/80th of the fact before the join; part joins on its key"
+    " (AQE picks broadcast while part fits, shuffled-hash beyond).",
+)
+def q91(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+    total = F.sum(disc)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.00) * promo / total, 4).cast("double").alias("promo_revenue"))
+    )
+
+
+@_register(
+    "q92_tpch_q19",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "TPC-H Q19 discounted revenue: equi-join with a disjunction of"
+    " conjunctive side-predicates — the OR-of-ANDs shape that tests whether"
+    " the optimizer keeps the join an equi-hash-join (it does: the OR terms"
+    " reference both sides only through the equi-key, so they stay a"
+    " post-join filter) and derives the pushable per-side residuals"
+    " (l_quantity BETWEEN 1 AND 30, p_size BETWEEN 1 AND 15 union bounds).",
+)
+def q92(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
