@@ -276,3 +276,135 @@ def pack_by_token_budget(
     cum = F.sum(token_col).over(w)
     offset = cum - F.col(token_col)
     return df.withColumn(out, F.floor(offset / F.lit(budget)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Tier III (round 4): cross-doc span dedup, deterministic per-group
+# sampling, ensemble quality scoring
+# ---------------------------------------------------------------------------
+
+def span_key_portable(span: Column, hex_chars: int = 13) -> Column:
+    """Engine-portable 52-bit span key: the leading ``hex_chars`` hex digits
+    of md5, base-converted — identical in Spark (`conv`) and DuckDB
+    (`CAST(concat('0x', …) AS UBIGINT)`), so an oracle can replay the exact
+    same keyed pipeline. 52 bits keeps the value exact in BIGINT and
+    DOUBLE on both engines."""
+    return F.conv(F.substring(F.md5(span), 1, hex_chars), 16, 10).cast("long")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    key_fn=None,
+) -> DataFrame:
+    """Cross-document EXACT substring-span detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" exact-substring
+    recipe, re-expressed relationally): every ``span_tokens``-token window
+    that appears verbatim in ≥ ``min_docs`` distinct documents is a
+    duplicated span; each document reports how much of it is duplicated
+    text (``dup_frac`` = duplicated distinct spans / its distinct spans).
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_frac)`` for documents with
+    at least one duplicated span.
+
+    Scale shape: spans are built row-locally (chained zip_with — codegen,
+    no explode until keying), distinct'd WITHIN the row first, then only
+    ``(64-bit key, doc id)`` pairs ever reach an exchange — the shuffle is
+    ~16 bytes per distinct span occurrence, never the span text. The
+    duplicated-key set is aggregated with countDistinct (map-side partial)
+    and joined back per doc. ``key_fn`` defaults to `xxhash64` (the fast
+    production key); pass ``span_key_portable`` when an oracle must replay
+    the keys bit-for-bit.
+    """
+    from spark_s3_shuffle_spark.operators.text import shingles
+
+    key = key_fn or (lambda c: F.xxhash64(c))
+    spans = F.array_distinct(shingles(F.col(text_col), span_tokens))
+    keyed = (
+        df.select(F.col(id_col).alias("_id"), spans.alias("_spans"))
+        .select("_id", F.explode("_spans").alias("_span"))
+        .select("_id", key(F.col("_span")).alias("_k"))
+    )
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    totals = keyed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = (
+        keyed.join(dup_keys, "_k", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        totals.join(dups, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+    out: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows within each group by
+    ``md5(salt || id)`` (a content-addressed pseudo-random order — stable
+    under retries, re-partitioning, and engine changes, unlike RNG-based
+    `sampleBy`) and keep the first ``k``. The uniform-without-replacement
+    per-stratum sampler a mixture builder uses to cap any one source/
+    language/domain.
+
+    Scale shape: one hash-partitioned window per group with a rank-limit
+    filter — Spark plans the rank filter as WindowGroupLimit, so each
+    partition keeps a k-row heap per group instead of fully sorting it.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn(out, F.row_number().over(w))
+        .filter(F.col(out) <= k)
+    )
+
+
+def quality_ensemble(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ensemble quality score in [0, 1]: the mean of five binary signals —
+    the four Gopher rule flags (token count, mean token length, symbol
+    ratio, stopword presence) plus a repetition gate (duplicate-word
+    fraction ≤ 0.3). The standard "combine cheap heuristics into one
+    scalar" step that decides mixture weights / filtering tiers before any
+    model-based scorer runs.
+
+    Adds ``q_score`` (rounded to 2 decimals: 0.0, 0.2, …, 1.0). Pure
+    Column expressions — one scan, zero shuffle, codegen throughout.
+    """
+    from spark_s3_shuffle_spark.operators.text import gopher_quality_flags, tokens
+
+    flagged = gopher_quality_flags(df, text_col)
+    toks = tokens(F.col(text_col))
+    dup_word_frac = F.when(
+        F.size(toks) > 0,
+        1 - F.size(F.array_distinct(toks)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    rep_ok = dup_word_frac <= 0.3
+    score = (
+        F.col("ok_tokens").cast("int")
+        + F.col("ok_mean_len").cast("int")
+        + F.col("ok_symbols").cast("int")
+        + F.col("ok_stopwords").cast("int")
+        + rep_ok.cast("int")
+    ) / F.lit(5.0)
+    return flagged.withColumn("q_score", F.round(score, 2))

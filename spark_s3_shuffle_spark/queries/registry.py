@@ -2495,6 +2495,184 @@ def q92(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-pipeline tier III (round 4): cross-doc span dedup, deterministic
+# per-group sampling, ensemble quality scoring, Z-order layout skipping
+# ---------------------------------------------------------------------------
+
+_Q93_SPAN8 = """CASE WHEN LEN(tk) >= 8
+       THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 7),
+                                         i -> ARRAY_TO_STRING(tk[i:i+7], ' ')))
+       ELSE [ARRAY_TO_STRING(tk, ' ')] END"""
+
+@_register(
+    "q93_duplicated_spans",
+    f"""WITH toks AS (
+         SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+         FROM documents),
+       k AS (SELECT doc_id,
+                    CAST(concat('0x', substring(md5(s), 1, 13)) AS UBIGINT) AS kk
+             FROM (SELECT doc_id, UNNEST({_Q93_SPAN8}) AS s FROM toks)),
+       d AS (SELECT kk FROM k GROUP BY kk HAVING COUNT(DISTINCT doc_id) >= 2),
+       tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM k GROUP BY doc_id),
+       dup AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM k
+               WHERE kk IN (SELECT kk FROM d) GROUP BY doc_id)
+       SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+              CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+              ROUND(n_dup_spans * 1.0 / n_spans, 4) AS dup_frac
+       FROM tot JOIN dup USING (doc_id) ORDER BY doc_id""",
+    "Exact substring-span dedup (Lee et al. exact-substring recipe): every"
+    " 8-token window appearing verbatim in ≥2 documents is duplicated text;"
+    " per-doc duplicated-span fraction. Spans are built row-locally"
+    " (chained zip_with, codegen), distinct'd in-row, and only (52-bit"
+    " md5-portable key, doc id) pairs reach the exchange — the shuffle is"
+    " ~16 bytes per span occurrence, never span text; production default"
+    " is xxhash64 (duplicated_spans key_fn).",
+)
+def q93(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return PL.duplicated_spans(
+        d, "doc_id", "text", span_tokens=8, key_fn=PL.span_key_portable
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q94_pergroup_sample",
+    """SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+       FROM (SELECT lang, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+             FROM documents) t
+       WHERE sample_rank <= 5
+       ORDER BY lang, sample_rank""",
+    "Deterministic k-per-group sampling: rank by md5(salt||id) inside each"
+    " language and keep the first 5 — the content-addressed uniform sampler"
+    " a mixture builder uses to cap any one source (stable under retries &"
+    " repartitioning, unlike RNG sampleBy). Plans as WindowGroupLimit: each"
+    " partition keeps a 5-row heap per group, no full per-group sort.",
+)
+def q94(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        PL.per_group_sample(d, "lang", "doc_id", k=5, salt="cap")
+        .select("lang", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@_register(
+    "q95_quality_ensemble",
+    """WITH t AS (
+         SELECT doc_id, lang, text,
+                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+         FROM documents),
+       f AS (
+         SELECT lang,
+                (LEN(tk) BETWEEN 10 AND 100000) AS ok_tokens,
+                ((CASE WHEN LEN(tk) > 0 THEN LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) / LEN(tk) ELSE 0 END) BETWEEN 2 AND 12) AS ok_mean_len,
+                ((CASE WHEN LENGTH(text) > 0
+                      THEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[#…]|\\.\\.\\.', '', 'g'))) / LENGTH(text)
+                      ELSE 0 END) <= 0.1) AS ok_symbols,
+                (LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(['the','a','of','and','to','in','is','it'], x))) > 0) AS ok_stopwords,
+                ((CASE WHEN LEN(tk) > 0 THEN 1 - LEN(LIST_DISTINCT(tk)) * 1.0 / LEN(tk) ELSE 0 END) <= 0.3) AS rep_ok
+         FROM t)
+       SELECT lang,
+              ROUND((CAST(ok_tokens AS INT) + CAST(ok_mean_len AS INT) + CAST(ok_symbols AS INT)
+                     + CAST(ok_stopwords AS INT) + CAST(rep_ok AS INT)) / 5.0, 2) AS q_score,
+              COUNT(*) AS n_docs
+       FROM f GROUP BY lang, q_score ORDER BY lang, q_score""",
+    "Ensemble quality scoring: mean of five binary signals (four Gopher"
+    " rule flags + a duplicate-word repetition gate) → per-language score"
+    " histogram — the cheap-heuristic scalar that tiers a corpus before any"
+    " model-based scorer. Pure Column expressions; the only shuffle is the"
+    " (lang × 6 score values)-bounded final aggregate.",
+)
+def q95(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        PL.quality_ensemble(d)
+        .groupBy("lang", "q_score")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "q_score")
+    )
+
+
+#: Z-ordered layouts per (appId, sf_dir) — table-maintenance work (a
+#: compaction job), amortized per corpus version like the IVF index build.
+_ZORDER_CACHE: dict[tuple[str, str], str] = {}
+
+
+def get_orders_zorder_manifest(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile as _tempfile
+
+    from spark_s3_shuffle_spark.operators import layout as L
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZORDER_CACHE:
+        tag = sf_dir.strip("/").replace("/", "_")
+        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-zorder-{tag}")
+        o = _t(spark, sf_dir, "orders").withColumn(
+            "o_orderday", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+        )
+        bounds = o.agg(
+            F.min("o_custkey"), F.max("o_custkey"), F.min("o_orderday"), F.max("o_orderday")
+        ).first()
+        zk = L.zorder_key(
+            L.quantize(F.col("o_custkey"), bounds[0], bounds[1], bits=12),
+            L.quantize(F.col("o_orderday"), bounds[2], bounds[3], bits=12),
+            bits=12,
+        )
+        manifest = L.write_zorder_layout(
+            o, zk, ["o_custkey", "o_orderday"], root, num_shards=8
+        )
+        PDS.register(spark)
+        _ZORDER_CACHE[key] = manifest
+    return _ZORDER_CACHE[key]
+
+
+@_register(
+    "q96_zorder_manifest",
+    """SELECT o_orderstatus, COUNT(*) AS n, CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_custkey <= 200
+         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "Z-order layout + manifest skipping under the full oracle: orders"
+    " re-sharded along the Morton curve of (o_custkey, o_orderday), read"
+    " through manifest_parquet with BOTH predicates pushed — every shard is"
+    " a small hyper-rectangle in (custkey, day) space, so min/max stats"
+    " prune on both dimensions (a single-column sort prunes on one only —"
+    " the Delta/Iceberg OPTIMIZE ZORDER BY rationale); result must match"
+    " DuckDB on the ORIGINAL table. Layout build is amortized table"
+    " maintenance (compaction), cached per corpus version.",
+)
+def q96(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    manifest = get_orders_zorder_manifest(spark, sf_dir)
+    day = lambda s: (pd.Timestamp(s) - pd.Timestamp("1970-01-01")).days  # noqa: E731
+    df = (
+        spark.read.format(PDS.FORMAT_NAME)
+        .option("manifest", manifest)
+        .load()
+        .filter(
+            (F.col("o_custkey") <= 200)
+            & (F.col("o_orderday") >= day("1996-01-01"))
+            & (F.col("o_orderday") < day("1997-01-01"))
+        )
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_s3_shuffle_spark.operators import dedup as D
 from spark_s3_shuffle_spark.operators import pipeline as PL
+from spark_s3_shuffle_spark.sources.catalog import load_table
 
 
 def test_repetition_signals_known_values(spark):
@@ -121,3 +122,62 @@ def test_semantic_dedup_cell_cap_drops_megacell(spark):
         df, "vec_id", "embedding", threshold=0.99, num_cells=2, max_cell_size=10
     )
     assert out.count() == 0  # every cell over the cap is dropped, no O(n^2)
+
+
+# -- tier III: duplicated spans / per-group sample / quality ensemble ------
+
+def test_duplicated_spans_finds_planted_overlap(spark):
+    shared = " ".join(f"w{i}" for i in range(8))          # one 8-token span
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " unique tail one two three"),
+            Row(doc_id=2, text="other head four five " + shared),
+            Row(doc_id=3, text="completely different words " + " ".join(f"x{i}" for i in range(10))),
+        ]
+    )
+    out = {r["doc_id"]: r for r in PL.duplicated_spans(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}                              # doc 3 has no dup span
+    for r in out.values():
+        assert r["n_dup_spans"] >= 1
+        assert 0 < r["dup_frac"] <= 1
+
+
+def test_duplicated_spans_portable_key_agrees_with_xxhash(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta eta theta iota") for i in (1, 2)]
+        + [Row(doc_id=3, text="nothing shared here at all in this tiny doc")]
+    )
+    fast = PL.duplicated_spans(docs, "doc_id", "text").collect()
+    portable = PL.duplicated_spans(
+        docs, "doc_id", "text", key_fn=PL.span_key_portable
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, portable))
+
+
+def test_per_group_sample_deterministic_and_capped(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = PL.per_group_sample(d, "lang", "doc_id", k=3, salt="s").select("lang", "doc_id")
+    b = PL.per_group_sample(d, "lang", "doc_id", k=3, salt="s").select("lang", "doc_id")
+    ra, rb = set(map(tuple, a.collect())), set(map(tuple, b.collect()))
+    assert ra == rb                                        # retry-stable
+    per_group = a.groupBy("lang").count().collect()
+    assert all(r["count"] <= 3 for r in per_group)
+    # different salt -> (almost surely) different sample
+    c = set(
+        map(tuple, PL.per_group_sample(d, "lang", "doc_id", k=3, salt="t")
+            .select("lang", "doc_id").collect())
+    )
+    assert c != ra
+
+
+def test_per_group_sample_plans_window_group_limit(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    plan = PL.per_group_sample(d, "lang", "doc_id", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_quality_ensemble_score_bounds(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = PL.quality_ensemble(d).select("q_score").distinct().collect()
+    vals = {r["q_score"] for r in scored}
+    assert vals <= {0.0, 0.2, 0.4, 0.6, 0.8, 1.0}
