@@ -2673,6 +2673,25 @@ def q96(spark, sf_dir):
     )
 
 
+@_register(
+    "q97_quantized_topk",
+    """SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+       FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""",
+    "Int8-quantized similarity scan + exact rescore, under the SAME oracle"
+    " as brute-force q34: the corpus is scored as array<tinyint> against"
+    " the float probe (cosine is scale-invariant, so the per-vector scale"
+    " cancels — asymmetric distance, 1/4 the scan bytes), 4x over-retrieve"
+    " via TakeOrderedAndProject, then only those candidates are rescored"
+    " with exact float vectors. Output contract = the true top-k, proving"
+    " the quantized tier loses nothing at this over-retrieve budget.",
+)
+def q97(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.quantized_topk(emb, probe, k=10, rescore_factor=4)
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -429,3 +429,30 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
     # left outer stays legal: preserved side is the (salted) big side
     out = SK.salted_join(big, small, "k", how="left")
     assert out.count() == 100
+
+
+def test_quantized_topk_equals_exact(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 7)
+    exact = [tuple(r) for r in SIM.cosine_topk(emb, probe, k=10).collect()]
+    quant = [tuple(r) for r in SIM.quantized_topk(emb, probe, k=10).collect()]
+    assert quant == exact  # rescore recovers the true top-k, same order
+
+    # amortized path: pre-materialized int8 corpus gives the same answer
+    q = SIM.quantize_vectors(emb)
+    pre = [tuple(r) for r in SIM.quantized_topk(emb, probe, k=10, quantized=q).collect()]
+    assert pre == exact
+
+
+def test_quantize_vectors_int8_range_and_scale_invariance(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[3.0, -4.0, 0.5]), Row(vec_id=2, embedding=[0.0, 0.0, 0.0])]
+    )
+    rows = {r["vec_id"]: r["qvec"] for r in SIM.quantize_vectors(df).collect()}
+    assert all(-127 <= v <= 127 for v in rows[1])
+    assert max(abs(v) for v in rows[1]) == 127     # scale maps max|x| -> 127
+    assert rows[2] == [0, 0, 0]                    # zero vector stays zero
