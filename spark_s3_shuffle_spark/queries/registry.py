@@ -8,8 +8,8 @@ driver hashes values after sorting columns by name.
 
 Canonicalization follows FIXTURES §4: explicit tie-breaking ORDER BY,
 ROUND(x,2) monetary / ROUND(x,4) similarity, NULLS FIRST/LAST pinned on
-nullable sort keys, UTC timestamps, epoch arithmetic for the ns-timestamp
-events table.
+nullable sort keys, UTC timestamps, integral-second epoch arithmetic for
+the events table (``ts`` normalized to TIMESTAMP by the catalog loader).
 """
 
 from __future__ import annotations
@@ -37,8 +37,8 @@ from spark_s3_shuffle_spark.sources.catalog import load_table
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
-#: As-of cutoff for q11: 2024-01-15T00:00:00Z in ns (events span 2024-01).
-ASOF_CUTOFF_NS = 1_705_276_800 * 10**9
+#: As-of cutoff for q11: 2024-01-15T00:00:00Z (events span 2024-01).
+ASOF_CUTOFF = "2024-01-15 00:00:00"
 
 
 @dataclass
@@ -214,7 +214,7 @@ _Q11_SQL = """SELECT u.user_id, e.event_type FROM (SELECT DISTINCT user_id FROM 
 
 def _asof_inputs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    probe = ev.select("user_id").distinct().withColumn("ts", F.lit(ASOF_CUTOFF_NS).cast("long"))
+    probe = ev.select("user_id").distinct().withColumn("ts", F.lit(ASOF_CUTOFF).cast("timestamp_ntz"))
     right = ev.select("user_id", "ts", "event_type", "event_id")
     return probe, right
 
@@ -541,7 +541,7 @@ def q30(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return R.aggregate(
         ev,
-        [F.floor(F.col("ts") / F.lit(1e9) / 600).cast("bigint").alias("w")],
+        [F.floor(F.col("ts").cast("timestamp").cast("double") / 600).cast("bigint").alias("w")],
         [F.count(F.lit(1)).alias("c")],
     ).orderBy("w")
 
@@ -856,9 +856,10 @@ FROM sessions GROUP BY user_id ORDER BY user_id"""
 )
 def q64(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    # integral seconds on BOTH sides: double-epoch spans diverge on the
-    # final bigint cast (Spark truncates, DuckDB rounds)
-    sec = F.floor(F.col("ts") / F.lit(1e9)).cast("long")
+    # integral seconds on BOTH sides (cast timestamp -> double = epoch secs,
+    # exact for micro-precision 2024 epochs): double-epoch spans diverge on
+    # the final bigint cast (Spark truncates, DuckDB rounds)
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = ev.select(
@@ -2074,7 +2075,7 @@ def q81(spark, sf_dir):
 )
 def q83(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    sec = F.floor(F.col("ts") / F.lit(1e9)).cast("long")
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id", sec.alias("sec"), "event_id", "event_type",
@@ -2250,10 +2251,12 @@ def q82(spark, sf_dir):
 # TPC-H breadth pack (round 4): the reference's own benchmark suite is
 # TPC-DS/TPC-H SQL over a shuffle plugin (examples/sql/run_benchmark.sh:158,
 # examples/run_benchmarks.sh:29-34) — these are the classic join/agg shapes a
-# reference user actually runs, adapted to the fixture schema (lineitem has
-# no commitdate/receiptdate, customer no phone, so Q4/Q12/Q22 are out of
-# reach; Q3/Q6/Q10/Q13/Q14/Q18/Q19 adapt faithfully). Conventions: decimal
-# accumulation, ROUND cast double, explicit tie-breaking ORDER BY.
+# reference user actually runs, adapted to the fixture schema.
+# Q3/Q6/Q10/Q13/Q14/Q18/Q19 adapt directly here; the remaining 13 queries
+# (whose canonical forms need partsupp / commitdate / phone columns the
+# fixture lacks) live in the completion pack below (q98-q110) with
+# documented stand-ins that preserve each query's plan shape. Conventions:
+# decimal accumulation, ROUND cast double, explicit tie-breaking ORDER BY.
 # ---------------------------------------------------------------------------
 
 @_register(
@@ -2690,6 +2693,625 @@ def q97(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.quantized_topk(emb, probe, k=10, rescore_factor=4)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion pack (round 4): the remaining 13 queries of the suite the
+# reference's benchmark driver runs (examples/sql/run_benchmark.sh:158,
+# examples/run_benchmarks.sh:29-34), adapted to the fixture schema. The
+# fixture has no partsupp table and no commitdate/receiptdate/phone/
+# container/comment columns, so those inputs get documented stand-ins that
+# PRESERVE EACH QUERY'S PLAN SHAPE (the thing being tested):
+#   - partsupp           -> the observed (l_partkey, l_suppkey) pairs of
+#                           lineitem, with MIN unit price as supply cost
+#                           (exact-decimal MIN: order-independent, so Spark
+#                           and the oracle agree bit-for-bit)
+#   - commitdate windows -> "shipped > N days after order date"
+#   - c_phone cntrycode  -> last two digits of c_name
+#   - comment filters    -> o_orderpriority / s_acctbal predicates
+# Shapes covered that no earlier query exercises: correlated scalar
+# subqueries (Q2/Q17), EXISTS with a non-equi correlate (Q4), double-nation
+# self-join (Q7), market-share CASE ratio over an 8-table join (Q8),
+# HAVING against a global-scalar subquery (Q11), scalar-max join-back
+# (Q15), NOT-IN + count-distinct grouping (Q16), nested semi-join chain
+# (Q20), EXISTS + NOT-EXISTS self-anti-join (Q21), anti-join against the
+# whole fact with an avg-subquery filter (Q22).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q98_tpch_q2",
+    """WITH ps AS (
+         SELECT l_partkey, l_suppkey,
+                MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))) AS unit_cost
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       eu AS (
+         SELECT ps.l_partkey, ps.unit_cost, s_name, s_acctbal, n_name
+         FROM ps JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation   ON s_nationkey = n_nationkey
+                 JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE')
+       SELECT CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal, s_name, n_name,
+              p_partkey, p_name, CAST(ROUND(unit_cost, 4) AS DOUBLE) AS unit_cost
+       FROM part JOIN eu ON p_partkey = eu.l_partkey
+       WHERE p_size < 16 AND p_type = 'STANDARD'
+         AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                          WHERE e2.l_partkey = p_partkey)
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100""",
+    "TPC-H Q2 minimum-cost supplier (partsupp adapted to observed lineitem"
+    " pairs, supply cost = exact-decimal MIN unit price so both engines"
+    " agree without float-summation order issues). The correlated-MIN"
+    " subquery is planned as one window MIN over the region-filtered pair"
+    " relation — a single exchange on l_partkey; part/nation/region prune"
+    " before it via broadcast joins, so the window input is already small.",
+)
+def q98(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter((F.col("p_size") < 16) & (F.col("p_type") == "STANDARD"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")).alias("unit_cost")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.join(F.broadcast(p), F.col("p_partkey") == eu.l_partkey)
+        .withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q99_tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "TPC-H Q4 order-priority checking ('commitdate < receiptdate' adapted"
+    " to 'shipped >30 days after order'). The EXISTS with a non-equi"
+    " correlate plans as a LEFT SEMI hash join on orderkey with the date"
+    " comparison as a join residual — one fact shuffle, no row"
+    " multiplication (semi stops at first match).",
+)
+def q99(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q100_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+             FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+    "TPC-H Q7 volume shipping between two nations: the double-nation"
+    " self-join (supplier's nation x customer's nation). Both nation dims"
+    " broadcast; the nation-pair disjunction prunes to 2x2 combinations"
+    " early, and supplier (100 rows/SF band) broadcasts too, so only the"
+    " orders-lineitem equi-join shuffles the fact.",
+)
+def q100(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_c_nk"))
+        .filter(pair)
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"), vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "q101_tpch_q8",
+    """SELECT o_year,
+              CAST(ROUND(100.00 * SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                                / SUM(volume), 4) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+                    n2.n_name AS nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region   ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY o_year ORDER BY o_year""",
+    "TPC-H Q8 national market share: 8-relation join with a CASE-ratio"
+    " aggregate (the q91/Q14 decimal-ratio convention). Every dimension"
+    " broadcasts (part is filtered to one type first); the fact shuffles"
+    " only for the orders join; the share divides two exact-decimal sums"
+    " so both engines agree at 4 decimals.",
+)
+def q101(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_regionkey").alias("_c_rk")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    target = F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0)))
+    total = F.sum("volume")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_c_nk"))
+        .join(F.broadcast(r), F.col("_c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_s_nk"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(F.round(F.lit(100.00) * target / total, 4).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q102_tpch_q9",
+    """SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+             WHERE p_name LIKE '%red%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    "TPC-H Q9 product-type profit (ps_supplycost adapted to"
+    " 0.5 * p_retailprice — the fixture has no partsupp). Part-name LIKE"
+    " prunes the build side before broadcast; profit per (supplier-nation,"
+    " year) groups to bounded cardinality, so the only fact-sized exchange"
+    " is the orders join.",
+)
+def q102(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q103_tpch_q11",
+    """WITH nat AS (
+         SELECT l_partkey, CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)) AS val
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_7')
+       SELECT l_partkey AS p_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
+       FROM nat GROUP BY l_partkey
+       HAVING SUM(val) > (SELECT SUM(val) FROM nat) * 0.001
+       ORDER BY part_value DESC, p_partkey""",
+    "TPC-H Q11 important stock (partsupp value adapted to shipped"
+    " extendedprice x quantity from one nation's suppliers). The HAVING"
+    " compares each group against a GLOBAL scalar subquery: Spark computes"
+    " the one-row total as a broadcast cross join over the same pre-"
+    " aggregated per-part relation, so the fact is scanned once and"
+    " shuffled once — the scalar never forces a second fact pass.",
+)
+def q103(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)").alias("val"),
+        )
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum("val").alias("_val_sum"))
+    total = per_part.agg(F.sum("_val_sum").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val_sum") > F.col("_total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("_val_sum", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@_register(
+    "q104_tpch_q12",
+    """SELECT l_returnflag AS ship_class,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_returnflag IN ('A', 'N')
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "TPC-H Q12 shipping modes & priority (l_shipmode adapted to"
+    " l_returnflag, receipt-lateness to 'shipped >60 days after order')."
+    " Priority-split CASE counts over a hash join whose non-equi date"
+    " residual stays attached to the equi join; the year + flag predicates"
+    " push to the lineitem scan.",
+)
+def q104(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@_register(
+    "q105_tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       ORDER BY s_suppkey""",
+    "TPC-H Q15 top supplier: scalar-MAX subquery over a derived revenue"
+    " view, joined back for the argmax row(s). The equality filter compares"
+    " exact decimals (sum of decimal(18,6) terms), so Spark and the oracle"
+    " pick identical winners — no float-tie hazard. Spark plans the scalar"
+    " as a 1-row broadcast against the already-aggregated view; the"
+    " quarter's fact slice is read and shuffled once.",
+)
+def q105(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q106_tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 7, 10, 14, 23, 45)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "TPC-H Q16 parts/supplier relationship ('complaints' comment filter"
+    " adapted to negative account balance). NOT IN over a non-null key"
+    " plans as a broadcast anti join; the distinct-supplier count per"
+    " (brand, type, size) is a two-phase hash aggregate (partial distinct"
+    " before the exchange), so the shuffle carries distinct pairs only.",
+)
+def q106(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "q107_tpch_q17",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+         AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+    "TPC-H Q17 small-quantity-order revenue ('container' filter adapted to"
+    " p_type). The correlated AVG subquery becomes a per-part window AVG"
+    " over the brand-filtered join — one exchange on l_partkey serves both"
+    " the correlate and the final filter. l_quantity values are integral"
+    " doubles, so the 0.2*AVG threshold is bit-identical across engines.",
+)
+def q107(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / F.lit(7.0))
+            .alias("_raw")
+        )
+        .select(F.round("_raw", 2).cast("double").alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q108_tpch_q20",
+    """SELECT s_suppkey, s_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+             AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING SUM(l_quantity) > 40)
+       ORDER BY s_suppkey""",
+    "TPC-H Q20 potential part promotion (partsupp availability adapted to"
+    " '1996 shipped quantity per (supplier, part) pair'). The nested"
+    " semi-join chain: part-name LIKE prunes first (broadcast semi into"
+    " the fact scan), the HAVING bounds the pair aggregate, and the outer"
+    " IN is a second semi join against the region-filtered supplier dim —"
+    " the fact is scanned once, shuffled once on the pair key.",
+)
+def q108(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    bolts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy_pairs = (
+        li.join(F.broadcast(bolts), li.l_partkey == bolts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(heavy_pairs, F.col("s_suppkey") == heavy_pairs.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q109_tpch_q21",
+    """WITH l1 AS (
+         SELECT DISTINCT l_orderkey, l_suppkey
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "TPC-H Q21 suppliers who kept orders waiting ('receipt past commit'"
+    " adapted to 'shipped >90 days after order'; counts one wait event per"
+    " (order, supplier)). The oracle keeps the literal EXISTS / NOT-EXISTS"
+    " correlated self-joins; the Spark plan rewrites them as per-order"
+    " aggregates — n_supp > 1 == 'another supplier exists', n_late = 1 =="
+    " 'no OTHER late supplier' — so the fact contributes ONE extra"
+    " aggregate pass instead of two correlated self-join passes; both"
+    " shuffles share the l_orderkey partitioning. A cross-formulation"
+    " equivalence check, not a translation.",
+)
+def q109(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp")
+    )
+    late_stats = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_n_late"))
+    return (
+        late.join(order_stats, "l_orderkey")
+        .join(late_stats, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "q110_tpch_q22",
+    """WITH potential AS (
+         SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+         FROM customer
+         WHERE SUBSTRING(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
+       SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+              CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+       FROM potential
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM potential WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY cntrycode ORDER BY cntrycode""",
+    "TPC-H Q22 global sales opportunity (phone country code adapted to the"
+    " last two digits of c_name; 'no orders at all' adapted to 'no orders"
+    " since 2000' because the fixture's order density leaves no fully"
+    " order-less customers). Scalar-AVG subquery over the code-filtered"
+    " slice + anti join against the date-pruned orders scan; the anti"
+    " join's build side is bounded by the date predicate, and the AVG"
+    " scalar broadcasts — the canonical 'dormant high-value accounts'"
+    " shape.",
+)
+def q110(spark, sf_dir):
+    code = F.substring("c_name", 17, 2)
+    potential = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("cntrycode", code)
+        .filter(F.col("cntrycode").isin("13", "31", "23", "29", "30", "18", "17"))
+        .select("cntrycode", "c_acctbal", "c_custkey")
+    )
+    avg_bal = potential.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        potential.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, potential.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
 
 
 #: Explicit registry ordering. The driver's correctness harness samples the

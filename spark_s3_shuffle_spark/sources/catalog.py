@@ -47,16 +47,24 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events`` carries a Parquet TIMESTAMP(NANOS) column; under
-    ``spark.sql.legacy.parquet.nanosAsLong`` it loads as bigint nanos and we
-    add a derived ``event_ts`` timestamp column (FIXTURES §2 load caveat).
+    ``events.ts`` is normalized to a TIMESTAMP column regardless of the
+    fixture generation: current fixtures store TIMESTAMP(MICROS), which
+    Spark reads natively; legacy fixtures stored TIMESTAMP(NANOS), which
+    under ``spark.sql.legacy.parquet.nanosAsLong`` loads as bigint nanos
+    and is converted here (truncated to micros). A derived ``event_ts``
+    alias is always present for event-time operators (streaming windows,
+    watermarks) so callers never branch on the physical type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+    if name == "events":
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # event-time ops (watermarks, windows) require TIMESTAMP (ltz);
+        # the ntz->ltz cast is identity under the session's pinned UTC tz.
+        df = df.withColumn("event_ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -21,20 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-#: events-table schema as it loads under nanosAsLong (ts = bigint nanos).
-EVENTS_DDL = "event_id long, ts long, user_id long, event_type string, value double, props string"
+#: events-table schema (ts normalized to TIMESTAMP by the catalog loader).
+EVENTS_DDL = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
     """File-source stream over events-schema parquet drops, with the derived
-    event-time column (FIXTURES §2 load caveat)."""
+    event-time column aliasing the normalized TIMESTAMP ``ts``."""
     df = (
         spark.readStream.format("parquet")
         .schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
-    return df.withColumn("event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+    # watermarks require TIMESTAMP (ltz); ntz->ltz is identity under UTC.
+    return df.withColumn("event_ts", F.col("ts").cast("timestamp"))
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes", ts_col: str = "event_ts") -> DataFrame:

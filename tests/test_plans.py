@@ -148,3 +148,36 @@ def test_q60_q69_fact_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan60 and "BroadcastHashJoin" not in plan60
     assert I.count_exchanges(q60) <= 3, plan60[:3000]
     assert "WindowGroupLimit" in plan60, plan60[:3000]
+
+
+def test_tpch_completion_pack_plan_shapes(spark, sf_dir):
+    """Scale invariants for the q98-q110 TPC-H completion pack: dimension
+    joins broadcast (the fact shuffles only on its own keys), EXISTS plans
+    as a semi join, and bounded top-k plans as TakeOrderedAndProject."""
+    # Q4: EXISTS with non-equi correlate -> LEFT SEMI hash join, date
+    # window pushed to the orders scan
+    q99 = QUERIES["q99_tpch_q4"].builder(spark, sf_dir)
+    plan99 = I.formatted_plan(q99)
+    assert "LeftSemi" in plan99, plan99[:3000]
+    assert any("o_orderdate" in f for f in I.pushed_filters(q99))
+
+    # Q7/Q8/Q9: every dimension broadcasts; the only shuffled joins are
+    # fact-fact (lineitem⋈orders) and the customer join
+    for name, min_bhj in [("q100_tpch_q7", 3), ("q101_tpch_q8", 5), ("q102_tpch_q9", 3)]:
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = I.formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan[:3000])
+
+    # Q2/Q21: bounded output -> TakeOrderedAndProject, and the correlated
+    # min/exists logic must not introduce a cartesian product
+    for name in ["q98_tpch_q2", "q109_tpch_q21"]:
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = I.formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+
+    # Q17: correlated AVG as window over ONE exchange on l_partkey plus the
+    # single-row final agg — never a second fact pass
+    q107 = QUERIES["q107_tpch_q17"].builder(spark, sf_dir)
+    assert I.count_exchanges(q107) <= 3
+    assert I.has_broadcast_join(q107)

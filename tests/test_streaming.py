@@ -236,28 +236,33 @@ def test_late_rows_older_than_watermark_are_dropped(spark):
     import os
     import time
 
+    from datetime import datetime, timezone
+
     tmp = tempfile.mkdtemp(prefix="late-data-")
     indir = f"{tmp}/in"
     base = 1_700_000_400  # 10-minute-window aligned (epoch % 600 == 0)
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)  # naive UTC = TIMESTAMP_NTZ
 
     def drop_file(rows):
         spark.createDataFrame(rows, S.EVENTS_DDL).coalesce(1).write.mode("append").parquet(indir)
 
     # batch 0: one event per minute for an hour -> watermark becomes
     # max(event_ts) - 5 min = minute 54 once committed
-    drop_file([(i, (base + 60 * i) * 10**9, 1, "e", 1.0, "{}") for i in range(60)])
+    drop_file([(i, ts(base + 60 * i), 1, "e", 1.0, "{}") for i in range(60)])
     time.sleep(1.2)  # distinct mtime so the file source orders the drops
     # batch 1: on-time filler — the watermark computed from batch 0 is
     # COMMITTED after this batch, so batch 2's filter actually uses it
     # (the watermark used to drop rows in batch N is the one finalized at
     # the end of batch N-1)
-    drop_file([(500, (base + 55 * 60) * 10**9, 1, "e", 1.0, "{}")])
+    drop_file([(500, ts(base + 55 * 60), 1, "e", 1.0, "{}")])
     time.sleep(1.2)
     # batch 2: one LATE row (minute 0, window end 10 < watermark 54) and one
     # on-time row (minute 58, window end 60 > watermark)
     drop_file([
-        (1000, (base + 30) * 10**9, 1, "e", 1.0, "{}"),
-        (1001, (base + 3500) * 10**9, 1, "e", 1.0, "{}"),
+        (1000, ts(base + 30), 1, "e", 1.0, "{}"),
+        (1001, ts(base + 3500), 1, "e", 1.0, "{}"),
     ])
     assert len([f for f in os.listdir(indir) if f.startswith("part-")]) == 3
 
