@@ -1,0 +1,81 @@
+"""MERGE INTO (latest-wins upsert/delete) as a pure DataFrame composition.
+
+The warehouse-core mutation: apply a changelog of inserts/updates/deletes
+to a keyed base snapshot, producing the next snapshot. The reference's
+workloads are read-only TPC-DS scans, but any production deployment of
+those reporting tables maintains them with exactly this operation
+(Delta/Iceberg `MERGE INTO`); it composes with the CDC compaction query
+(registry q68) which produces the changelog side.
+
+Scale shape (100 TB base, GB-scale changelog):
+- The changelog first compacts to ONE row per key (latest-wins window) —
+  state after a merge depends only on each key's last change, so the
+  expensive side of the join is bounded by |distinct changed keys|.
+- Base ⟕⟖ changes is a single full-outer hash join on the key. With a
+  GB-scale compacted changelog Spark broadcasts it and the base never
+  shuffles; co-partitioned/bucketed layouts (operators/exchange.py
+  ``stage_write_bucketed``) make even the fact-sized-changelog case
+  exchange-free.
+- Only rows whose key appears in the changelog change identity — pair
+  with partition pruning on the write side to rewrite only affected
+  partitions (the Delta/Iceberg merge-on-read vs copy-on-write trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(changes: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Compact a changelog to its final change per key (latest-wins by
+    ``order_cols``, which must be a deterministic total order per key)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delete_when,
+) -> DataFrame:
+    """Next snapshot = MERGE of ``changes`` into ``base``.
+
+    ``delete_when`` is a Column predicate evaluated on the (compacted)
+    change row: true -> the key is deleted; false -> the change row's
+    values replace/insert the key. Keys absent from the changelog keep
+    their base row. Both inputs must share the same schema.
+
+    Equivalent SQL (the oracle form)::
+
+        SELECT COALESCE(c.cols, b.cols) ...
+        FROM base b FULL OUTER JOIN latest_changes c USING (keys)
+        WHERE c.key IS NULL OR NOT delete_when(c)
+    """
+    val_cols = [c for c in base.columns if c not in key_cols]
+    latest = latest_per_key(changes, key_cols, order_cols)
+    c = latest.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in key_cols],
+        *[F.col(v).alias(f"_cv_{v}") for v in val_cols],
+        delete_when.alias("_c_delete"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = base[k] == c[f"_ck_{k}"]
+        cond = eq if cond is None else cond & eq
+    joined = base.join(c, cond, "full_outer")
+    has_change = F.col(f"_ck_{key_cols[0]}").isNotNull()
+    out_keys = [
+        F.coalesce(base[k], F.col(f"_ck_{k}")).alias(k) for k in key_cols
+    ]
+    out_vals = [
+        F.when(has_change, F.col(f"_cv_{v}")).otherwise(base[v]).alias(v)
+        for v in val_cols
+    ]
+    return joined.filter(~has_change | ~F.col("_c_delete")).select(*out_keys, *out_vals)

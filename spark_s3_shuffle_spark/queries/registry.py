@@ -26,6 +26,7 @@ from pyspark.sql.types import StringType
 from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators import dedup as D
 from spark_s3_shuffle_spark.operators import grouped as G
+from spark_s3_shuffle_spark.operators import matview as MV
 from spark_s3_shuffle_spark.operators import multimodal as MM
 from spark_s3_shuffle_spark.operators import pipeline as PL
 from spark_s3_shuffle_spark.operators import relational as R
@@ -3314,6 +3315,272 @@ def q110(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Materialized summary / aggregate navigation (round 4): answer reporting
+# rollups from a partial-aggregate summary table instead of the fact —
+# the production deployment shape of the reference's TPC-DS reporting
+# benchmarks (examples/run_benchmarks.sh:29-34). Both queries' oracles run
+# against the RAW lineitem, proving navigation from the summary is lossless.
+# ---------------------------------------------------------------------------
+
+_SUMMARY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def get_lineitem_summary(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized lineitem summary path (built once per corpus version —
+    amortized table maintenance, same contract as the IVF index build).
+    Reading it back from Parquet keeps the query plans honest: answered
+    queries scan the summary files, never the fact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SUMMARY_CACHE:
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = _os.path.join(_tempfile.gettempdir(), f"spark-graft-matview-{tag}")
+        MV.build_lineitem_summary(_t(spark, sf_dir, "lineitem")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SUMMARY_CACHE[key] = path
+    return _SUMMARY_CACHE[key]
+
+
+@_register(
+    "q111_matview_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+              COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "Aggregate navigation: the TPC-H Q1 grouping answered FROM the"
+    " materialized month-grain summary — sums of sums, counts of counts,"
+    " AVG derived from recombined components (algebraic decomposition)."
+    " The oracle aggregates the RAW fact; matching proves the summary"
+    " loses nothing. At 100 TB the query reads |grain| summary rows"
+    " (thousands) instead of the fact — the plan scans only the summary"
+    " parquet (plan-asserted).",
+)
+def q111(spark, sf_dir):
+    summary = spark.read.parquet(get_lineitem_summary(spark, sf_dir))
+    nav = MV.navigate(summary, ["l_returnflag", "l_linestatus"])
+    return (
+        nav.select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+            F.round("sum_base_price", 2).cast("double").alias("sum_base_price"),
+            F.round("sum_disc_price", 2).cast("double").alias("sum_disc_price"),
+            F.round(F.col("sum_qty").cast("double") / F.col("n_rows"), 4)
+            .cast("double")
+            .alias("avg_qty"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q112_matview_trend",
+    """WITH m AS (
+         SELECT l_returnflag, date_trunc('month', l_shipdate) AS ship_month,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+         FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate))
+       SELECT l_returnflag, ship_month,
+              CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+              CAST(ROUND(rev - LAG(rev) OVER (PARTITION BY l_returnflag ORDER BY ship_month), 2) AS DOUBLE) AS delta
+       FROM m ORDER BY l_returnflag, ship_month""",
+    "Month-over-month revenue trend per return flag answered from the SAME"
+    " materialized summary as q111 (one build, many consumers — the"
+    " summary's whole economic argument). The exact-decimal revenue"
+    " component makes the LAG delta engine-identical; the window runs over"
+    " |flags x months| rows, so at any fact scale this is interactive.",
+)
+def q112(spark, sf_dir):
+    summary = spark.read.parquet(get_lineitem_summary(spark, sf_dir))
+    nav = MV.navigate(summary, ["l_returnflag", "ship_month"])
+    w = Window.partitionBy("l_returnflag").orderBy("ship_month")
+    return (
+        nav.withColumn("_prev", F.lag("sum_disc_price").over(w))
+        .select(
+            "l_returnflag",
+            # DuckDB's date_trunc('month') yields DATE; align the type
+            F.col("ship_month").cast("date").alias("ship_month"),
+            F.round("sum_disc_price", 2).cast("double").alias("revenue"),
+            F.round(F.col("sum_disc_price") - F.col("_prev"), 2)
+            .cast("double")
+            .alias("delta"),
+        )
+        .orderBy("l_returnflag", "ship_month")
+    )
+
+
+_BLOOM_MANIFEST_CACHE: dict[tuple[str, str], str] = {}
+
+#: Point-lookup keys for q113 — present at every fixture SF (orders holds
+#: >= 1500 rows even at sf0.001).
+_BLOOM_LOOKUP_KEYS = (11, 222, 1111)
+
+
+def get_orders_bloom_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Orders re-sharded by HASH of o_custkey (8 shards) + a manifest with
+    both o_orderkey zone maps AND per-shard bloom filters. The hash layout
+    makes every shard span nearly the full o_orderkey range — zone maps
+    prune nothing for a key lookup — which is exactly the layout bloom
+    skipping exists for. Build is amortized table maintenance."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BLOOM_MANIFEST_CACHE:
+        tag = sf_dir.strip("/").replace("/", "_")
+        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-bloom-{tag}")
+        orders = _t(spark, sf_dir, "orders")
+        paths = []
+        for i in range(8):
+            shard = f"{root}/shard-{i}.parquet"
+            (
+                orders.filter(F.col("o_custkey") % 8 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard)
+            )
+            part = [f for f in _os.listdir(shard) if f.startswith("part-")][0]
+            paths.append(f"{shard}/{part}")
+        manifest = f"{root}/manifest.jsonl"
+        PDS.write_manifest(
+            paths, ["o_orderkey"], manifest, bloom_cols=["o_orderkey"]
+        )
+        PDS.register(spark)
+        _BLOOM_MANIFEST_CACHE[key] = manifest
+    return _BLOOM_MANIFEST_CACHE[key]
+
+
+@_register(
+    "q113_bloom_point_lookup",
+    f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+       FROM orders WHERE o_orderkey IN {_BLOOM_LOOKUP_KEYS}
+       ORDER BY o_orderkey""",
+    "Bloom-skipped point lookup through the manifest source: orders lives"
+    " in a HASH-distributed 8-shard layout where every shard spans almost"
+    " the whole o_orderkey range, so zone maps cannot prune — the"
+    " per-shard bloom filters (~10 bits/distinct key, 1% fpp) prove the"
+    " keys absent from ~7 of 8 shards and the reader opens only the"
+    " survivors (asserted reader-level in tests). The 100 TB shape: a"
+    " needle query on a petabyte hash layout costs O(shards-with-key)"
+    " file opens, not a full-layout scan; result must match DuckDB over"
+    " the original table.",
+)
+def q113(spark, sf_dir):
+    from spark_s3_shuffle_spark.sources import pydatasource as PDS
+
+    manifest = get_orders_bloom_manifest(spark, sf_dir)
+    return (
+        spark.read.format(PDS.FORMAT_NAME)
+        .option("manifest", manifest)
+        .load()
+        .filter(F.col("o_orderkey").isin(*_BLOOM_LOOKUP_KEYS))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_MERGE_CUT = "2024-01-16 00:00:00"
+
+
+@_register(
+    "q114_merge_upsert",
+    f"""WITH base AS (
+         SELECT user_id, event_type, value FROM (
+           SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '{_MERGE_CUT}') t WHERE rn = 1),
+       chg AS (
+         SELECT user_id, event_type, value FROM (
+           SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUT}') t WHERE rn = 1)
+       SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+              CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE b.event_type END AS last_type,
+              CAST(ROUND(CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END, 2) AS DOUBLE) AS last_value
+       FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+       WHERE c.user_id IS NULL OR c.event_type <> 'error'
+       ORDER BY user_id""",
+    "MERGE INTO (latest-wins upsert/delete): the first half of the events"
+    " stream compacts into a base snapshot, the second half is the"
+    " changelog — a change whose final event is 'error' DELETES the key,"
+    " anything else upserts its values. The operator compacts the"
+    " changelog to one row per key BEFORE the full-outer join (merge state"
+    " depends only on each key's last change), so the expensive side is"
+    " bounded by |changed keys| and broadcasts at real changelog:base"
+    " ratios. Oracle is the textbook FULL OUTER JOIN + CASE formulation.",
+)
+def q114(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import merge as MG
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    cut = F.lit(_MERGE_CUT).cast("timestamp_ntz")
+    base = MG.latest_per_key(
+        ev.filter(F.col("ts") < cut), ["user_id"], ["ts", "event_id"]
+    )
+    changes = ev.filter(F.col("ts") >= cut)
+    merged = MG.merge_upsert(
+        base,
+        changes,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        delete_when=F.col("event_type") == "error",
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).cast("double").alias("last_value"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "q115_matview_refresh",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+              COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "Incremental summary maintenance proven lossless: the summary is built"
+    " from pre-1999 shipments only, then REFRESHED with the post-1999"
+    " slice (refresh scans the delta, never history — the associativity of"
+    " the exact-decimal components makes refresh(build(A), B) equal"
+    " build(A∪B) bit-for-bit). The oracle aggregates the WHOLE raw fact;"
+    " matching proves the incremental path equals the full rebuild.",
+)
+def q115(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    old = MV.build_lineitem_summary(li.filter(F.col("l_shipdate") < cut))
+    refreshed = MV.refresh_summary(old, li.filter(F.col("l_shipdate") >= cut))
+    nav = MV.navigate(refreshed, ["l_returnflag", "l_linestatus"])
+    return (
+        nav.select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+            F.round("sum_disc_price", 2).cast("double").alias("sum_disc_price"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
@@ -3379,10 +3646,19 @@ def prepare_map() -> dict[str, Callable[[SparkSession, str], None]]:
     def prep_manifest(spark: SparkSession, sf_dir: str) -> None:
         get_orders_manifest(spark, sf_dir)
 
+    def prep_summary(spark: SparkSession, sf_dir: str) -> None:
+        get_lineitem_summary(spark, sf_dir)
+
+    def prep_bloom(spark: SparkSession, sf_dir: str) -> None:
+        get_orders_bloom_manifest(spark, sf_dir)
+
     return {
         "q34b_ivf_topk": prep_ivf,
         "q81_semantic_dedup": prep_semdedup,
         "q82_manifest_source": prep_manifest,
+        "q111_matview_rollup": prep_summary,
+        "q112_matview_trend": prep_summary,
+        "q113_bloom_point_lookup": prep_bloom,
     }
 
 

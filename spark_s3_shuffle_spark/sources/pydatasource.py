@@ -26,6 +26,17 @@ Partitioning: one InputPartition per surviving shard — a 1000-executor
 cluster reads 1000 shards concurrently; per-shard reads stream pyarrow
 record batches (Arrow zero-copy into Spark), never materializing a shard
 in Python memory.
+
+Bloom skipping: [min, max] zone maps cannot prune POINT lookups on a key
+the layout is not sorted/ranged by — every shard of a hash-distributed
+table spans nearly the full key range, so every interval check passes.
+Manifests can therefore also carry a per-shard bloom filter per chosen
+column (``write_manifest(bloom_cols=...)``): ~10 bits per distinct value
+at 1% false-positive rate, built from one writer-side column pass. An
+EqualTo/In filter on a bloomed column prunes any shard whose filter
+proves the value absent — a 100 TB hash-layout table answers a point
+lookup by opening ~1 shard instead of all of them (the Iceberg/Delta
+bloom strategy, Parquet's own bloom_filter pages scaled to the manifest).
 """
 
 from __future__ import annotations
@@ -75,6 +86,58 @@ def _interval_may_match(f: Filter, lo, hi) -> bool:
     return True
 
 
+def _bloom_bytes(v) -> bytes:
+    """Canonical byte encoding hashed on BOTH the write and probe side.
+    Integral floats collapse onto ints because Spark may widen a bigint
+    literal to double in the pushed filter."""
+    if isinstance(v, bool):
+        return b"b1" if v else b"b0"
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, float) and v.is_integer():
+        return b"i" + str(int(v)).encode()
+    if isinstance(v, float):
+        return b"f" + repr(v).encode()
+    return b"s" + str(v).encode()
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one md5 (Kirsch-Mitzenmacher:
+    two independent 64-bit halves compose k hashes with one digest)."""
+    import hashlib
+
+    d = hashlib.md5(_bloom_bytes(value)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd -> full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float = 0.01) -> dict:
+    """Bloom filter over distinct ``values`` as a manifest-embeddable dict
+    {m, k, bits(base64)} — sized m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    import base64
+    import math
+
+    distinct = set(values)
+    n = max(1, len(distinct))
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = 0
+    for v in distinct:
+        for pos in _bloom_positions(v, m, k):
+            bits |= 1 << pos
+    raw = bits.to_bytes((m + 7) // 8, "little")
+    return {"m": m, "k": k, "bits": base64.b64encode(raw).decode("ascii")}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    raw = base64.b64decode(bloom["bits"])
+    bits = int.from_bytes(raw, "little")
+    return all((bits >> p) & 1 for p in _bloom_positions(value, bloom["m"], bloom["k"]))
+
+
 class ManifestParquetReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self._manifest_path = options.get("manifest")
@@ -101,11 +164,20 @@ class ManifestParquetReader(DataSourceReader):
 
     def _survives(self, entry: dict) -> bool:
         stats = entry.get("stats") or {}
+        blooms = entry.get("bloom") or {}
         for f in self._filters:
             col = f.attribute[0]
             if col in stats:
                 lo, hi = stats[col]
                 if not _interval_may_match(f, lo, hi):
+                    return False
+            if col in blooms:
+                b = blooms[col]
+                if isinstance(f, EqualTo) and not _bloom_may_contain(b, f.value):
+                    return False
+                if isinstance(f, In) and not any(
+                    _bloom_may_contain(b, v) for v in f.value
+                ):
                     return False
         return True
 
@@ -162,10 +234,19 @@ def register(spark) -> None:
     spark.dataSource.register(ManifestParquetDataSource)
 
 
-def write_manifest(shard_paths: list[str], stat_cols: list[str], out_path: str) -> None:
+def write_manifest(
+    shard_paths: list[str],
+    stat_cols: list[str],
+    out_path: str,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> None:
     """Author a manifest over existing parquet shards, computing [min, max]
     stats for ``stat_cols`` from each file's parquet FOOTER (no data read)
-    — the writer-side half of the skipping contract."""
+    — the writer-side half of the skipping contract. ``bloom_cols`` adds a
+    per-shard bloom filter per column (one column-read pass per shard —
+    the standard write-amortized cost of bloom indexing; ~10 bits per
+    distinct value at the default 1% fpp)."""
     import pyarrow.parquet as pq
 
     with open(out_path, "w") as fh:
@@ -186,4 +267,14 @@ def write_manifest(shard_paths: list[str], stat_cols: list[str], out_path: str) 
                     mins[name] = st.min if name not in mins else min(mins[name], st.min)
                     maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
             stats = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
-            fh.write(json.dumps({"path": os.path.abspath(p), "stats": stats}) + "\n")
+            entry: dict = {"path": os.path.abspath(p), "stats": stats}
+            if bloom_cols:
+                table = pq.read_table(p, columns=list(bloom_cols))
+                entry["bloom"] = {
+                    c: _bloom_build(
+                        (v for v in table.column(c).to_pylist() if v is not None),
+                        bloom_fpp,
+                    )
+                    for c in bloom_cols
+                }
+            fh.write(json.dumps(entry) + "\n")

@@ -181,3 +181,12 @@ def test_tpch_completion_pack_plan_shapes(spark, sf_dir):
     q107 = QUERIES["q107_tpch_q17"].builder(spark, sf_dir)
     assert I.count_exchanges(q107) <= 3
     assert I.has_broadcast_join(q107)
+
+
+def test_matview_rollup_scans_summary_not_fact(spark, sf_dir):
+    """Aggregate navigation contract: q111/q112 must read the materialized
+    summary's component columns — never any raw lineitem column."""
+    q111 = QUERIES["q111_matview_rollup"].builder(spark, sf_dir)
+    cols = {c for s in I.read_schema_columns(q111) for c in s}
+    assert "sum_qty" in cols and "n_rows" in cols, cols
+    assert not {"l_extendedprice", "l_quantity", "l_shipdate"} & cols, cols

@@ -126,3 +126,64 @@ def test_transform_with_state_running_totals(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_bloom_filter_membership_and_fpp():
+    """Pure bloom math: every inserted key hits; absent keys false-positive
+    at roughly the configured rate (1% — allow generous slack)."""
+    keys = list(range(0, 5000, 5))
+    bloom = PDS._bloom_build(keys, fpp=0.01)
+    assert all(PDS._bloom_may_contain(bloom, k) for k in keys)
+    absent = [k for k in range(1, 50000, 7) if k % 5 != 0]
+    fp = sum(PDS._bloom_may_contain(bloom, k) for k in absent) / len(absent)
+    assert fp < 0.05, fp
+    # integral floats collapse onto ints (Spark may widen pushed literals)
+    assert PDS._bloom_may_contain(bloom, 10.0) and PDS._bloom_may_contain(bloom, 10)
+
+
+@pytest.fixture(scope="module")
+def hash_sharded(spark, sf_dir):
+    """Eight orders shards HASHED on o_custkey (every shard spans ~the full
+    o_orderkey range) + a manifest carrying zone maps AND bloom filters."""
+    tmp = tempfile.mkdtemp(prefix="bloom-src-")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    paths = []
+    for i in range(8):
+        p = f"{tmp}/shard-{i}.parquet"
+        orders.filter(F.col("o_custkey") % 8 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = [f for f in os.listdir(p) if f.startswith("part-")][0]
+        paths.append(f"{p}/{part}")
+    manifest = f"{tmp}/manifest.jsonl"
+    PDS.write_manifest(paths, ["o_orderkey"], manifest, bloom_cols=["o_orderkey"])
+    PDS.register(spark)
+    return {"manifest": manifest, "orders": orders}
+
+
+def test_bloom_prunes_hash_layout_where_zone_maps_cannot(spark, hash_sharded):
+    """The skipping claim itself: a point lookup on the hash layout must
+    open strictly fewer shards than exist (zone maps alone keep all 8)."""
+    from pyspark.sql.datasource import In
+
+    key = 1111  # exists at every fixture SF
+    reader = PDS.ManifestParquetReader(None, {"manifest": hash_sharded["manifest"]})
+    assert len(reader.partitions()) == 8
+    reader.pushFilters([EqualTo(("o_orderkey",), key)])
+    surviving = len(reader.partitions())
+    assert 1 <= surviving <= 2, surviving  # the owner shard + <=1 false positive
+
+    reader2 = PDS.ManifestParquetReader(None, {"manifest": hash_sharded["manifest"]})
+    reader2.pushFilters([In(("o_orderkey",), (11, 222, 1111))])
+    assert len(reader2.partitions()) <= 4
+
+    # end-to-end through Spark: result equals the plain table lookup
+    got = (
+        spark.read.format(PDS.FORMAT_NAME)
+        .option("manifest", hash_sharded["manifest"])
+        .load()
+        .filter(F.col("o_orderkey") == key)
+        .collect()
+    )
+    expected = hash_sharded["orders"].filter(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
