@@ -3581,6 +3581,72 @@ def q115(spark, sf_dir):
     )
 
 
+@_register(
+    "q116_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "B21 completes the grouping family: explicit GROUPING SETS (rollup is"
+    " q17, cube is q54) with the GROUPING bitmask distinguishing real"
+    " NULLs from subtotal rows — one pass, Spark expands the sets into a"
+    " single Expand+HashAggregate (rows replicate per set; at scale the"
+    " replication factor is |sets|, not |groups|).",
+)
+def q116(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@_register(
+    "q117_variant_json",
+    """SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n,
+              CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY k ORDER BY k NULLS FIRST""",
+    "Semi-structured fast path via Spark 4 VariantType: props parses ONCE"
+    " into the binary variant encoding and fields extract with"
+    " variant_get — repeated multi-field access over 100 TB of JSON pays"
+    " one parse instead of one per get_json_object call (q29 is the"
+    " legacy-path twin). Oracle reads the same JSON with DuckDB's ->>"
+    " extraction.",
+)
+def q117(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            F.try_variant_get(v, "$.k", "bigint").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
@@ -3652,7 +3718,11 @@ def prepare_map() -> dict[str, Callable[[SparkSession, str], None]]:
     def prep_bloom(spark: SparkSession, sf_dir: str) -> None:
         get_orders_bloom_manifest(spark, sf_dir)
 
+    def prep_zorder(spark: SparkSession, sf_dir: str) -> None:
+        get_orders_zorder_manifest(spark, sf_dir)
+
     return {
+        "q96_zorder_manifest": prep_zorder,
         "q34b_ivf_topk": prep_ivf,
         "q81_semantic_dedup": prep_semdedup,
         "q82_manifest_source": prep_manifest,
