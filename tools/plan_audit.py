@@ -33,6 +33,9 @@ NESTED_LOOP_OK = {
     "q34c_lsh_topk",
     "q63_quality_percentile_filter",  # 1-row percentile-bounds broadcast
     "q79_tfidf_topterms",  # 1-row corpus-count (N) broadcast into the idf expr
+    "q103_tpch_q11",  # 1-row global-total broadcast (HAVING scalar)
+    "q105_tpch_q15",  # 1-row max-revenue broadcast (scalar-max join-back)
+    "q110_tpch_q22",  # 1-row avg-balance broadcast (scalar-avg filter)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
