@@ -86,9 +86,11 @@ def refresh_summary(summary: DataFrame, delta_fact: DataFrame) -> DataFrame:
     Because the components are associative (exact-decimal sums + counts),
     ``refresh(build(A), B) == build(A ∪ B)`` exactly — the algebraic
     property registry q115 proves under a raw-fact oracle. Cost is one
-    scan of the DELTA only, plus a |summary|-sized regroup; at 100 TB
-    with month in the grain, the regroup prunes to the months the delta
-    touched while untouched history passes through untouched.
+    scan of the DELTA only, plus a regroup over |summary| + |delta
+    summary| rows (thousands at any fact scale — never the fact). Month
+    in the grain is what makes the STORAGE side incremental: a
+    month-partitioned summary sink only rewrites the partitions the delta
+    touched.
 
     Components re-cast to their build dtypes so repeated refreshes keep a
     stable schema instead of escalating decimal precision each round.

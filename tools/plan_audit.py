@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "q34_cosine_topk",
     "q34b_ivf_topk",
     "q34c_lsh_topk",
+    "q97_quantized_topk",  # same 1-row probe broadcast as the q34 family
     "q63_quality_percentile_filter",  # 1-row percentile-bounds broadcast
     "q79_tfidf_topterms",  # 1-row corpus-count (N) broadcast into the idf expr
     "q103_tpch_q11",  # 1-row global-total broadcast (HAVING scalar)
@@ -47,6 +48,7 @@ MAX_EXCHANGES = {
     "q44_ngram_jaccard": 10,
     "q59_minhash_dedup_cc": 14,
     "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
+    "q109_tpch_q21": 8,  # Q21: late-pairs distinct + two per-order aggregates + final rank
 }
 
 
