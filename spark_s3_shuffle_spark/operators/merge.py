@@ -44,6 +44,7 @@ def merge_upsert(
     key_cols: list[str],
     order_cols: list[str],
     delete_when,
+    guard_out_of_order: bool = False,
 ) -> DataFrame:
     """Next snapshot = MERGE of ``changes`` into ``base``.
 
@@ -52,7 +53,20 @@ def merge_upsert(
     values replace/insert the key. Keys absent from the changelog keep
     their base row. Both inputs must share the same schema.
 
-    Equivalent SQL (the oracle form)::
+    ``guard_out_of_order=True`` makes the merge SAFE under out-of-order
+    delivery: a change only applies when its ``order_cols`` tuple exceeds
+    the base row's (the version-guard every streaming CDC sink needs —
+    micro-batches do not arrive in event-time order, and an unguarded
+    merge would let a late straggler overwrite newer state). With the
+    guard, folding a PURE-UPSERT changelog in batch-by-batch in ANY batch
+    order yields the same snapshot as one merge of the whole changelog,
+    which is what makes the foreachBatch upsert sink composable. Deletes
+    under out-of-order delivery additionally need tombstone retention (a
+    deleted key leaves no row to guard against, so a late straggler could
+    resurrect it) — single-shot merges (registry q114) are unaffected
+    because compaction sees the whole changelog at once.
+
+    Equivalent SQL (the oracle form, unguarded)::
 
         SELECT COALESCE(c.cols, b.cols) ...
         FROM base b FULL OUTER JOIN latest_changes c USING (keys)
@@ -71,11 +85,19 @@ def merge_upsert(
         cond = eq if cond is None else cond & eq
     joined = base.join(c, cond, "full_outer")
     has_change = F.col(f"_ck_{key_cols[0]}").isNotNull()
+    no_base = base[key_cols[0]].isNull()
+    if guard_out_of_order:
+        newer = F.struct(*[F.col(f"_cv_{o}") for o in order_cols]) > F.struct(
+            *[base[o] for o in order_cols]
+        )
+        take_change = has_change & (no_base | newer)
+    else:
+        take_change = has_change
     out_keys = [
         F.coalesce(base[k], F.col(f"_ck_{k}")).alias(k) for k in key_cols
     ]
     out_vals = [
-        F.when(has_change, F.col(f"_cv_{v}")).otherwise(base[v]).alias(v)
+        F.when(take_change, F.col(f"_cv_{v}")).otherwise(base[v]).alias(v)
         for v in val_cols
     ]
-    return joined.filter(~has_change | ~F.col("_c_delete")).select(*out_keys, *out_vals)
+    return joined.filter(~(take_change & F.col("_c_delete"))).select(*out_keys, *out_vals)

@@ -3647,6 +3647,75 @@ def q117(spark, sf_dir):
     )
 
 
+@_register(
+    "q118_resample_locf",
+    """WITH grid AS (
+         SELECT u.user_id, g.hour
+         FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 25) u
+         CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                   TIMESTAMP '2024-01-30 23:00:00',
+                                                   INTERVAL 1 HOUR)) AS hour) g),
+       hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS hour, value
+         FROM (SELECT user_id, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE user_id < 25) t
+         WHERE rn = 1)
+       SELECT g.user_id, g.hour,
+              CAST(ROUND(last_value(h.value IGNORE NULLS)
+                         OVER (PARTITION BY g.user_id ORDER BY g.hour
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS value
+       FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       ORDER BY g.user_id, g.hour""",
+    "Time-series resample + gap fill (the hypertable-rollup shape): every"
+    " (user, hour) cell of a fixed 30-day grid, holding the last observed"
+    " value at-or-before that hour (LOCF; NULL before first observation)."
+    " The grid generates from a broadcast sequence (no fact scan), events"
+    " compact to one row per (user, hour) BEFORE joining the grid, and the"
+    " fill is one window over the user partition — the exchange on user_id"
+    " serves compaction, join, and fill. At 100 TB the state per series is"
+    " one row; grid size is |series| x |buckets|, independent of fact rows.",
+)
+def q118(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.select("user_id", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "hour", "value")
+    )
+    grid_hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(grid_hours))
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left_outer")
+        .withColumn("_filled", F.last("value", ignorenulls=True).over(w_fill))
+        .select(
+            "user_id", "hour",
+            F.round("_filled", 2).cast("double").alias("value"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

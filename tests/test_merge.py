@@ -54,3 +54,75 @@ def test_navigate_rejects_non_grain_keys(spark, sf_dir):
     summary = MV.build_lineitem_summary(load_table(spark, sf_dir, "lineitem").limit(100))
     with pytest.raises(ValueError, match="not in summary grain"):
         MV.navigate(summary, ["l_orderkey"])
+
+
+def test_guarded_merge_ignores_stale_changes(spark):
+    base = spark.createDataFrame([(1, "new", 10), (2, "b", 5)], SCHEMA)
+    stale_and_fresh = spark.createDataFrame(
+        [(1, "old", 3), (2, "b2", 9)], SCHEMA  # seq 3 < base's 10; 9 > 5
+    )
+    out = MG.merge_upsert(
+        base, stale_and_fresh, ["k"], ["seq"],
+        delete_when=F.col("v") == "__del__", guard_out_of_order=True,
+    )
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "new"), (2, "b2")}
+
+
+def test_streaming_foreachbatch_upsert_sink(spark, sf_dir):
+    """foreachBatch + guarded merge as a streaming upsert sink: fold each
+    micro-batch into a keyed snapshot; the final snapshot must equal the
+    batch latest-event-per-user compaction regardless of how events were
+    split across micro-batches (the version guard makes batch order
+    irrelevant for pure upserts)."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    from spark_s3_shuffle_spark.streaming import ops as S
+
+    tmp = tempfile.mkdtemp(prefix="merge-sink-")
+    # events split across 4 files in RANDOM ts order — exactly the
+    # out-of-order delivery the guard exists for
+    events_drop_dir = tmp
+    load_table(spark, sf_dir, "events").drop("event_ts").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/in")
+    cols = ["user_id", "event_type", "value", "ts", "event_id"]
+    state = {"path": None}
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.select(*cols)
+        if state["path"] is None:
+            nxt = MG.latest_per_key(batch, ["user_id"], ["ts", "event_id"])
+        else:
+            base = spark.read.parquet(state["path"])
+            nxt = MG.merge_upsert(
+                base, batch, ["user_id"], ["ts", "event_id"],
+                delete_when=F.lit(False), guard_out_of_order=True,
+            )
+        out = f"{tmp}/v{batch_id}"
+        nxt.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    stream = S.read_events_stream(spark, f"{events_drop_dir}/in", max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    assert state["path"] is not None
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    got = spark.read.parquet(state["path"]).select("user_id", "event_type", "value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))

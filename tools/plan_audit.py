@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "q103_tpch_q11",  # 1-row global-total broadcast (HAVING scalar)
     "q105_tpch_q15",  # 1-row max-revenue broadcast (scalar-max join-back)
     "q110_tpch_q22",  # 1-row avg-balance broadcast (scalar-avg filter)
+    "q118_resample_locf",  # |buckets|-row broadcast grid x distinct series
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -49,6 +50,7 @@ MAX_EXCHANGES = {
     "q59_minhash_dedup_cc": 14,
     "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
     "q109_tpch_q21": 8,  # Q21: late-pairs distinct + two per-order aggregates + final rank
+    "q118_resample_locf": 8,  # compaction window + grid join + fill window + sort
 }
 
 
