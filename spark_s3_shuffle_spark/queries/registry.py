@@ -3716,6 +3716,36 @@ def q118(spark, sf_dir):
     )
 
 
+@_register(
+    "q119_higher_order_fns",
+    """SELECT vec_id,
+              CAST(ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS DOUBLE) AS l2,
+              CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT) AS n_pos
+       FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "B34 depth: lambda higher-order functions (transform / filter /"
+    " aggregate) — the JVM-side way to compute over array columns without"
+    " exploding (no row multiplication, no Python). The left-fold in"
+    " F.aggregate walks the array in order, matching DuckDB's list_sum"
+    " element order, so the float L2 norms agree bit-for-bit.",
+)
+def q119(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vec = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(vec, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.sqrt(sq_sum), 4).cast("double").alias("l2"),
+            F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_pos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
