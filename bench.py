@@ -47,7 +47,13 @@ from spark_s3_shuffle_spark.queries.registry import QUERIES, prepare_map
 from spark_s3_shuffle_spark.session import get_spark
 from spark_s3_shuffle_spark.sources.catalog import load_table
 
-BASELINE_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_JSON = os.path.join(_HERE, "BASELINE_BENCH.json")
+#: Full paired-run artifact: the driver's per-round stdout capture keeps only
+#: the last 2000 chars, which truncates ratios/ratio_max out of BENCH_rNN.json
+#: — so the DEFAULT run also persists the complete JSON to disk (override the
+#: path with $SPARK_GRAFT_BENCH_OUT; round-close copies it to BENCH_FULL_rNN).
+PAIRED_JSON = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(_HERE, "BENCH_FULL.json"))
 
 
 def bench_only_queries():
@@ -222,7 +228,10 @@ def main() -> None:
             "baseline_total": round(sum(vanilla_t.values()), 4),
             "baseline_queries": vanilla_t,
             "protocol": "paired-in-process",
+            "runs": runs,
         }
+        with open(PAIRED_JSON, "w") as f:
+            json.dump(out, f, indent=1)
 
     print(json.dumps(out))
 
