@@ -3,9 +3,11 @@
 Images/audio/video are opaque ``binary`` payload columns plus a typed
 metadata struct. The Spark-side machinery — schema, content hashing,
 partition-parallel Arrow batching through ``mapInPandas``, batch shape — is
-real and tested; the actual media decode is STUBBED (the container ships no
-image/audio libraries) behind ``decode_stub``: a deterministic fake that a
-deployment replaces with PIL/ffmpeg calls of the same signature.
+real and tested. ``text/plain`` payloads get a REAL decoder
+(:func:`decode_text`: charset detection + byte/char/line stats,
+oracle-checked by q47); image/audio/video decode is STUBBED (the container
+ships no media libraries) behind ``decode_stub``: a deterministic fake that
+a deployment replaces with PIL/ffmpeg calls of the same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -90,6 +93,72 @@ def decode_stub(payload: bytes) -> dict:
         "height": 16 + ((n // 64) % 64),
         "n_frames": 1 + (n % 8),
     }
+
+
+def decode_text(payload: bytes | None) -> dict:
+    """REAL ``text/plain`` decoder (replaces the stub tier for text media):
+    charset detection by strict decode attempts (ascii ⊂ utf-8 ⊂ latin-1
+    fallback tagged ``binary``) + byte/char/line stats over the decoded
+    string.
+
+    ``ascii_ratio`` rounds half-away-from-zero (floor(x·1e4 + 0.5)/1e4) to
+    match SQL ROUND, so the output is oracle-checkable bit-for-bit.
+    ``n_lines`` is newline-count + 1 (an empty document is one empty line).
+    """
+    if payload is None:
+        return {"charset": None, "n_bytes": 0, "n_chars": None,
+                "n_lines": None, "ascii_ratio": None}
+    try:
+        s, charset = payload.decode("ascii"), "ascii"
+    except UnicodeDecodeError:
+        try:
+            s, charset = payload.decode("utf-8"), "utf-8"
+        except UnicodeDecodeError:
+            s, charset = payload.decode("latin-1"), "binary"
+    n_chars = len(s)
+    n_ascii = sum(1 for c in s if ord(c) < 128)
+    import math
+
+    ratio = math.floor(n_ascii / n_chars * 10000 + 0.5) / 10000 if n_chars else 1.0
+    return {
+        "charset": charset,
+        "n_bytes": len(payload),
+        "n_chars": n_chars,
+        "n_lines": s.count("\n") + 1,
+        "ascii_ratio": ratio,
+    }
+
+
+TEXT_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("charset", StringType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("n_chars", LongType(), True),
+    StructField("n_lines", LongType(), True),
+    StructField("ascii_ratio", DoubleType(), True),
+])
+
+
+def extract_text_features(df: DataFrame) -> DataFrame:
+    """Decode text payloads + feature-extract via the same ``mapInPandas``
+    Arrow-batched scan as :func:`extract_features`, but with the REAL
+    :func:`decode_text` decoder — zero shuffle, one Arrow batch in memory
+    per task."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_text(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "charset": [d["charset"] for d in decoded],
+                "n_bytes": pd.array([d["n_bytes"] for d in decoded], dtype="Int64"),
+                "n_chars": pd.array([d["n_chars"] for d in decoded], dtype="Int64"),
+                "n_lines": pd.array([d["n_lines"] for d in decoded], dtype="Int64"),
+                "ascii_ratio": pd.array([d["ascii_ratio"] for d in decoded], dtype="Float64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=TEXT_FEATURE_SCHEMA)
 
 
 FEATURE_SCHEMA = StructType([

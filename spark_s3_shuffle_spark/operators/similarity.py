@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_s3_shuffle_spark.functions.vector import cosine
@@ -216,18 +216,86 @@ def ivf_probe_vector(
     )
 
 
+def ivf_batch_topk_join(
+    index: IVFIndex,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN join (the ``approxSimilarityJoin`` shape, SURVEY B48/B49):
+    EVERY row of a probe TABLE gets its per-probe top-k through the IVF
+    cells in ONE distributed plan — no driver-side action per probe.
+
+    Three stages, all joins against broadcast-sized sides:
+
+    1. cell ranking — probes × broadcast centroid table (num_cells rows),
+       per-probe ``row_number() <= nprobe`` (plans WindowGroupLimit, so
+       only nprobe rows per probe survive map-side);
+    2. candidate generation — equi-join of the (probe, cell) expansion
+       against ``assignments`` ON THE CELL KEY with the probe side
+       broadcast: the corpus never reshuffles, each cell partition is
+       streamed once no matter how many probes touch it;
+    3. per-probe top-k — ``row_number() <= k`` over (cos DESC, id), again
+       WindowGroupLimit; the shuffle moves at most k rows per (probe,
+       partition).
+
+    At 100 TB the probe table is typically ≤ millions of rows (requests,
+    eval sets) against billions of vectors — exactly the small-side-
+    broadcast asymmetry stages 1-2 exploit. Returns
+    (probe_id, id_col, cos, rank) with rank 1..k per probe.
+
+    Output contract: scored cosines round to 4 decimals BEFORE ranking,
+    ties broken by ascending id — the same canonicalization as
+    ``cosine_topk``, so an exact brute-force SQL twin can oracle-check the
+    whole join when nprobe covers the true neighbors.
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        _as_double(F.col(probe_vec_col)).alias("_probe"),
+    )
+    w_cell = Window.partitionBy("_pid").orderBy(F.col("_cos_c").desc(), F.col("cell"))
+    probe_cells = (
+        p.crossJoin(F.broadcast(index.centroids))
+        .withColumn("_cos_c", cosine(F.col("_probe"), F.col("centroid")))
+        .withColumn("_r", F.row_number().over(w_cell))
+        .filter(F.col("_r") <= nprobe)
+        .select("_pid", "_probe", "cell")
+    )
+    w_k = Window.partitionBy("_pid").orderBy(F.col("cos").desc(), F.col(index.id_col))
+    return (
+        index.assignments.join(F.broadcast(probe_cells), "cell")
+        .select(
+            "_pid",
+            F.col(index.id_col),
+            F.round(cosine(F.col("_v"), F.col("_probe")), 4).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(probe_id_col), index.id_col, "cos", "rank")
+    )
+
+
 def ivf_probe(
     index: IVFIndex,
     probe: DataFrame,
     k: int = 10,
     nprobe: int = 4,
     probe_vec_col: str = "embedding",
+    probe_id_col: str | None = None,
 ) -> DataFrame:
-    """Probe a built index: rank cells by centroid similarity (driver-side
-    numpy for a single probe; broadcast join for probe tables), then
+    """Probe a built index: rank cells by centroid similarity, then
     brute-force only the ``nprobe`` nearest cells — a scan cut of
-    ~nprobe/num_cells versus exact search, with TakeOrderedAndProject
-    keeping k rows per partition.
+    ~nprobe/num_cells versus exact search.
+
+    Dispatch: a 1-row probe delegates to the parameter-bound serving path
+    (``ivf_probe_vector`` — one job, IN-list pruned scan); anything larger
+    delegates to :func:`ivf_batch_topk_join`, so serving and batch share
+    one implementation (the ``take(2)`` here is the serving dispatch read,
+    not a per-probe loop). Batch output adds (probe_id, rank) columns; a
+    probe table without ``probe_id_col`` gets one synthesized from its
+    vector hash.
 
     Measured on a 200k-vector dim-32 corpus, local[32], num_cells=32,
     nprobe=4: probe 0.37 s vs exact 1.32 s (3.6×) at 8/10 top-10 overlap —
@@ -237,27 +305,13 @@ def ivf_probe(
     p = probe.select(_as_double(F.col(probe_vec_col)).alias("_probe"))
     head = p.take(2)
     if len(head) == 1:
-        # single-probe path: the vector is in hand after the dispatch read —
-        # delegate to the parameter-bound serving probe (one job, pruned
-        # scan; on a cell-partitioned index table the IN-list filter is
-        # what partition-prunes to nprobe/num_cells of the data)
         return ivf_probe_vector(index, head[0]["_probe"], k, nprobe)
-    # probe-table path: everything stays distributed — rank cells per probe
-    # row via broadcast join, then semi-join on the cell key
-    cell_rank = (
-        p.crossJoin(F.broadcast(index.centroids))
-        .withColumn("cos_c", cosine(F.col("_probe"), F.col("centroid")))
-        .orderBy(F.col("cos_c").desc())
-        .limit(nprobe)
-        .select("cell")
-    )
-    candidates = index.assignments.join(F.broadcast(cell_rank), "cell", "left_semi")
-    return (
-        candidates.crossJoin(F.broadcast(p))
-        .select(index.id_col, F.round(cosine(F.col("_v"), F.col("_probe")), 4).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col(index.id_col))
-        .limit(k)
-    )
+    if probe_id_col is None:
+        probes = probe.withColumn("probe_id", F.xxhash64(F.col(probe_vec_col)))
+        probe_id_col = "probe_id"
+    else:
+        probes = probe
+    return ivf_batch_topk_join(index, probes, k, nprobe, probe_id_col, probe_vec_col)
 
 
 def with_lsh_keys(
@@ -431,3 +485,69 @@ def quantized_topk(
     )
     exact = vectors.join(cand, id_col, "left_semi")
     return cosine_topk(exact, probe, k, id_col, vec_col, probe_vec_col)
+
+
+def quantized_batch_topk_join(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Batch ANN join with the EXACT output contract (q97's mechanism,
+    table-shaped): every probe row gets its true per-probe top-k, but the
+    full corpus is scanned only as int8 vectors (1/4 the bytes), and the
+    exact float vectors are read for just ``k * rescore_factor`` candidates
+    per probe.
+
+    Stages — all distributed, no per-probe driver action:
+
+    1. quantized scoring — int8 corpus × broadcast probe table, asymmetric
+       cosine (scale-invariant, so no dequantization), per-probe
+       ``row_number() <= k*rescore_factor`` (plans WindowGroupLimit: k·f
+       rows per probe survive map-side);
+    2. exact rescore — the candidate (probe, id) pairs are broadcast back
+       against the float corpus (an equi-join on the id key: at most
+       probes·k·f rows on the build side), rescored with exact cosine;
+    3. per-probe top-k — ``row_number() <= k``, again WindowGroupLimit.
+
+    With 8-bit quantization the per-pair cosine error is ~1e-2 worst-case,
+    so a 4x over-retrieve recovers the exact top-k — the contract (and the
+    oracle) is the same as per-probe brute force at a quarter of the scan
+    bytes. Returns (probe_id, id_col, cos, rank), cos rounded to 4, ties
+    by ascending id — ``cosine_topk``'s canonicalization per probe."""
+    q = quantized if quantized is not None else quantize_vectors(vectors, id_col, vec_col)
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        _as_double(F.col(probe_vec_col)).alias("_probe"),
+    )
+    w_q = Window.partitionBy("_pid").orderBy(F.col("_qcos").desc(), F.col(id_col))
+    cand = (
+        q.crossJoin(F.broadcast(p))
+        .select(
+            "_pid",
+            F.col(id_col),
+            cosine(F.transform("qvec", lambda x: x.cast("double")), F.col("_probe")).alias("_qcos"),
+        )
+        .withColumn("_r", F.row_number().over(w_q))
+        .filter(F.col("_r") <= k * rescore_factor)
+        .select("_pid", id_col)
+    )
+    w_k = Window.partitionBy("_pid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(p), "_pid")
+        .select(
+            "_pid",
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_probe")), 4).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(probe_id_col), id_col, "cos", "rank")
+    )

@@ -305,6 +305,63 @@ def test_ivf_probe_prunes_to_nprobe_cells(spark):
         corpus.unpersist()
 
 
+def test_ivf_batch_join_recall_and_delegation(spark, sf_dir):
+    """Batch ANN join (q120b shape): per-probe results flow through ONE
+    distributed plan. Properties: (a) every probe's rank-1 hit is itself
+    (cos 1.0 — the probe is in the corpus and in its own nearest cell);
+    (b) returned cosines agree with the exact scores (candidates are a
+    subset of the corpus, only the candidate SET is approximate);
+    (c) ivf_probe with a multi-row probe table delegates to the batch join."""
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.build_ivf_index(emb, num_cells=8)
+    try:
+        probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        batch = SIM.ivf_batch_topk_join(idx, probes, k=5, nprobe=4, probe_id_col="probe_id")
+        rows = batch.collect()
+        n_probes = probes.count()
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r["probe_id"], []).append(r)
+        assert len(by_probe) == n_probes
+        for pid, rs in by_probe.items():
+            best = min(rs, key=lambda r: r["rank"])
+            assert best["vec_id"] == pid and best["cos"] == 1.0
+            # per-probe cosine values must equal the exact scores
+            probe = emb.filter(F.col("vec_id") == pid)
+            exact = {r["vec_id"]: r["cos"] for r in SIM.cosine_topk(emb, probe, k=500).collect()}
+            for r in rs:
+                assert exact[r["vec_id"]] == r["cos"]
+        # delegation: multi-row probe through ivf_probe == the batch join
+        via_dispatch = SIM.ivf_probe(
+            idx, probes, k=5, nprobe=4, probe_id_col="probe_id"
+        ).collect()
+        assert sorted(map(tuple, via_dispatch)) == sorted(map(tuple, rows))
+    finally:
+        idx.unpersist()
+
+
+def test_quantized_batch_join_exact_contract(spark, sf_dir):
+    """q120's contract: the quantized-scan + exact-rescore batch join must
+    reproduce per-probe brute force bit-for-bit at rescore_factor=4."""
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = {
+        (r["probe_id"], r["rank"]): (r["vec_id"], r["cos"])
+        for r in SIM.quantized_batch_topk_join(emb, probes, k=5, probe_id_col="probe_id").collect()
+    }
+    for pid in (0, 100):
+        probe = emb.filter(F.col("vec_id") == pid)
+        exact = SIM.cosine_topk(emb, probe, k=5).collect()
+        for rank, r in enumerate(exact, start=1):
+            assert got[(pid, rank)] == (r["vec_id"], r["cos"])
+
+
 def test_lsh_topk_finds_probe_and_overlaps(spark, sf_dir):
     from spark_s3_shuffle_spark.sources.catalog import load_table
     emb = load_table(spark, sf_dir, "embeddings")
@@ -395,6 +452,31 @@ def test_feature_extraction_stub(spark):
     assert feats[1]["ok"] == "true" and feats[1]["n_bytes"] == 6
     assert feats[1]["width"] == 16 + (6 % 64)
     assert feats[2]["ok"] == "false"
+
+
+def test_text_decode_charsets_and_stats(spark):
+    """The REAL text decoder (q47): charset branches the ascii-only fixture
+    can't exercise — utf-8 multibyte, undecodable bytes (latin-1 fallback
+    tagged 'binary'), NULL payloads — plus newline/char stats."""
+    rows = [
+        (1, "plain ascii\nsecond line".encode()),
+        (2, "café ☃".encode("utf-8")),  # multibyte utf-8
+        (3, b"\xff\xfe invalid utf8"),  # undecodable -> latin-1/'binary'
+        (4, None),
+        (5, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = df.select("media_id", "payload")
+    feats = {r["media_id"]: r for r in MM.extract_text_features(media).collect()}
+    assert feats[1]["charset"] == "ascii"
+    assert feats[1]["n_lines"] == 2 and feats[1]["ascii_ratio"] == 1.0
+    assert feats[2]["charset"] == "utf-8"
+    assert feats[2]["n_bytes"] > feats[2]["n_chars"]  # multibyte
+    assert feats[2]["ascii_ratio"] < 1.0
+    assert feats[3]["charset"] == "binary"
+    assert feats[4]["charset"] is None and feats[4]["n_bytes"] == 0
+    assert feats[5]["charset"] == "ascii" and feats[5]["n_lines"] == 1
+    assert feats[5]["ascii_ratio"] == 1.0  # empty defined as fully ascii
 
 
 def test_frame_sampling_shape(spark):

@@ -38,6 +38,8 @@ NESTED_LOOP_OK = {
     "q105_tpch_q15",  # 1-row max-revenue broadcast (scalar-max join-back)
     "q110_tpch_q22",  # 1-row avg-balance broadcast (scalar-avg filter)
     "q118_resample_locf",  # |buckets|-row broadcast grid x distinct series
+    "q120_batch_ann_join",  # probe-TABLE broadcast against the int8 scan
+    "q120b_batch_ivf_join",  # probe-table x broadcast centroid cell ranking
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -51,6 +53,8 @@ MAX_EXCHANGES = {
     "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
     "q109_tpch_q21": 8,  # Q21: late-pairs distinct + two per-order aggregates + final rank
     "q118_resample_locf": 8,  # compaction window + grid join + fill window + sort
+    "q120_batch_ann_join": 8,  # per-probe candidate + rescore WindowGroupLimit pairs
+    "q120b_batch_ivf_join": 16,  # includes the cached index-build lineage in explain
 }
 
 
