@@ -73,11 +73,21 @@ def merge_upsert(
         WHERE c.key IS NULL OR NOT delete_when(c)
     """
     val_cols = [c for c in base.columns if c not in key_cols]
+    if guard_out_of_order:
+        # the guard compares the change row's _cv_ aliases against the base
+        # row, so the version columns must be value (non-key) columns; and a
+        # NULL version value makes "newer" undecidable — see below.
+        missing = [o for o in order_cols if o not in val_cols]
+        if missing:
+            raise ValueError(
+                f"guard_out_of_order requires order_cols to be value columns "
+                f"of base (non-key); not satisfied by: {missing}"
+            )
     latest = latest_per_key(changes, key_cols, order_cols)
     c = latest.select(
         *[F.col(k).alias(f"_ck_{k}") for k in key_cols],
         *[F.col(v).alias(f"_cv_{v}") for v in val_cols],
-        delete_when.alias("_c_delete"),
+        F.coalesce(delete_when, F.lit(False)).alias("_c_delete"),
     )
     cond = None
     for k in key_cols:
@@ -87,8 +97,16 @@ def merge_upsert(
     has_change = F.col(f"_ck_{key_cols[0]}").isNotNull()
     no_base = base[key_cols[0]].isNull()
     if guard_out_of_order:
-        newer = F.struct(*[F.col(f"_cv_{o}") for o in order_cols]) > F.struct(
-            *[base[o] for o in order_cols]
+        # NULL in any order col makes the struct comparison NULL (guard
+        # undetermined): coalesce to False so the change is conservatively
+        # IGNORED — without this, a NULL guard on a delete change would
+        # evaluate the delete filter to NULL and silently DROP the base row.
+        # Callers needing NULL-versioned changes to apply must coalesce
+        # their order cols to a sentinel first.
+        newer = F.coalesce(
+            F.struct(*[F.col(f"_cv_{o}") for o in order_cols])
+            > F.struct(*[base[o] for o in order_cols]),
+            F.lit(False),
         )
         take_change = has_change & (no_base | newer)
     else:

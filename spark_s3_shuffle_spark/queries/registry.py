@@ -2196,16 +2196,26 @@ def q85(spark, sf_dir):
 _MANIFEST_CACHE: dict[tuple[str, str], str] = {}
 
 
-def get_orders_manifest(spark: SparkSession, sf_dir: str) -> str:
+def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """Per-process materialization root: keyed by the corpus dir AND the
+    Spark applicationId, so two concurrent harness processes on one host
+    never clobber each other's shards/summaries mid-read (the in-memory
+    caches are already app-keyed; the on-disk path must be too)."""
     import os as _os
     import tempfile as _tempfile
 
+    tag = sf_dir.strip("/").replace("/", "_")
+    app = spark.sparkContext.applicationId
+    return _os.path.join(_tempfile.gettempdir(), f"spark-graft-{prefix}-{tag}-{app}")
+
+
+def get_orders_manifest(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
     from spark_s3_shuffle_spark.sources import pydatasource as PDS
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MANIFEST_CACHE:
-        tag = sf_dir.strip("/").replace("/", "_")
-        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-manifest-{tag}")
+        root = _scratch_dir(spark, "manifest", sf_dir)
         orders = _t(spark, sf_dir, "orders")
         q1, q2 = orders.approxQuantile("o_orderkey", [0.33, 0.66], 0.01)
         cuts = [0, int(q1), int(q2), 10**18]
@@ -2647,15 +2657,12 @@ _ZORDER_CACHE: dict[tuple[str, str], str] = {}
 
 def get_orders_zorder_manifest(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
-    import tempfile as _tempfile
-
     from spark_s3_shuffle_spark.operators import layout as L
     from spark_s3_shuffle_spark.sources import pydatasource as PDS
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ZORDER_CACHE:
-        tag = sf_dir.strip("/").replace("/", "_")
-        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-zorder-{tag}")
+        root = _scratch_dir(spark, "zorder", sf_dir)
         o = _t(spark, sf_dir, "orders").withColumn(
             "o_orderday", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
         )
@@ -3360,12 +3367,9 @@ def get_lineitem_summary(spark: SparkSession, sf_dir: str) -> str:
     Reading it back from Parquet keeps the query plans honest: answered
     queries scan the summary files, never the fact."""
     import os as _os
-    import tempfile as _tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SUMMARY_CACHE:
-        tag = sf_dir.strip("/").replace("/", "_")
-        path = _os.path.join(_tempfile.gettempdir(), f"spark-graft-matview-{tag}")
+        path = _scratch_dir(spark, "matview", sf_dir)
         MV.build_lineitem_summary(_t(spark, sf_dir, "lineitem")).write.mode(
             "overwrite"
         ).parquet(path)
@@ -3459,14 +3463,11 @@ def get_orders_bloom_manifest(spark: SparkSession, sf_dir: str) -> str:
     prune nothing for a key lookup — which is exactly the layout bloom
     skipping exists for. Build is amortized table maintenance."""
     import os as _os
-    import tempfile as _tempfile
-
     from spark_s3_shuffle_spark.sources import pydatasource as PDS
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BLOOM_MANIFEST_CACHE:
-        tag = sf_dir.strip("/").replace("/", "_")
-        root = _os.path.join(_tempfile.gettempdir(), f"spark-graft-bloom-{tag}")
+        root = _scratch_dir(spark, "bloom", sf_dir)
         orders = _t(spark, sf_dir, "orders")
         paths = []
         for i in range(8):

@@ -86,10 +86,17 @@ def _interval_may_match(f: Filter, lo, hi) -> bool:
     return True
 
 
-def _bloom_bytes(v) -> bytes:
+def _bloom_bytes(v) -> bytes | None:
     """Canonical byte encoding hashed on BOTH the write and probe side.
     Integral floats collapse onto ints because Spark may widen a bigint
-    literal to double in the pushed filter."""
+    literal to double in the pushed filter.
+
+    Returns ``None`` for types with NO canonical cross-side encoding
+    (Decimal, date/datetime, bytes, …): a repr-based fallback would let the
+    writer-side repr (``Decimal('123.450')`` from pyarrow) diverge from the
+    probe-side pushed literal (``Decimal('123.45')`` or a float) and
+    silently prune a shard that DOES contain matches. The writer rejects
+    such columns loudly; the probe side degrades to "may contain"."""
     if isinstance(v, bool):
         return b"b1" if v else b"b0"
     if isinstance(v, int):
@@ -98,15 +105,21 @@ def _bloom_bytes(v) -> bytes:
         return b"i" + str(int(v)).encode()
     if isinstance(v, float):
         return b"f" + repr(v).encode()
-    return b"s" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode()
+    return None
 
 
-def _bloom_positions(value, m: int, k: int) -> list[int]:
+def _bloom_positions(value, m: int, k: int) -> list[int] | None:
     """k bit positions via double hashing over one md5 (Kirsch-Mitzenmacher:
-    two independent 64-bit halves compose k hashes with one digest)."""
+    two independent 64-bit halves compose k hashes with one digest).
+    ``None`` when the value has no canonical encoding."""
     import hashlib
 
-    d = hashlib.md5(_bloom_bytes(value)).digest()
+    enc = _bloom_bytes(value)
+    if enc is None:
+        return None
+    d = hashlib.md5(enc).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1  # odd -> full-period stride
     return [(h1 + i * h2) % m for i in range(k)]
@@ -114,7 +127,9 @@ def _bloom_positions(value, m: int, k: int) -> list[int]:
 
 def _bloom_build(values, fpp: float = 0.01) -> dict:
     """Bloom filter over distinct ``values`` as a manifest-embeddable dict
-    {m, k, bits(base64)} — sized m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    {m, k, bits(base64)} — sized m = -n ln p / (ln 2)^2, k = (m/n) ln 2.
+    In-place bytearray bit sets: O(n·k) with no big-int copying, so a shard
+    with millions of distinct keys builds in linear time."""
     import base64
     import math
 
@@ -122,20 +137,27 @@ def _bloom_build(values, fpp: float = 0.01) -> dict:
     n = max(1, len(distinct))
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m / n * math.log(2)))
-    bits = 0
+    raw = bytearray((m + 7) // 8)
     for v in distinct:
-        for pos in _bloom_positions(v, m, k):
-            bits |= 1 << pos
-    raw = bits.to_bytes((m + 7) // 8, "little")
-    return {"m": m, "k": k, "bits": base64.b64encode(raw).decode("ascii")}
+        positions = _bloom_positions(v, m, k)
+        if positions is None:
+            raise TypeError(
+                f"bloom_cols supports bool/int/float/str values; got "
+                f"{type(v).__name__} — no canonical writer/probe encoding"
+            )
+        for pos in positions:
+            raw[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(raw)).decode("ascii")}
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
     import base64
 
+    positions = _bloom_positions(value, bloom["m"], bloom["k"])
+    if positions is None:  # un-encodable probe literal: cannot prune safely
+        return True
     raw = base64.b64decode(bloom["bits"])
-    bits = int.from_bytes(raw, "little")
-    return all((bits >> p) & 1 for p in _bloom_positions(value, bloom["m"], bloom["k"]))
+    return all((raw[p >> 3] >> (p & 7)) & 1 for p in positions)
 
 
 class ManifestParquetReader(DataSourceReader):

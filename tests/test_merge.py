@@ -69,6 +69,36 @@ def test_guarded_merge_ignores_stale_changes(spark):
     assert got == {(1, "new"), (2, "b2")}
 
 
+def test_guarded_merge_null_version_is_ignored_not_dropped(spark):
+    """A NULL order-col makes the guard undecidable: the change (even a
+    DELETE) must be conservatively ignored — the base row survives. Without
+    the coalesce, the delete filter evaluated NULL and silently dropped it."""
+    base = spark.createDataFrame([(1, "keep", 10)], SCHEMA)
+    null_delete = spark.createDataFrame([(1, "__del__", None)], SCHEMA)
+    out = MG.merge_upsert(
+        base, null_delete, ["k"], ["seq"],
+        delete_when=F.col("v") == "__del__", guard_out_of_order=True,
+    )
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "keep")]
+    # NULL-versioned UPDATE is likewise ignored
+    null_update = spark.createDataFrame([(1, "clobber", None)], SCHEMA)
+    out2 = MG.merge_upsert(
+        base, null_update, ["k"], ["seq"],
+        delete_when=F.col("v") == "__del__", guard_out_of_order=True,
+    )
+    assert [(r["k"], r["v"]) for r in out2.collect()] == [(1, "keep")]
+
+
+def test_guarded_merge_validates_order_cols(spark):
+    base = spark.createDataFrame([(1, "a", 0)], SCHEMA)
+    changes = spark.createDataFrame([(1, "b", 1)], SCHEMA)
+    with pytest.raises(ValueError, match="order_cols to be value columns"):
+        MG.merge_upsert(
+            base, changes, ["k"], ["k"],  # key col as version: invalid
+            delete_when=F.lit(False), guard_out_of_order=True,
+        )
+
+
 def test_streaming_foreachbatch_upsert_sink(spark, sf_dir):
     """foreachBatch + guarded merge as a streaming upsert sink: fold each
     micro-batch into a keyed snapshot; the final snapshot must equal the

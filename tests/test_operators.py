@@ -395,6 +395,111 @@ def test_ivf_build_probe_split(spark, sf_dir):
 # skew mitigation
 # ---------------------------------------------------------------------------
 
+def _max_task_shuffle_read(spark, group: str) -> int:
+    """Largest per-TASK shuffle-read record count across every stage of the
+    jobs tagged with ``group`` — read from the AppStatusStore (the UI's task
+    table) via the status tracker: real task-level listener metrics, no
+    callback plumbing."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    mx = 0
+    for jid in sc.statusTracker().getJobIdsForGroup(group):
+        for sid in sc.statusTracker().getJobInfo(jid).stageIds:
+            tasks = store.taskList(sid, 0, 10000)
+            for j in range(tasks.size()):
+                tm = tasks.apply(j).taskMetrics()
+                if tm.isDefined():
+                    mx = max(mx, int(tm.get().shuffleReadMetrics().recordsRead()))
+    return mx
+
+
+def _zipf_frame(spark):
+    """200k rows; key 0 holds 50%, the rest spread over ~1000 keys."""
+    return spark.range(200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_skew_straggler_vs_salted_bound_via_task_metrics(spark):
+    """The skew WIN itself, measured (q74's oracle proves only equivalence):
+    on a zipf frame whose hot key holds 50% of rows, a per-group window
+    WITHOUT group-limit pushdown funnels the hot key into ONE task, while
+    salted_top_k_per_group bounds every task's shuffle reads. Asserted from
+    task-level shuffleRead metrics.
+
+    Context the numbers also document: with Spark 4's WindowGroupLimit
+    ENABLED, a plain rank-filter top-k does NOT straggle (the k-filter runs
+    map-side — measured max task read drops to the balanced ~n/partitions).
+    The pushdown is disabled here to model the window shapes that have no
+    group-limit (running aggregates, percent_rank, ntile, lag) — those are
+    what the salting tier exists for."""
+    import uuid
+
+    from spark_s3_shuffle_spark.operators import skew as SK
+    from spark_s3_shuffle_spark.operators import windowing as W
+
+    sc = spark.sparkContext
+    confs = {
+        # coalescing merges the toy-sized reduce partitions into one task,
+        # masking the distribution being measured
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.optimizer.windowGroupLimitThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    tag = uuid.uuid4().hex[:8]
+    df = _zipf_frame(spark).persist()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df.count()
+        sc.setJobGroup(f"unsalted-{tag}", "zipf window straggler")
+        W.top_k_per_group(df, ["k"], [F.col("v").desc()], 5).count()
+        sc.setJobGroup(f"salted-{tag}", "salted per-task bound")
+        SK.salted_top_k_per_group(df, ["k"], [F.col("v").desc()], 5, salt=16).count()
+        sc.setJobGroup(f"done-{tag}", "")
+        unsalted = _max_task_shuffle_read(spark, f"unsalted-{tag}")
+        salted = _max_task_shuffle_read(spark, f"salted-{tag}")
+        # straggler: one task swallowed at least the hot key (~100k rows)
+        assert unsalted > 90_000, unsalted
+        # salting spreads it: worst task reads at most half the straggler's
+        assert salted * 2 <= unsalted, (unsalted, salted)
+    finally:
+        sc.setJobGroup("", "")
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+        df.unpersist()
+
+
+def test_aqe_skew_join_split_fires_on_zipf_frame(spark):
+    """AQE's skew-join split (on in the engine session) visibly fires on the
+    zipf fixture: the EXECUTED sort-merge join is stamped skew=true. This is
+    the moderate-skew tier the engine delegates to AQE; the salting tier
+    covers what AQE can't split (window partitions, single-hot-key builds)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("dim"))
+        joined = _zipf_frame(spark).withColumn("pad", F.lit("x" * 100)).join(dim, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
 def test_salted_join_matches_plain_join(spark):
     from spark_s3_shuffle_spark.operators import skew as SK
     # 90% of the big side lands on one hot key — the shape AQE can't split

@@ -141,6 +141,22 @@ def test_bloom_filter_membership_and_fpp():
     assert PDS._bloom_may_contain(bloom, 10.0) and PDS._bloom_may_contain(bloom, 10)
 
 
+def test_bloom_rejects_uncanonical_types_and_never_misprunes():
+    """Types with no canonical writer/probe encoding (Decimal, date) are
+    REJECTED at build time — a repr-based fallback could silently prune a
+    shard containing matches — and an un-encodable probe literal degrades
+    to 'may contain' (no pruning) instead of a false negative."""
+    import datetime
+    from decimal import Decimal
+
+    with pytest.raises(TypeError, match="no canonical"):
+        PDS._bloom_build([Decimal("123.450")])
+    with pytest.raises(TypeError, match="no canonical"):
+        PDS._bloom_build([datetime.date(2024, 1, 1)])
+    bloom = PDS._bloom_build(range(100))
+    assert PDS._bloom_may_contain(bloom, Decimal("7"))  # degrade, don't prune
+
+
 @pytest.fixture(scope="module")
 def hash_sharded(spark, sf_dir):
     """Eight orders shards HASHED on o_custkey (every shard spans ~the full
