@@ -28,7 +28,7 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Finest shared grain of the lineitem reporting rollups: month keeps the
@@ -72,6 +72,29 @@ def navigate(summary: DataFrame, keys: list[str]) -> DataFrame:
     if unknown:
         raise ValueError(f"keys {unknown} not in summary grain {SUMMARY_GRAIN}")
     return summary.groupBy(*keys).agg(
+        F.sum("sum_qty").alias("sum_qty"),
+        F.sum("sum_base_price").alias("sum_base_price"),
+        F.sum("sum_disc_price").alias("sum_disc_price"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def navigate_derived(summary: DataFrame, keys: dict[str, Column]) -> DataFrame:
+    """Aggregate navigation at a grain DERIVED from the summary grain —
+    e.g. ``{"ship_year": F.year("ship_month")}``: any deterministic
+    function of grain columns induces a coarser partition of the fact
+    rows, so the algebraic components recombine exactly as in
+    :func:`navigate` (sum of sums / sum of counts). The query still reads
+    ONLY the summary (plan-asserted in tests) — a year rollup at 100 TB
+    touches |months| summary rows, never the fact.
+
+    ``keys`` maps output column name -> expression over SUMMARY_GRAIN
+    columns. Expressions referencing non-grain columns fail resolution on
+    the summary projection, so mistakes surface as analysis errors."""
+    projected = summary.select(
+        *[expr.alias(name) for name, expr in keys.items()], *SUMMARY_COMPONENTS
+    )
+    return projected.groupBy(*keys.keys()).agg(
         F.sum("sum_qty").alias("sum_qty"),
         F.sum("sum_base_price").alias("sum_base_price"),
         F.sum("sum_disc_price").alias("sum_disc_price"),

@@ -190,3 +190,34 @@ def test_matview_rollup_scans_summary_not_fact(spark, sf_dir):
     cols = {c for s in I.read_schema_columns(q111) for c in s}
     assert "sum_qty" in cols and "n_rows" in cols, cols
     assert not {"l_extendedprice", "l_quantity", "l_shipdate"} & cols, cols
+
+
+def test_matview_derived_grain_answered_from_summary(spark, sf_dir):
+    """Rollup choice at a DERIVED grain: a year-level query is answered
+    from the MONTH summary — plan reads only summary columns (no fact
+    column in any scan), and the recombined components equal a direct
+    fact-side year rollup bit-for-bit (exact decimals)."""
+    from spark_s3_shuffle_spark.operators import matview as MV
+    from spark_s3_shuffle_spark.queries.registry import get_lineitem_summary
+    from spark_s3_shuffle_spark.sources.catalog import load_table
+
+    summary = spark.read.parquet(get_lineitem_summary(spark, sf_dir))
+    yearly = MV.navigate_derived(summary, {"ship_year": F.year("ship_month")})
+    cols = {c for s in I.read_schema_columns(yearly) for c in s}
+    assert {"ship_month", "sum_qty", "n_rows"} <= cols, cols
+    assert not {"l_extendedprice", "l_quantity", "l_shipdate"} & cols, cols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    got = {
+        r["ship_year"]: (r["sum_qty"], r["n_rows"])
+        for r in yearly.select("ship_year", "sum_qty", "n_rows").collect()
+    }
+    want = {r["ship_year"]: (r["sum_qty"], r["n_rows"]) for r in direct.collect()}
+    assert got == want

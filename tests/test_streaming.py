@@ -229,6 +229,73 @@ def test_rate_source_smoke(spark):
     assert all(r["c"] % 100 == 0 for r in rows), rows
 
 
+def test_session_formulations_agree_batch_and_stream(spark, sf_dir, events_drop_dir):
+    """The session-window triangle at the q64 gap (30 min):
+
+    1. batch ``F.session_window`` == q64's gaps-and-islands formulation
+       (lag → marker → running sum), EXACTLY, per user — two independent
+       derivations of the same sessions (q64 is oracle-checked against
+       DuckDB, so this transitively oracle-checks the session_window
+       operator's grouping);
+    2. streaming ``session_counts`` at the same gap: every EMITTED session
+       equals its batch session_window twin, with only watermark-tail
+       sessions withheld.
+
+    Boundary note: a gap of exactly 1800s splits in session_window
+    (merge requires diff < gap) but merges in q64 (new session iff
+    diff > 1800); the fixture has no exact-1800 gaps, so the formulations
+    are equal on it (and on any continuous-timestamp corpus, a.s.).
+    """
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    sw_sessions = ev.groupBy(
+        F.session_window("event_ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user_sw = sorted(
+        map(
+            tuple,
+            sw_sessions.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum("c").cast("long").alias("n_events"),
+            )
+            .collect(),
+        )
+    )
+    per_user_q64 = sorted(
+        map(
+            tuple,
+            QUERIES["q64_sessionization"].builder(spark, sf_dir)
+            .select("user_id", "n_sessions", "n_events")
+            .collect(),
+        )
+    )
+    assert per_user_sw == per_user_q64
+
+    # streaming mode at the same gap: emitted ⊆ batch, values exact
+    base = S.with_watermark(S.read_events_stream(spark, f"{events_drop_dir}/in"), "30 minutes")
+    agg = S.session_counts(base, "30 minutes")
+    out = f"{events_drop_dir}/out_sess30"
+    ckpt = f"{events_drop_dir}/ckpt_sess30"
+    S.run_stream_to_completion(S.parquet_sink(agg, out, ckpt))
+    emitted = {
+        (r["user_id"], r["ws"]): r["c"]
+        for r in spark.read.parquet(out)
+        .select("user_id", F.col("w.start").alias("ws"), "c")
+        .collect()
+    }
+    full = {
+        (r["user_id"], r["ws"]): r["c"]
+        for r in sw_sessions.select("user_id", F.col("w.start").alias("ws"), "c").collect()
+    }
+    assert emitted, "stream emitted nothing"
+    for k, c in emitted.items():
+        assert full[k] == c, (k, c, full.get(k))
+    missing = set(full) - set(emitted)
+    assert len(missing) <= max(5, len(full) // 10), f"{len(missing)}/{len(full)} withheld"
+
+
 def test_late_rows_older_than_watermark_are_dropped(spark):
     """B40: a row arriving in a later micro-batch with event time older than
     the advanced watermark must NOT update its (already-final) window, while
