@@ -1,0 +1,162 @@
+"""Scale proof for the round-5 batch ANN join (registry q120/q120b).
+
+Measures, on the clustered synthetic corpora from ``scale_proof.gen_vectors``
+(dim-32, 256 cluster modes, planted twins), a PROBE TABLE of k rows against
+three implementations:
+
+  1. serving loop   — k × ``ivf_probe_vector`` (one driver-dispatched job
+                      per probe: right for online serving, wrong for batch);
+  2. IVF batch join — ``ivf_batch_topk_join``: one distributed plan, corpus
+                      never reshuffles, per-probe WindowGroupLimit;
+  3. quantized batch join — ``quantized_batch_topk_join``: int8 candidate
+                      scan + exact rescore, EXACT output contract (verified
+                      here against per-probe brute force).
+
+The point being proven: batch probing through one plan amortizes scan +
+scheduling over all probes (the per-probe loop pays both k times), and the
+quantized join keeps exactness while reading 1/4 the candidate-scan bytes.
+
+Writes SCALE_r05.md at the repo root. Usage: python tools/batch_ann_proof.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.operators import similarity as SIM
+from spark_s3_shuffle_spark.session import get_spark
+from tools.scale_proof import gen_vectors, timed
+
+N_PROBES = 100
+K = 10
+
+
+def exact_reference(vectors, probes):
+    """Per-probe brute force (the oracle contract), as one batch plan."""
+    return SIM.quantized_batch_topk_join(
+        vectors, probes, k=K, rescore_factor=10**9, probe_id_col="probe_id"
+    )
+
+
+def section(spark, sizes):
+    rows = []
+    for n in sizes:
+        vectors = spark.read.parquet(gen_vectors(spark, n))
+        probes = vectors.filter(F.col("vec_id") % (n // N_PROBES) == 0).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        n_probes = probes.count()
+        probe_vecs = [
+            (r["probe_id"], r["embedding"]) for r in probes.collect()
+        ]
+
+        t0 = time.monotonic()
+        index = SIM.build_ivf_index(vectors, num_cells=64, iterations=1)
+        t_build = time.monotonic() - t0
+
+        def serving_loop():
+            for _, v in probe_vecs:
+                SIM.ivf_probe_vector(index, v, K, nprobe=8).collect()
+
+        t_loop = timed(serving_loop, repeats=1)
+        t_ivf_batch = timed(
+            lambda: SIM.ivf_batch_topk_join(
+                index, probes, k=K, nprobe=8, probe_id_col="probe_id"
+            ).collect()
+        )
+        t_quant_batch = timed(
+            lambda: SIM.quantized_batch_topk_join(
+                vectors, probes, k=K, rescore_factor=4, probe_id_col="probe_id"
+            ).collect()
+        )
+
+        # exactness of the quantized batch join vs per-probe brute force
+        got = sorted(
+            map(
+                tuple,
+                SIM.quantized_batch_topk_join(
+                    vectors, probes, k=K, rescore_factor=4, probe_id_col="probe_id"
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, exact_reference(vectors, probes).collect()))
+        exact_ok = got == want
+
+        # IVF batch recall@10 vs exact, averaged over probes
+        ivf = SIM.ivf_batch_topk_join(
+            index, probes, k=K, nprobe=8, probe_id_col="probe_id"
+        ).collect()
+        by_p: dict = {}
+        for r in ivf:
+            by_p.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        want_by_p: dict = {}
+        for t in want:
+            want_by_p.setdefault(t[0], set()).add(t[1])
+        recall = sum(
+            len(by_p.get(p, set()) & w) / len(w) for p, w in want_by_p.items()
+        ) / len(want_by_p)
+
+        index.unpersist()
+        rows.append(
+            {
+                "n": n,
+                "n_probes": n_probes,
+                "serving_loop_s": round(t_loop, 2),
+                "ivf_batch_s": round(t_ivf_batch, 2),
+                "quant_batch_s": round(t_quant_batch, 2),
+                "ivf_build_s": round(t_build, 1),
+                "loop_over_batch": round(t_loop / t_ivf_batch, 1),
+                "quant_exact": exact_ok,
+                "ivf_recall_at_10": round(recall, 3),
+            }
+        )
+        print("BATCH-ANN", rows[-1], flush=True)
+    return rows
+
+
+def main() -> int:
+    spark = get_spark("batch-ann-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = section(spark, [200_000, 500_000])
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r05.md")
+    lines = [
+        "# SCALE_r05 — batch ANN join proof (q120/q120b)",
+        "",
+        "Probe TABLE (~100 rows) against clustered dim-32 corpora; serving",
+        "loop = 100 sequential `ivf_probe_vector` jobs; batch joins = ONE",
+        "distributed plan (see tools/batch_ann_proof.py).",
+        "",
+        "| corpus | probes | serving loop (s) | IVF batch (s) | quant batch (s) | loop/batch | quant exact? | IVF recall@10 |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n']:,} | {r['n_probes']} | {r['serving_loop_s']} |"
+            f" {r['ivf_batch_s']} | {r['quant_batch_s']} |"
+            f" {r['loop_over_batch']}x | {r['quant_exact']} | {r['ivf_recall_at_10']} |"
+        )
+    lines += [
+        "",
+        f"IVF build (amortized, once per corpus version): "
+        f"{', '.join(str(r['ivf_build_s']) + 's @ ' + format(r['n'], ',') for r in rows)}.",
+        "",
+        "Reading: the batch joins amortize scan+scheduling over all probes",
+        "(the serving loop pays per probe); `quant_exact=True` is the q120",
+        "contract — int8 candidate scan + 4x over-retrieve + float rescore",
+        "reproduces per-probe brute force bit-for-bit; IVF batch trades",
+        "recall for a ~nprobe/num_cells candidate scan (q120b, approx tier).",
+    ]
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
