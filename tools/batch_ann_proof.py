@@ -27,8 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators import similarity as SIM
 from spark_s3_shuffle_spark.session import get_spark
 from tools.scale_proof import gen_vectors, timed
@@ -38,9 +40,24 @@ K = 10
 
 
 def exact_reference(vectors, probes):
-    """Per-probe brute force (the oracle contract), as one batch plan."""
-    return SIM.quantized_batch_topk_join(
-        vectors, probes, k=K, rescore_factor=10**9, probe_id_col="probe_id"
+    """Per-probe brute force (the oracle contract) as one batch plan: float
+    corpus × broadcast probes, per-probe WindowGroupLimit — no candidate
+    set, nothing driver-side."""
+    p = probes.select(
+        F.col("probe_id").alias("_pid"),
+        F.col("embedding").cast("array<double>").alias("_probe"),
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .crossJoin(F.broadcast(p))
+        .select(
+            "_pid", "vec_id",
+            F.round(cosine(F.col("_v"), F.col("_probe")), 4).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(F.col("_pid").alias("probe_id"), "vec_id", "cos", "rank")
     )
 
 
@@ -60,11 +77,12 @@ def section(spark, sizes):
         index = SIM.build_ivf_index(vectors, num_cells=64, iterations=1)
         t_build = time.monotonic() - t0
 
-        def serving_loop():
-            for _, v in probe_vecs:
-                SIM.ivf_probe_vector(index, v, K, nprobe=8).collect()
-
-        t_loop = timed(serving_loop, repeats=1)
+        # single pass (100 jobs; per-job JIT amortizes within the loop)
+        SIM.ivf_probe_vector(index, probe_vecs[0][1], K, nprobe=8).collect()  # warmup
+        t0 = time.monotonic()
+        for _, v in probe_vecs:
+            SIM.ivf_probe_vector(index, v, K, nprobe=8).collect()
+        t_loop = time.monotonic() - t0
         t_ivf_batch = timed(
             lambda: SIM.ivf_batch_topk_join(
                 index, probes, k=K, nprobe=8, probe_id_col="probe_id"
