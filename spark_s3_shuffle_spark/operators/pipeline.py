@@ -408,3 +408,98 @@ def quality_ensemble(df: DataFrame, text_col: str = "text") -> DataFrame:
         + rep_ok.cast("int")
     ) / F.lit(5.0)
     return flagged.withColumn("q_score", F.round(score, 2))
+
+
+def _hash_u32(col: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || key) as a long in [0, 2^32) — the
+    portable uniform hash both Spark (`conv`) and DuckDB (`CAST('0x'||…)`)
+    compute bit-identically. Shared by shard assignment and mixture
+    sampling so their selections compose (independent salts)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    out: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export.
+
+    Training runs want the corpus in a content-addressed pseudo-random
+    order split into fixed shard files. The scale-correct formulation is
+    ``shard = md5(id) mod n_shards`` — NOT a global ``row_number`` over a
+    hash ordering, which is a one-partition window that serializes the
+    whole corpus through a single task. The mod-of-hash assignment is
+    embarrassingly parallel (zero shuffle until the sink repartitions on
+    ``shard``), gives balanced shard sizes (binomial around n/n_shards),
+    and is stable under retries, re-splits, and engine versions. Within a
+    shard, writers sort by the same hash (`sortWithinPartitions`) to fix
+    the in-file order without any cross-partition exchange.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = _hash_u32(F.col(id_col), salt)
+    return df.withColumn(out, (h % n_shards).cast("int"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    total: int | None = None,
+    total_frac: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: draw rows distributed across
+    sources per ``weights`` (a training-mixture spec like ``{"web": .5,
+    "books": .3, "code": .2}``), capped by availability. The overall
+    budget is either ``total`` rows (absolute) or ``total_frac`` of the
+    corpus (scale-relative — the form that keeps one registry entry
+    meaningful across sf fixtures).
+
+    Per-source quotas become hash thresholds: keep a row iff
+    ``hash(id) < floor(min(quota/source_n, 1) * 2^32)``. That keeps the
+    operator one scan + one tiny broadcast join (the per-source count
+    table — one row per source; the corpus total is a 1-row broadcast,
+    never a driver action), with NO per-source ``row_number`` window
+    (which at 100 TB would funnel each multi-TB source through a single
+    task). The tradeoff is binomial quota error O(sqrt(n)) — the standard
+    large-scale practice; the exact-count small-group variant is
+    ``per_group_sample``. Selection is content-addressed, so the drawn
+    set is identical across reruns and engines — the DuckDB oracle
+    replays it bit-for-bit (the rate arithmetic is plain IEEE doubles in
+    a pinned evaluation order on both sides).
+    """
+    if (total is None) == (total_frac is None):
+        raise ValueError("exactly one of total / total_frac is required")
+    for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {src!r} must be >= 0")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_n"))
+
+    def case_chain(vals: dict[str, float]) -> Column:
+        out: Column = F.lit(0.0)
+        for src, v in vals.items():
+            out = F.when(F.col(source_col) == src, F.lit(v)).otherwise(out)
+        return out
+
+    if total_frac is not None:
+        tot = df.agg(F.count(F.lit(1)).alias("_tot_n"))
+        counts = counts.crossJoin(F.broadcast(tot))
+        quota = case_chain({s: float(w) * total_frac for s, w in weights.items()}) * F.col("_tot_n")
+        drop = ["_src_n", "_tot_n"]
+    else:
+        quota = case_chain({s: float(w) * total for s, w in weights.items()})
+        drop = ["_src_n"]
+    rate = F.least(quota / F.col("_src_n"), F.lit(1.0))
+    thr = F.floor(rate * F.lit(float(2**32))).cast("long")
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .filter(_hash_u32(F.col(id_col), salt) < thr)
+        .drop(*drop)
+    )

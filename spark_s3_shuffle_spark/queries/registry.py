@@ -3874,6 +3874,402 @@ _register(
 )(_sql_text_builder(_TPCH_Q21_SQL, ["lineitem", "orders", "supplier"]))
 
 
+# ---------------------------------------------------------------------------
+# TPC-DS shape pack (B77, round 5). The reference's benchmark suite is
+# TPC-DS, not TPC-H (examples/sql/run_tpcds.sh, run_single_query.sh q67):
+# these entries carry the TPC-DS plan shapes its users actually run —
+# rollup + in-group rank (q67, the reference's own named example query),
+# full-outer cumulative crossover (q51), cross-channel INTERSECT (q14),
+# year-over-year growth self-join (q11), and time-bucket scalar counts
+# (q88) — adapted to the fixture schema, each value-checked by a DuckDB
+# oracle. Monetary sums go through DECIMAL(18,6) before SUM so the result
+# is order-independent and bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_DS67_SQL = """WITH base AS (
+         SELECT p_brand, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS sale_year,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part   ON l_partkey = p_partkey),
+       sales AS (
+         SELECT p_brand, sale_year, SUM(amt) AS rev
+         FROM base GROUP BY ROLLUP (p_brand, sale_year)),
+       ranked AS (
+         SELECT p_brand, sale_year, rev,
+                RANK() OVER (PARTITION BY p_brand
+                             ORDER BY rev DESC, sale_year ASC NULLS FIRST) AS rk
+         FROM sales)
+       SELECT p_brand, sale_year, CAST(ROUND(rev, 2) AS DOUBLE) AS rev,
+              CAST(rk AS INT) AS rk
+       FROM ranked WHERE rk <= 3
+       ORDER BY p_brand ASC NULLS FIRST, rk, sale_year ASC NULLS FIRST"""
+
+
+@_register(
+    "q124_ds67_rollup_rank", _DS67_SQL,
+    "TPC-DS q67 shape (the reference's own example query,"
+    " run_single_query.sh q67): sales rolled up over (brand, year), then"
+    " RANK within each brand's rollup partition, top 3 per brand. The"
+    " rollup's partial rows and the in-partition rank compose — the brand"
+    " total always ranks first, mirroring q67's category-level ranking."
+    " Rank compares exact DECIMAL sums (order-independent), with the year"
+    " as an explicit NULLS FIRST tiebreak so rank == row_number.",
+)
+def q124(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.year("o_orderdate").cast("int").alias("sale_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("amt"),
+        )
+        .rollup("p_brand", "sale_year")
+        .agg(F.sum("amt").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("sale_year").asc_nulls_first()
+    )
+    return (
+        sales.select(
+            "p_brand",
+            "sale_year",
+            "rev",
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "sale_year",
+            F.round("rev", 2).cast("double").alias("rev"),
+            "rk",
+        )
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(),
+            "rk",
+            F.col("sale_year").asc_nulls_first(),
+        )
+    )
+
+
+_register(
+    "q124b_sql_text_ds67", _DS67_SQL,
+    "SQL-text front door for the TPC-DS q67 shape: the oracle text itself"
+    " through spark.sql — the reference runs exactly this query by name"
+    " from SQL text (run_single_query.sh q67), so the text path is proven"
+    " on its flagship, not just on TPC-H.",
+)(_sql_text_builder(_DS67_SQL, ["lineitem", "orders", "part"]))
+
+
+@_register(
+    "q125_ds51_cumulative_crossover",
+    """WITH hi AS (
+         SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS hi_rev
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY DATE_TRUNC('month', o_orderdate)),
+       lo AS (
+         SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS lo_rev
+         FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         GROUP BY DATE_TRUNC('month', o_orderdate)),
+       run AS (
+         SELECT COALESCE(hi.mon, lo.mon) AS mon,
+                SUM(COALESCE(hi_rev, 0)) OVER (ORDER BY COALESCE(hi.mon, lo.mon)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+                SUM(COALESCE(lo_rev, 0)) OVER (ORDER BY COALESCE(hi.mon, lo.mon)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lo
+         FROM hi FULL OUTER JOIN lo ON hi.mon = lo.mon)
+       SELECT CAST(mon AS DATE) AS mon,
+              CAST(ROUND(cum_hi, 2) AS DOUBLE) AS cum_hi,
+              CAST(ROUND(cum_lo, 2) AS DOUBLE) AS cum_lo
+       FROM run WHERE cum_hi * 3 > cum_lo * 2
+       ORDER BY mon""",
+    "TPC-DS q51 shape: two channel series (urgent vs standard priority)"
+    " aggregated per month, FULL OUTER joined on the month key, cumulative"
+    " sums over the joined series, crossover filter where one channel's"
+    " running total leads. The running window is unpartitioned by the"
+    " query's semantics but runs over the month grain — a few hundred rows"
+    " at any corpus size (bounded by calendar span), so the single-task"
+    " window is safe at 100 TB; the heavy work (per-month aggregation)"
+    " is fully parallel below it. The crossover compares integer-scaled"
+    " exact DECIMALs (3*hi > 2*lo — the urgent channel leading its 40%"
+    " priority share) so the boundary is order- and engine-independent.",
+)
+def q125(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    amt = F.col("o_totalprice").cast("decimal(18,6)")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    hi = o.filter(urgent).groupBy(mon).agg(F.sum(amt).alias("hi_rev"))
+    lo = o.filter(~urgent).groupBy(mon).agg(F.sum(amt).alias("lo_rev"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = hi.join(lo, "mon", "full_outer").select(
+        "mon",
+        F.sum(F.coalesce(F.col("hi_rev"), zero)).over(w).alias("cum_hi"),
+        F.sum(F.coalesce(F.col("lo_rev"), zero)).over(w).alias("cum_lo"),
+    )
+    return (
+        run.filter(F.col("cum_hi") * 3 > F.col("cum_lo") * 2)
+        .select(
+            F.col("mon").cast("date").alias("mon"),
+            F.round("cum_hi", 2).cast("double").alias("cum_hi"),
+            F.round("cum_lo", 2).cast("double").alias("cum_lo"),
+        )
+        .orderBy("mon")
+    )
+
+
+@_register(
+    "q126_ds14_cross_channel_intersect",
+    """WITH common AS (
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+         INTERSECT
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N')
+       SELECT p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_partkey IN (SELECT l_partkey FROM common)
+       GROUP BY p_brand
+       ORDER BY p_brand""",
+    "TPC-DS q14 shape: parts sold in ALL three channels (returnflag"
+    " standing in for store/web/catalog) via chained INTERSECT, then sales"
+    " restricted to that cross-channel set. The INTERSECT runs on the"
+    " projected key column only (partial-agg distinct on each side before"
+    " the equi-shuffle), and the restriction is a left-semi join — no"
+    " payload duplication.",
+)
+def q126(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def channel(flag: str) -> DataFrame:
+        return li.filter(F.col("l_returnflag") == flag).select("l_partkey")
+
+    common = channel("R").intersect(channel("A")).intersect(channel("N"))
+    return (
+        li.join(common, "l_partkey", "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "q127_ds11_yoy_growth",
+    """WITH yr AS (
+         SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+         FROM orders GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT))
+       SELECT t1.o_custkey AS c_custkey, c_name,
+              t1.yr AS base_year,
+              CAST(ROUND(t1.tot, 2) AS DOUBLE) AS base_tot,
+              CAST(ROUND(t2.tot, 2) AS DOUBLE) AS next_tot,
+              CAST(ROUND(CAST(t2.tot AS DOUBLE) / CAST(t1.tot AS DOUBLE), 4)
+                   AS DOUBLE) AS growth
+       FROM yr t1
+       JOIN yr t2 ON t1.o_custkey = t2.o_custkey AND t2.yr = t1.yr + 1
+       JOIN customer ON c_custkey = t1.o_custkey
+       WHERE t1.tot > 0
+         AND CAST(t2.tot AS DOUBLE) > CAST(t1.tot AS DOUBLE) * 1.5
+       ORDER BY growth DESC, c_custkey, base_year
+       LIMIT 100""",
+    "TPC-DS q11/q4 shape: per-customer yearly totals self-joined on"
+    " consecutive years, keeping customers whose spend grew >1.5x. The"
+    " year rollup aggregates once and joins to itself on the same"
+    " (custkey) key family — AQE reuses the exchange — and the customer"
+    " dim is broadcast. Growth ratio is computed on doubles cast from"
+    " exact DECIMAL sums in a pinned order, so the filter boundary and"
+    " sort are bit-identical across engines; ties broken by custkey+year.",
+)
+def q127(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    yr = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("tot"))
+    t1, t2 = yr.alias("t1"), yr.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
+            & (F.col("t2.yr") == F.col("t1.yr") + 1),
+        )
+        .filter(
+            (F.col("t1.tot") > 0)
+            & (F.col("t2.tot").cast("double") > F.col("t1.tot").cast("double") * 1.5)
+        )
+        .join(F.broadcast(c), F.col("t1.o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey"),
+            "c_name",
+            F.col("t1.yr").alias("base_year"),
+            F.round(F.col("t1.tot"), 2).cast("double").alias("base_tot"),
+            F.round(F.col("t2.tot"), 2).cast("double").alias("next_tot"),
+            F.round(
+                F.col("t2.tot").cast("double") / F.col("t1.tot").cast("double"), 4
+            )
+            .cast("double")
+            .alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), "c_custkey", "base_year")
+        .limit(100)
+    )
+
+
+_DS88_BUCKETS = [(lo, lo + 2) for lo in range(0, 24, 3)]
+
+@_register(
+    "q128_ds88_time_buckets",
+    "SELECT "
+    + ", ".join(
+        f"b{lo}.n AS b{lo}_{hi}" for lo, hi in _DS88_BUCKETS
+    )
+    + " FROM "
+    + " CROSS JOIN ".join(
+        f"(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events"
+        f" WHERE EXTRACT(HOUR FROM ts) BETWEEN {lo} AND {hi}) b{lo}"
+        for lo, hi in _DS88_BUCKETS
+    ),
+    "TPC-DS q88 shape: one row of counts for eight 3-hour buckets. The"
+    " ORACLE is the literal q88 text — eight scalar subqueries cross"
+    " joined — but the ENGINE formulation is what you'd run at 100 TB:"
+    " ONE scan with eight conditional aggregates (SUM(CASE...)), versus"
+    " q88's eight scans. Same single-row result, 8x less input I/O; the"
+    " conditional-agg rewrite is the canonical optimization for this"
+    " shape and the value check proves it equivalent.",
+)
+def q128(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    return e.agg(
+        *[
+            F.sum(F.when((h >= lo) & (h <= hi), 1).otherwise(0))
+            .cast("long")
+            .alias(f"b{lo}_{hi}")
+            for lo, hi in _DS88_BUCKETS
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-export operators (B78, round 5): deterministic shard assignment
+# and mixture sampling — the two steps between a curated corpus and the
+# files a training run actually reads.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q129_training_shard_assign",
+    """SELECT CAST(CAST(concat('0x', substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 16 AS INT) AS shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM documents
+       GROUP BY 1 ORDER BY shard""",
+    "B78 training-export shard assignment: shard = md5(id) mod 16 — a"
+    " content-addressed global shuffle with ZERO shuffle in the assignment"
+    " itself (the sink repartitions on the shard key once, writers"
+    " sortWithinPartitions by the same hash to pin in-file order). The"
+    " scale-WRONG formulation this replaces is row_number() over a global"
+    " hash ordering: a one-partition window that serializes the corpus"
+    " through a single task. Balance is binomial around n/16; the query"
+    " reports per-shard counts/char volume as the export manifest.",
+)
+def q129(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        PL.shard_assign(docs, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+#: Mixture spec for q130: weights over four sources, 10%-of-corpus budget.
+#: The per-source effective fractions (weight * total_frac) are computed in
+#: Python and spliced into BOTH the Spark literals and the oracle text, so
+#: the two sides run the same IEEE arithmetic in the same order.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+_MIX_FRAC = 0.1
+_MIX_CASE = (
+    "CASE d.source "
+    + " ".join(
+        f"WHEN '{s}' THEN CAST({w * _MIX_FRAC!r} AS DOUBLE)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+@_register(
+    "q130_mixture_sample",
+    f"""WITH counts AS (
+         SELECT source, COUNT(*) AS src_n,
+                SUM(COUNT(*)) OVER () AS tot_n
+         FROM documents GROUP BY source),
+       kept AS (
+         SELECT d.source, d.doc_id, d.n_chars
+         FROM documents d JOIN counts c ON d.source = c.source
+         WHERE CAST(concat('0x', substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             < CAST(FLOOR(LEAST({_MIX_CASE} * c.tot_n / c.src_n,
+                                CAST(1.0 AS DOUBLE)) * CAST(4294967296.0 AS DOUBLE)) AS BIGINT))
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM kept GROUP BY source ORDER BY source""",
+    "B78 deterministic mixture sampling: a training-mixture spec (50/25/"
+    "12.5/12.5 over four sources, 10%-of-corpus budget) becomes per-source"
+    " hash thresholds — one scan, a broadcast per-source count table, no"
+    " per-source row_number window (at 100 TB that's one task per"
+    " multi-TB source). Quota error is binomial O(sqrt(n)) by design; the"
+    " drawn set is content-addressed, so the oracle replays it exactly.",
+)
+def q130(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        PL.mixture_sample(
+            docs, "source", _MIX_WEIGHTS, "doc_id", total_frac=_MIX_FRAC
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -181,3 +181,58 @@ def test_quality_ensemble_score_bounds(spark, sf_dir):
     scored = PL.quality_ensemble(d).select("q_score").distinct().collect()
     vals = {r["q_score"] for r in scored}
     assert vals <= {0.0, 0.2, 0.4, 0.6, 0.8, 1.0}
+
+
+def test_shard_assign_deterministic_partition_and_balance(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = PL.shard_assign(df, "doc_id", n_shards=8)
+    counts = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    # every shard id in range, all rows assigned exactly once (a partition)
+    assert set(counts) <= set(range(8))
+    assert sum(counts.values()) == 2000
+    # binomial balance: each shard within 4 sigma of n/8
+    import math
+    mu, sigma = 2000 / 8, math.sqrt(2000 * (1 / 8) * (7 / 8))
+    assert all(abs(c - mu) < 4 * sigma for c in counts.values())
+    # content-addressed: identical under repartitioning and reruns
+    again = PL.shard_assign(df.repartition(13), "doc_id", n_shards=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        PL.shard_assign(df, "doc_id", n_shards=0)
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    weights = {"s0": 0.5, "s1": 0.25, "s2": 0.25}  # s3 weight 0 -> dropped
+    out = PL.mixture_sample(df, "source", weights, "doc_id", total=1000)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "s3" not in got
+    # binomial tolerance: quota w*total with sigma sqrt(n*p*(1-p)) <= 16
+    assert abs(got["s0"] - 500) < 80
+    assert abs(got["s1"] - 250) < 70
+    assert abs(got["s2"] - 250) < 70
+    # schema untouched (helper columns dropped)
+    assert set(out.columns) == {"doc_id", "source"}
+    # rate capped at 1.0: a tiny source is kept whole, never oversampled
+    out2 = PL.mixture_sample(df.filter("source = 's0'"), "source", {"s0": 1.0}, "doc_id", total=10**6)
+    assert out2.count() == 1000
+    # deterministic across reruns / partitioning
+    again = PL.mixture_sample(df.repartition(7), "source", weights, "doc_id", total=1000)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError):
+        PL.mixture_sample(df, "source", weights, "doc_id")  # neither budget
+    with pytest.raises(ValueError):
+        PL.mixture_sample(df, "source", weights, "doc_id", total=10, total_frac=0.1)
+    with pytest.raises(ValueError):
+        PL.mixture_sample(df, "source", {"s0": -1.0}, "doc_id", total=10)
+
+
+def test_mixture_sample_total_frac_tracks_corpus_size(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 2}") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    out = PL.mixture_sample(df, "source", {"s0": 1.0}, "doc_id", total_frac=0.2)
+    # quota = 1.0 * 0.2 * 1000 = 200 from s0's 500 rows (rate 0.4)
+    n = out.count()
+    assert abs(n - 200) < 60
+    assert {r["source"] for r in out.select("source").distinct().collect()} == {"s0"}

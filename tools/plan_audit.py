@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "q118_resample_locf",  # |buckets|-row broadcast grid x distinct series
     "q120_batch_ann_join",  # probe-TABLE broadcast against the int8 scan
     "q120b_batch_ivf_join",  # probe-table x broadcast centroid cell ranking
+    "q130_mixture_sample",  # 1-row corpus-total broadcast into the quota expr
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
