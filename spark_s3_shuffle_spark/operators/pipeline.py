@@ -503,3 +503,38 @@ def mixture_sample(
         .filter(_hash_u32(F.col(id_col), salt) < thr)
         .drop(*drop)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> None:
+    """The training-export sink: assign shards (`shard_assign`), lay the
+    data out as one directory per shard (`partitionBy`), and pin the
+    in-file row order to the content hash (`sortWithinPartitions`) so an
+    export is byte-stable across reruns and cluster sizes.
+
+    Plan shape at 100 TB: ONE hash-partition exchange on the shard key
+    (`repartition(n_shards, shard)` — each output task owns exactly one
+    shard directory and writes one file per shard), then a task-local
+    sort. No global ordering step anywhere: the order WITHIN a shard is
+    the md5 order (content-addressed, so reruns reproduce it), and
+    training readers shuffle across shards anyway. Readers get
+    partition-pruned access by shard id for free from the directory
+    layout.
+    """
+    sharded = shard_assign(df, id_col, n_shards, salt=salt)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        # Lead with the partition column: the parquet writer requires its
+        # input sorted by partition cols and would otherwise inject its own
+        # (unstable) sort ABOVE this one, destroying the hash order.
+        .sortWithinPartitions(F.col("shard"), order, F.col(id_col))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

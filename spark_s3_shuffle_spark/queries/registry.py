@@ -4221,14 +4221,23 @@ def q129(spark, sf_dir):
 #: the two sides run the same IEEE arithmetic in the same order.
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
 _MIX_FRAC = 0.1
-_MIX_CASE = (
-    "CASE d.source "
-    + " ".join(
-        f"WHEN '{s}' THEN CAST({w * _MIX_FRAC!r} AS DOUBLE)"
-        for s, w in _MIX_WEIGHTS.items()
+
+
+def _mix_case(alias: str) -> str:
+    """The mixture quota CASE arm with per-source effective fractions
+    (weight * total_frac) spliced as repr'd double literals — textually
+    identical arithmetic on the Spark and DuckDB sides."""
+    return (
+        f"CASE {alias}.source "
+        + " ".join(
+            f"WHEN '{s}' THEN CAST({w * _MIX_FRAC!r} AS DOUBLE)"
+            for s, w in _MIX_WEIGHTS.items()
+        )
+        + " ELSE CAST(0.0 AS DOUBLE) END"
     )
-    + " ELSE CAST(0.0 AS DOUBLE) END"
-)
+
+
+_MIX_CASE = _mix_case("d")
 
 @_register(
     "q130_mixture_sample",
@@ -4267,6 +4276,75 @@ def q130(spark, sf_dir):
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("source")
+    )
+
+
+@_register(
+    "q131_corpus_export_pipeline",
+    f"""WITH tk AS (
+         SELECT doc_id, source, n_chars, text,
+                LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS tk
+         FROM documents),
+       q AS (
+         SELECT doc_id, source, n_chars, text FROM tk
+         WHERE LEN(tk) >= 10
+           AND (CASE WHEN LEN(tk) > 0
+                     THEN 1 - LEN(LIST_DISTINCT(tk)) * 1.0 / LEN(tk)
+                     ELSE 0 END) <= 0.3),
+       surv AS (
+         SELECT q.* FROM q
+         JOIN (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text) d USING (doc_id)),
+       counts AS (
+         SELECT source, COUNT(*) AS src_n, SUM(COUNT(*)) OVER () AS tot_n
+         FROM surv GROUP BY source),
+       kept AS (
+         SELECT s.doc_id, s.source, s.n_chars
+         FROM surv s JOIN counts c ON s.source = c.source
+         WHERE CAST(concat('0x', substring(md5('mix' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             < CAST(FLOOR(LEAST({_mix_case('s')} * c.tot_n / c.src_n,
+                                CAST(1.0 AS DOUBLE)) * CAST(4294967296.0 AS DOUBLE)) AS BIGINT))
+       SELECT CAST(CAST(concat('0x', substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 8 AS INT) AS shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM kept GROUP BY 1 ORDER BY shard""",
+    "B78 flagship composite — the full corpus-to-training-files path in"
+    " ONE declarative plan: quality gate (>=10 tokens, duplicate-word"
+    " fraction <= 0.3) -> exact dedup keep-first (digest-grouped, only"
+    " 90-byte digest rows shuffle) -> mixture sampling (per-source hash"
+    " thresholds over SURVIVOR counts — the quota table is recomputed on"
+    " the post-dedup corpus, exercising operator composition) ->"
+    " content-addressed shard assignment -> per-shard export manifest."
+    " Every stage is a Column-expression or bounded-key shuffle; the"
+    " oracle replays all five stages bit-for-bit.",
+)
+def q131(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tk = T.tokens(F.col("text"))
+    ntk = F.size(tk)
+    dupfrac = F.when(
+        ntk > 0, 1 - F.size(F.array_distinct(tk)) / ntk
+    ).otherwise(F.lit(0.0))
+    quality = docs.filter((ntk >= 10) & (dupfrac <= 0.3))
+    survivors = quality.join(
+        D.exact_dedup(quality, ["text"], "doc_id"), "doc_id", "left_semi"
+    )
+    mixed = PL.mixture_sample(
+        survivors, "source", _MIX_WEIGHTS, "doc_id", total_frac=_MIX_FRAC
+    )
+    return (
+        PL.shard_assign(mixed, "doc_id", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct(F.col("source")).alias("n_sources"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
     )
 
 

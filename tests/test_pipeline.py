@@ -236,3 +236,31 @@ def test_mixture_sample_total_frac_tracks_corpus_size(spark):
     n = out.count()
     assert abs(n - 200) < 60
     assert {r["source"] for r in out.select("source").distinct().collect()} == {"s0"}
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    out = str(tmp_path / "shards")
+    PL.write_training_shards(df, out, "doc_id", n_shards=4)
+    # directory layout: one shard=N dir per shard, each with exactly one file
+    import glob
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    # read-back: all rows present, shard column matches shard_assign
+    back = spark.read.parquet(out)
+    assigned = PL.shard_assign(df, "doc_id", 4)
+    assert sorted(map(tuple, back.select("doc_id", "payload", "shard").collect())) == \
+        sorted(map(tuple, assigned.select("doc_id", "payload", "shard").collect()))
+    # in-file order is the content-hash order (byte-stable export):
+    # re-reading a single shard file preserves parquet row order
+    import pyarrow.parquet as pq
+    for d in dirs:
+        f = glob.glob(f"{d}/*.parquet")[0]
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        import hashlib
+        expect = sorted(ids, key=lambda i: (hashlib.md5(f"shard{i}".encode()).hexdigest(), i))
+        assert ids == expect

@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "q120_batch_ann_join",  # probe-TABLE broadcast against the int8 scan
     "q120b_batch_ivf_join",  # probe-table x broadcast centroid cell ranking
     "q130_mixture_sample",  # 1-row corpus-total broadcast into the quota expr
+    "q131_corpus_export_pipeline",  # same 1-row survivor-total broadcast
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -56,6 +57,8 @@ MAX_EXCHANGES = {
     "q118_resample_locf": 8,  # compaction window + grid join + fill window + sort
     "q120_batch_ann_join": 8,  # per-probe candidate + rescore WindowGroupLimit pairs
     "q120b_batch_ivf_join": 16,  # includes the cached index-build lineage in explain
+    "q131_corpus_export_pipeline": 10,  # 5-stage composite: dedup agg+semi,
+    # survivor counts agg, mixture join, shard agg, final sort
 }
 
 
