@@ -264,3 +264,55 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         import hashlib
         expect = sorted(ids, key=lambda i: (hashlib.md5(f"shard{i}".encode()).hexdigest(), i))
         assert ids == expect
+
+
+def test_shard_assign_avoids_global_sort_bottleneck(spark):
+    """The export-tier scale claim, measured: a 'global shuffle' export via
+    row_number() over a hash ordering funnels the WHOLE corpus through one
+    task (the unpartitioned window's single-partition exchange), while
+    shard_assign + repartition(shard) spreads the same rows across all
+    shard tasks. Asserted from task-level shuffleRead metrics, same
+    machinery as the skew straggler test."""
+    import uuid
+
+    from pyspark.sql import Window
+    from tests.test_operators import _max_task_shuffle_read
+
+    sc = spark.sparkContext
+    n = 400_000
+    tag = uuid.uuid4().hex[:8]
+    confs = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    df = spark.range(n).withColumnRenamed("id", "doc_id").persist()
+    order = F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string")))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df.count()
+        sc.setJobGroup(f"global-{tag}", "row_number global order export")
+        df.withColumn("rn", F.row_number().over(Window.orderBy(order))).filter(
+            "rn % 1000 = 0"
+        ).count()
+        sc.setJobGroup(f"sharded-{tag}", "hash-mod shard export")
+        # plain count after the exchange: every row crosses the shuffle
+        # (a filter here would be pushed BELOW the exchange by Catalyst
+        # and make the comparison vacuous)
+        PL.shard_assign(df, "doc_id", 16).repartition(16, F.col("shard")).count()
+        sc.setJobGroup(f"done-{tag}", "")
+        global_max = _max_task_shuffle_read(spark, f"global-{tag}")
+        sharded_max = _max_task_shuffle_read(spark, f"sharded-{tag}")
+        # the global-order window drags every row through ONE task
+        assert global_max >= n, global_max
+        # hash-mod sharding spreads the corpus: worst task holds a small
+        # multiple of n/16 (repartition hashes the 16 shard KEYS into 16
+        # partitions, so balls-in-bins collisions can double a task's
+        # share — still ~1/4 of the global-window straggler at worst)
+        assert sharded_max * 4 <= global_max, (global_max, sharded_max)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        sc.setJobGroup("", "")
+        df.unpersist()
