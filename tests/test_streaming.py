@@ -401,3 +401,46 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_drop_di
     assert got <= expected, f"{len(got - expected)} spurious rows"
     missing = expected - got
     assert len(missing) <= max(5, len(expected) // 20), f"{len(missing)}/{len(expected)} missing"
+
+
+def test_streaming_corpus_ingest_matches_batch_stages(spark, sf_dir):
+    """Streaming front half of the q131 export pipeline: documents arrive
+    as a file stream, pass the same quality gate (stateless Column
+    exprs run unchanged under Structured Streaming), and dedup via
+    streaming dropDuplicates on the text digest. The survivor DIGEST SET
+    must equal the batch quality+exact-dedup stages' set (ids may differ:
+    streaming keeps first-ARRIVED, batch keeps min-id — same equivalence
+    classes either way)."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import dedup as D
+    from spark_s3_shuffle_spark.operators.text import tokens
+
+    tmp = tempfile.mkdtemp(prefix="docs-drops-")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+
+    tk = tokens(F.col("text"))
+    ntk = F.size(tk)
+    dupfrac = F.when(ntk > 0, 1 - F.size(F.array_distinct(tk)) / ntk).otherwise(
+        F.lit(0.0)
+    )
+    gate = (ntk >= 10) & (dupfrac <= 0.3)
+
+    stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/in")
+    deduped = (
+        stream.filter(gate)
+        .withColumn("_digest", F.sha2(F.col("text"), 256))
+        .dropDuplicates(["_digest"])
+    )
+    S.run_stream_to_completion(S.parquet_sink(deduped, f"{tmp}/out", f"{tmp}/ckpt"))
+
+    got = spark.read.parquet(f"{tmp}/out")
+    batch_q = docs.filter(gate)
+    surv = batch_q.join(
+        D.exact_dedup(batch_q, ["text"], "doc_id"), "doc_id", "left_semi"
+    )
+    assert got.count() == surv.count()
+    got_digests = {r[0] for r in got.select("_digest").collect()}
+    batch_digests = {r[0] for r in surv.select(F.sha2("text", 256)).collect()}
+    assert got_digests == batch_digests
