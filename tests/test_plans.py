@@ -221,3 +221,20 @@ def test_matview_derived_grain_answered_from_summary(spark, sf_dir):
     }
     want = {r["ship_year"]: (r["sum_qty"], r["n_rows"]) for r in direct.collect()}
     assert got == want
+
+
+def test_tpcds_pack_plan_shapes(spark, sf_dir):
+    """B77 plan contract: the part dim broadcasts under the rollup+rank
+    (q124), the intersect restriction plans as semi-join machinery with no
+    payload-side duplication (q126), the double derived-set restriction
+    stays semi (q132), and the ds88 engine formulation reads events ONCE
+    (one scan vs the oracle text's eight scalar subqueries)."""
+    q124 = QUERIES["q124_ds67_rollup_rank"].builder(spark, sf_dir)
+    assert I.has_broadcast_join(q124)
+    plan126 = I.formatted_plan(QUERIES["q126_ds14_cross_channel_intersect"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan126, plan126[:500]
+    plan132 = I.formatted_plan(QUERIES["q132_ds23_frequent_best"].builder(spark, sf_dir))
+    assert plan132.count("LeftSemi") >= 2, plan132[:500]
+    plan128 = I.formatted_plan(QUERIES["q128_ds88_time_buckets"].builder(spark, sf_dir))
+    assert plan128.count("events.parquet") <= 1 and "Scan parquet" in plan128
+    assert "Join" not in plan128  # single-scan conditional agg, no self-joins

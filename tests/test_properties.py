@@ -152,3 +152,50 @@ def test_salted_top_k_matches_unsalted(spark, rows, k, salt):
     salted = SK.salted_top_k_per_group(df, ["g"], [F.desc("v")], k, salt=salt)
     key = lambda r: (r["g"], r["v"], r["payload"], r["rk"])  # noqa: E731
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+@given(
+    ids=st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(min_value=1, max_value=32),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+        min_size=1, max_size=3,
+    ),
+    total=st.integers(min_value=1, max_value=200),
+)
+@PROP
+def test_export_ops_replay_exactly_in_python(spark, ids, n_shards, weights, total):
+    """shard_assign and mixture_sample are CONTENT-ADDRESSED: a pure-Python
+    md5 replay must reproduce the exact assignment / kept set for arbitrary
+    ids, shard counts, weights, and budgets (the determinism contract the
+    DuckDB oracles rely on)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    def u32(salt, key):
+        return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+
+    rows = [Row(doc_id=i, source="abc"[abs(i) % 3]) for i in ids]
+    df = spark.createDataFrame(rows)
+
+    got = {r["doc_id"]: r["shard"] for r in PL.shard_assign(df, "doc_id", n_shards).collect()}
+    expect = {i: u32("shard", i) % n_shards for i in ids}
+    assert got == expect
+
+    kept = sorted(r["doc_id"] for r in PL.mixture_sample(df, "source", weights, "doc_id", total=total).collect())
+    src_n = {}
+    for r in rows:
+        src_n[r.source] = src_n.get(r.source, 0) + 1
+    def thr(src):
+        w = weights.get(src)
+        if w is None:
+            return 0
+        import math
+        rate = min((float(w) * total) / src_n[src], 1.0)
+        return math.floor(rate * float(2**32))
+    expect_kept = sorted(i for i, r in ((i, "abc"[abs(i) % 3]) for i in ids) if u32("mix", i) < thr(r))
+    assert kept == expect_kept

@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "q120b_batch_ivf_join",  # probe-table x broadcast centroid cell ranking
     "q130_mixture_sample",  # 1-row corpus-total broadcast into the quota expr
     "q131_corpus_export_pipeline",  # same 1-row survivor-total broadcast
+    "q132_ds23_frequent_best",  # 1-row mean-spend broadcast (scalar filter)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
