@@ -4419,6 +4419,17 @@ def q132(spark, sf_dir):
     )
 
 
+_register(
+    "q132b_sql_text_ds23",
+    QUERIES["q132_ds23_frequent_best"].oracle,
+    "SQL-text front door for the ds23 shape: the oracle text itself"
+    " through spark.sql — exercises the parser on a HAVING-filtered CTE,"
+    " an uncorrelated scalar subquery in a WHERE comparison, and two"
+    " IN-subqueries (Catalyst rewrites them to the same semi joins q132"
+    " builds explicitly).",
+)(_sql_text_builder(QUERIES["q132_ds23_frequent_best"].oracle, ["lineitem", "orders"]))
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -73,3 +73,108 @@ def running_totals_tws(df: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class TimerSessionProcessor(StatefulProcessor):
+    """Event-time sessionization on the timer primitive — the custom
+    stateful operator shape `session_window` can't express when you need
+    per-session side effects (emit-on-close, state TTL, session-length
+    caps): one ValueState row per OPEN session and one event-time timer at
+    ``end + gap`` (timers are ms-grain; state is µs-grain) that closes and emits the session when the watermark
+    passes it. In-batch gaps are split eagerly (events inside one
+    micro-batch never wait on a timer); only the trailing open session per
+    key lives in state — O(active keys), not O(events), which is what
+    survives a 100 TB stream.
+
+    Semantics match batch ``session_window(gap)`` exactly for every
+    session the final watermark has closed (the equality test asserts
+    emitted == batch minus watermark-tail sessions).
+    """
+
+    def __init__(self, gap_us: int) -> None:
+        self._gap_us = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        start = end = None
+        n = 0
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+        ts_all = []
+        for pdf in rows:
+            # pandas datetime64[ns] -> epoch µs: the SAME integer domain
+            # session_window compares in, so gap decisions match exactly
+            ts_all.extend((pdf["event_ts"].astype("int64") // 1_000).tolist())
+        closed = []
+        for ts in sorted(ts_all):
+            if start is None:
+                start, end, n = ts, ts, 1
+            elif ts - end > self._gap_us:
+                closed.append((start, end, n))
+                start, end, n = ts, ts, 1
+            else:
+                end, n = max(end, ts), n + 1
+        self._sess.update((start, end, n))
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer((end + self._gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start],
+                    "end_us": [end],
+                    "n_events": [n],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(
+    df: DataFrame, gap_us: int, key: str = "user_id"
+) -> DataFrame:
+    """Timer-driven sessionization over a watermarked stream keyed by
+    ``key`` (event-time timers need the watermark to advance, so callers
+    must `withWatermark` first)."""
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=TimerSessionProcessor(gap_us),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

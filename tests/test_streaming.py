@@ -444,3 +444,98 @@ def test_streaming_corpus_ingest_matches_batch_stages(spark, sf_dir):
     got_digests = {r[0] for r in got.select("_digest").collect()}
     batch_digests = {r[0] for r in surv.select(F.sha2("text", 256)).collect()}
     assert got_digests == batch_digests
+
+
+def test_timer_sessionize_tws_matches_batch_session_window(spark, sf_dir):
+    """B60 deepened: event-time TIMERS. The transformWithState sessionizer
+    (one ValueState per open session + a timer at end+gap) must emit
+    exactly the batch session_window sessions, except a per-user tail
+    suffix the final watermark never closed. Input files are written
+    time-range-ordered so the watermark advances across micro-batches and
+    timers actually fire."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    import tempfile
+
+    from spark_s3_shuffle_spark.streaming import ops as S
+    from spark_s3_shuffle_spark.streaming import stateful as ST
+
+    gap_us = 5 * 60 * 1_000_000
+    tmp = tempfile.mkdtemp(prefix="tws-sess-")
+    ev = load_table(spark, sf_dir, "events").drop("event_ts")
+    # stage the four time-range files into the drop dir with ASCENDING
+    # mtimes: the file source processes oldest-mtime first, so batches
+    # arrive in event-time order and the watermark never leaps ahead of a
+    # yet-unread earlier file (which would late-drop it wholesale)
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    ev.repartitionByRange(4, F.col("ts")).write.mode("overwrite").parquet(
+        f"{tmp}/stage"
+    )
+    os.makedirs(f"{tmp}/in")
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{tmp}/stage/part-*.parquet"))):
+        dst = f"{tmp}/in/{os.path.basename(f)}"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = S.with_watermark(
+            S.read_events_stream(spark, f"{tmp}/in", max_files_per_trigger=1),
+            "1 minute",
+        )
+        sess = ST.sessionize_tws(stream, gap_us)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("tws_sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+        emitted = {
+            (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+            for r in spark.table("tws_sessions").collect()
+        }
+        batch = {
+            (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.session_window("event_ts", "5 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("start_us"),
+                # session_window end = last event + gap; the processor's
+                # end_us is the last event itself
+                (F.unix_micros("w.end") - gap_us).alias("end_us"),
+                "n_events",
+            )
+            .collect()
+        }
+        assert emitted, "no sessions emitted"
+        for k, v in emitted.items():
+            assert batch[k] == v, (k, v, batch.get(k))
+        # withheld sessions must be a per-user TAIL suffix (never an
+        # interior session): anything missing starts at/after every
+        # emitted session of the same user
+        by_user_emitted = {}
+        for (u, s) in emitted:
+            by_user_emitted.setdefault(u, []).append(s)
+        for (u, s) in set(batch) - set(emitted):
+            assert all(s >= e for e in by_user_emitted.get(u, [])), (u, s)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
