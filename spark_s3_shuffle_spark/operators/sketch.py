@@ -1,0 +1,87 @@
+"""Mergeable-sketch operators expressed as pure DataFrame algebra.
+
+The reference exposes no sketch surface (its TPC-DS queries use exact
+aggregation; SURVEY B20 covers Spark's built-in `approx_count_distinct`),
+but a 100 TB pipeline lives on sketches: this module implements
+HyperLogLog distinct counting from first principles as relational
+algebra — hash → register/rank projection (one scan, codegen), per-
+register MAX (a ≤m-row shuffle with map-side partial max), one tiny
+final fold — so the estimator is *portable and deterministic*: built on
+the same md5 both engines share, with the harmonic mean computed in
+EXACT integer arithmetic (terms scaled by 2^57 so the sum is an integer,
+immune to float summation order). That is what lets a DuckDB oracle
+replay the ESTIMATE bit-for-bit — something `approx_count_distinct`
+(engine-private HLL++ with xxhash) can never offer.
+
+Scale shape: the shuffle after the map-side combine is at most
+m = 2^b rows per upstream partition regardless of input size; the final
+fold touches m rows. Flajolet et al.'s standard bias constant and the
+small-range linear-counting correction are applied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Width of the rank domain: md5 gives 128 bits; we spend 2 hex chars
+#: (8 bits) on the register index and 14 hex chars (56 bits) on the rank
+#: word, so rho ranges over [1, 57].
+_RANK_BITS = 56
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    b: int = 8,
+    salt: str = "",
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """HyperLogLog distinct count of ``col`` with ``m = 2^b`` registers
+    (b <= 8 keeps the register index inside the first hex byte; standard
+    error ~= 1.04/sqrt(m), ~6.5% at b=8).
+
+    Returns a 1-row frame ``(out DOUBLE, registers_hit BIGINT)``. The
+    estimate is deterministic across engines, partitionings, and reruns:
+    md5-derived registers/ranks, an exact integer harmonic sum, and a
+    final division/log evaluated on identical doubles.
+    """
+    if not 1 <= b <= 8:
+        raise ValueError("b must be in [1, 8]")
+    m = 1 << b
+    h = F.md5(F.concat(F.lit(salt), F.col(col).cast("string")))
+    # register: top b bits of the first hash byte; rank word: next 56 bits
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("reg")
+    w = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    rho = (
+        F.when(w > 0, F.lit(_RANK_BITS + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(_RANK_BITS + 1))
+        .cast("int")
+        .alias("rho")
+    )
+    regs = df.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("maxrho"))
+    # harmonic sum scaled by 2^57: each register contributes
+    # 2^(57 - maxrho) (an exact long); absent registers contribute 2^57.
+    # Summed as DECIMAL so the total is exact integer arithmetic — no
+    # float summation order anywhere.
+    # (F.shiftleft only takes a literal bit count, so the per-row shift
+    # goes through expr)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS + 1} - maxrho)")
+    packed = regs.agg(
+        F.sum(term.cast("decimal(28,0)")).alias("_scaled"),
+        F.count(F.lit(1)).alias("_hit"),
+    )
+    absent = (F.lit(m) - F.col("_hit")).cast("decimal(28,0)")
+    scaled_total = (
+        F.col("_scaled") + absent * F.lit(1 << (_RANK_BITS + 1)).cast("decimal(28,0)")
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numer = float(alpha * m * m * (1 << (_RANK_BITS + 1)))
+    est = F.lit(numer) / scaled_total.cast("double")
+    zeros = (F.lit(m) - F.col("_hit")).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    corrected = F.when((est <= 2.5 * m) & (zeros > 0), linear).otherwise(est)
+    return packed.select(
+        F.round(corrected, 1).alias(out),
+        F.col("_hit").cast("long").alias("registers_hit"),
+    )

@@ -4430,6 +4430,50 @@ _register(
 )(_sql_text_builder(QUERIES["q132_ds23_frequent_best"].oracle, ["lineitem", "orders"]))
 
 
+#: HLL constants for q133 — spliced into BOTH sides so the estimator
+#: arithmetic is textually identical (see operators/sketch.py).
+_HLL_M = 256
+_HLL_NUMER = float((0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * (1 << 57))
+
+@_register(
+    "q133_hll_distinct",
+    f"""WITH rw AS (
+         SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT) % 256 AS reg,
+                CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 3, 14)) AS UBIGINT) AS w
+         FROM orders),
+       rr AS (
+         SELECT reg,
+                MAX(CASE WHEN w > 0 THEN 57 - LENGTH(bin(w)) ELSE 57 END) AS maxrho
+         FROM rw GROUP BY reg),
+       packed AS (
+         SELECT SUM(CAST(1 AS BIGINT) << (57 - maxrho)) AS scaled,
+                COUNT(*) AS hit
+         FROM rr),
+       est AS (
+         SELECT CAST({_HLL_NUMER!r} AS DOUBLE)
+                / CAST(scaled + (256 - hit) * (CAST(1 AS BIGINT) << 57) AS DOUBLE) AS e,
+                CAST(256 - hit AS DOUBLE) AS zeros, hit
+         FROM packed)
+       SELECT CAST(ROUND(CASE WHEN e <= 640.0 AND zeros > 0
+                              THEN 256.0 * LN(256.0 / zeros) ELSE e END, 1)
+                   AS DOUBLE) AS hll_estimate,
+              CAST(hit AS BIGINT) AS registers_hit
+       FROM est""",
+    "B20 upgraded from bench-only to a FULL-oracle row: HyperLogLog"
+    " distinct counting implemented as relational algebra (hash ->"
+    " register/rank projection, per-register MAX with map-side combine —"
+    " the shuffle is <= 256 rows per partition regardless of input size —"
+    " exact-integer harmonic sum scaled by 2^57). Because the sketch is"
+    " built on portable md5 and integer arithmetic, the ESTIMATE itself"
+    " is deterministic and DuckDB replays it bit-for-bit — impossible"
+    " with approx_count_distinct's engine-private xxhash HLL++.",
+)
+def q133(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -157,3 +157,42 @@ def run_stream_to_completion(writer: DataStreamWriter, timeout_secs: int = 120) 
     q.awaitTermination(timeout_secs)
     if q.isActive:
         q.stop()
+
+
+def export_shards_sink(
+    df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataStreamWriter:
+    """Streaming training-export: each micro-batch is shard-assigned
+    (content-addressed md5-mod — identical to the batch writer, so a
+    streamed corpus lands in the SAME shard for every row a batch export
+    would choose) and appended under one directory per shard via
+    ``foreachBatch``. Within each appended file the rows are hash-sorted
+    (the batch writer's in-file contract); across micro-batches a shard
+    accumulates multiple files, which training readers treat as one
+    logical shard. Checkpointing makes the append exactly-once per batch.
+    """
+    from spark_s3_shuffle_spark.operators.pipeline import shard_assign
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        sharded = shard_assign(batch_df, id_col, n_shards, salt=salt)
+        order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        (
+            sharded.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions(F.col("shard"), order, F.col(id_col))
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(out_path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -643,3 +643,31 @@ def test_quantize_vectors_int8_range_and_scale_invariance(spark):
     assert all(-127 <= v <= 127 for v in rows[1])
     assert max(abs(v) for v in rows[1]) == 127     # scale maps max|x| -> 127
     assert rows[2] == [0, 0, 0]                    # zero vector stays zero
+
+
+# ---------------------------------------------------------------------------
+# sketches (B20 oracle tier)
+# ---------------------------------------------------------------------------
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    import pytest as _pytest
+
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct
+
+    df = spark.range(0, 20_000).select((F.col("id") % 7919).alias("k"))  # 7919 distinct
+    row = hll_distinct(df, "k").first()
+    est, exact = row["hll_estimate"], 7919
+    # b=8 -> sigma ~6.5%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+    assert row["registers_hit"] <= 256
+    # content-addressed: invariant to partitioning and duplication volume
+    again = hll_distinct(df.repartition(17), "k").first()
+    assert again["hll_estimate"] == est
+    tripled = hll_distinct(df.union(df).union(df), "k").first()
+    assert tripled["hll_estimate"] == est  # duplicates cannot move the sketch
+    # low-cardinality path: linear counting engages and stays in-tolerance
+    small = spark.range(0, 50).withColumnRenamed("id", "k")
+    row_s = hll_distinct(small, "k").first()
+    assert abs(row_s["hll_estimate"] - 50) / 50 < 0.25, row_s
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "k", b=9)

@@ -539,3 +539,34 @@ def test_timer_sessionize_tws_matches_batch_session_window(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_export_shards_matches_batch_assignment(spark, sf_dir):
+    """Streaming back half of the export pipeline: documents streamed
+    through the foreachBatch shard sink land in exactly the shard the
+    batch writer would choose (content-addressed assignment is
+    arrival-order-free), with per-shard directory layout intact across
+    multi-batch appends."""
+    import glob
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    tmp = tempfile.mkdtemp(prefix="stream-export-")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    S.run_stream_to_completion(
+        S.export_shards_sink(stream, f"{tmp}/out", f"{tmp}/ckpt", "doc_id", 4)
+    )
+
+    dirs = sorted(glob.glob(f"{tmp}/out/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+    back = spark.read.parquet(f"{tmp}/out").select("doc_id", "shard")
+    expect = PL.shard_assign(docs, "doc_id", 4).select("doc_id", "shard")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, expect.collect()))
