@@ -85,3 +85,91 @@ def hll_distinct(
         F.round(corrected, 1).alias(out),
         F.col("_hit").cast("long").alias("registers_hit"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``col``: a ``(row, bucket, cnt)`` table of
+    ``d`` hash rows x ``w`` counters (md5 with per-row salts — portable
+    across engines). Built in ONE scan: each input row explodes into its
+    d (row, bucket) cells, then a bounded aggregate — the sketch is at
+    most d*w rows no matter the input size, and the per-cell counts are
+    exact integers, so the whole structure (and every estimate read from
+    it) is deterministic and oracle-replayable. Mergeable by construction:
+    sketches of two corpora union + re-aggregate into the sketch of the
+    concatenation."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{salt}{i}"), F.col(col).cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for every key in ``keys[col]`` from a
+    ``cms_build`` sketch: min over the key's d counters (the classic
+    one-sided estimator — never under-counts, over-counts by at most
+    eps*N with prob 1-delta, eps=e/w, delta=e^-d). The probe explodes
+    each key into its d cells and joins the d*w-row sketch (broadcast in
+    practice), so estimating any number of keys is one bounded join —
+    no rescan of the sketched corpus."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{salt}{i}"), F.col(col).cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    probe = keys.select(F.col(col), F.explode(cells).alias("c")).select(
+        col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -4474,6 +4474,43 @@ def q133(spark, sf_dir):
     return hll_distinct(_t(spark, sf_dir, "orders"), "o_orderkey")
 
 
+@_register(
+    "q134_cms_heavy_hitters",
+    """WITH hashes AS (
+         SELECT r.row, e.user_id,
+                CAST(CAST(concat('0x', substring(md5('cms' || CAST(r.row AS VARCHAR) || CAST(e.user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1024 AS INT) AS bucket
+         FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) r(row)),
+       sketch AS (
+         SELECT row, bucket, COUNT(*) AS cnt FROM hashes GROUP BY row, bucket),
+       probe AS (
+         SELECT u.user_id, r.row,
+                CAST(CAST(concat('0x', substring(md5('cms' || CAST(r.row AS VARCHAR) || CAST(u.user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1024 AS INT) AS bucket
+         FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
+         CROSS JOIN (VALUES (0),(1),(2),(3)) r(row))
+       SELECT p.user_id, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+       FROM probe p LEFT JOIN sketch s USING (row, bucket)
+       GROUP BY p.user_id ORDER BY p.user_id""",
+    "B79 companion: count-min point-frequency estimates from a 4x1024"
+    " sketch built in ONE scan (each event explodes into its 4 cells; the"
+    " sketch is <= 4096 rows at ANY corpus size) and probed with a"
+    " bounded broadcast join — no rescan of the sketched corpus. Exact"
+    " integer counters + portable md5 rows make the (one-sided, possibly"
+    " colliding) estimates themselves deterministic: the oracle replays"
+    " sketch AND probe bit-for-bit.",
+)
+def q134(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    probe = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    return (
+        cms_estimate(sketch, probe, "user_id")
+        .select("user_id", F.col("est_count").cast("long").alias("est_count"))
+        .orderBy("user_id")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -671,3 +671,31 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     assert abs(row_s["hll_estimate"] - 50) / 50 < 0.25, row_s
     with _pytest.raises(ValueError):
         hll_distinct(df, "k", b=9)
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    from spark_s3_shuffle_spark.operators.sketch import cms_build, cms_estimate
+
+    # zipfish frame: key 0 dominates; 500 tail keys
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(500)))
+        .alias("k")
+    )
+    truth = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probe = df.select("k").distinct().limit(50)
+    est = {r["k"]: r["est_count"] for r in cms_estimate(cms_build(df, "k"), probe, "k").collect()}
+    n_total = sum(truth.values())
+    for k, e in est.items():
+        assert e >= truth[k], (k, e, truth[k])          # never undercounts
+        assert e <= truth[k] + 0.01 * n_total, (k, e)   # eps*N bound (loose)
+    # mergeable: union of two half-sketches re-aggregated == whole sketch
+    a, b = df.filter("id is not null").randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_build(a, "k")
+        .unionByName(cms_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
