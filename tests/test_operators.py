@@ -699,3 +699,25 @@ def test_cms_one_sided_error_and_merge(spark):
     )
     whole = cms_build(a.unionByName(b), "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_ppm_image_decode_real_values(spark):
+    """B51/B75: the image decode seam narrowed — binary PPM (P6) is decoded
+    for REAL (header parse + per-channel means over raw pixels), no media
+    library involved; only compressed formats remain deployment seams."""
+    red_green = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    gray = b"P6 4 2 255\n" + bytes([10, 20, 30] * 8)
+    rows = [
+        (1, bytearray(red_green)),
+        (2, bytearray(gray)),
+        (3, bytearray(b"not an image")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = MM.as_media(df, "media_id", "payload", "image/x-portable-pixmap")
+    feats = {r["media_id"]: r for r in MM.extract_image_features(media).collect()}
+    assert feats[1]["ok"] == "true" and (feats[1]["width"], feats[1]["height"]) == (2, 1)
+    assert (feats[1]["mean_r"], feats[1]["mean_g"], feats[1]["mean_b"]) == (127.5, 127.5, 0.0)
+    assert feats[2]["ok"] == "true" and (feats[2]["width"], feats[2]["height"]) == (4, 2)
+    assert (feats[2]["mean_r"], feats[2]["mean_g"], feats[2]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert feats[3]["ok"] == "false" and feats[4]["ok"] == "false"
