@@ -46,11 +46,23 @@ def hll_distinct(
     md5-derived registers/ranks, an exact integer harmonic sum, and a
     final division/log evaluated on identical doubles.
     """
+    regs = hll_registers(df, col, b=b, salt=salt)
+    return hll_estimate_from_registers(regs, b=b, out=out)
+
+
+def hll_registers(
+    df: DataFrame, col: str, b: int = 8, salt: str = ""
+) -> DataFrame:
+    """The sketch STATE: a ``(reg, maxrho)`` frame of at most 2^b rows —
+    persistable as a summary table and mergeable: the HLL of two corpora
+    is ``union → groupBy(reg).max(maxrho)`` of their register frames, so
+    an append-only corpus maintains its sketch incrementally (register
+    merge over the delta) without ever rescanning history."""
     if not 1 <= b <= 8:
         raise ValueError("b must be in [1, 8]")
     m = 1 << b
     h = F.md5(F.concat(F.lit(salt), F.col(col).cast("string")))
-    # register: top b bits of the first hash byte; rank word: next 56 bits
+    # register: the first hash byte mod m; rank word: next 56 bits
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("reg")
     w = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
     rho = (
@@ -59,7 +71,23 @@ def hll_distinct(
         .cast("int")
         .alias("rho")
     )
-    regs = df.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("maxrho"))
+    return df.select(reg, rho).groupBy("reg").agg(F.max("rho").alias("maxrho"))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge HLL register frames (same b/salt): per-register MAX over the
+    union — the lossless sketch combine."""
+    merged = register_frames[0]
+    for rf in register_frames[1:]:
+        merged = merged.unionByName(rf)
+    return merged.groupBy("reg").agg(F.max("maxrho").alias("maxrho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, b: int = 8, out: str = "hll_estimate"
+) -> DataFrame:
+    """Fold a register frame into the 1-row estimate (see hll_distinct)."""
+    m = 1 << b
     # harmonic sum scaled by 2^57: each register contributes
     # 2^(57 - maxrho) (an exact long); absent registers contribute 2^57.
     # Summed as DECIMAL so the total is exact integer arithmetic — no

@@ -721,3 +721,20 @@ def test_ppm_image_decode_real_values(spark):
     assert feats[2]["ok"] == "true" and (feats[2]["width"], feats[2]["height"]) == (4, 2)
     assert (feats[2]["mean_r"], feats[2]["mean_g"], feats[2]["mean_b"]) == (10.0, 20.0, 30.0)
     assert feats[3]["ok"] == "false" and feats[4]["ok"] == "false"
+
+
+def test_hll_registers_merge_is_lossless(spark):
+    """HLL mergeability: sketch(A) ⊔ sketch(B) == sketch(A ∪ B) at the
+    register level, so an append-only corpus maintains its distinct-count
+    summary incrementally (merge the delta's <=256-row register frame)
+    without rescanning history."""
+    from spark_s3_shuffle_spark.operators import sketch as SK
+
+    df = spark.range(0, 8_000).select((F.col("id") % 3001).alias("k"))
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = SK.hll_merge(SK.hll_registers(a, "k"), SK.hll_registers(b, "k"))
+    whole = SK.hll_registers(df, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est_m = SK.hll_estimate_from_registers(merged).first()["hll_estimate"]
+    est_w = SK.hll_estimate_from_registers(whole).first()["hll_estimate"]
+    assert est_m == est_w
