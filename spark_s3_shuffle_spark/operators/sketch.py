@@ -201,3 +201,86 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    keep_cols: list[str],
+    k: int = 2048,
+    salt: str = "bk",
+) -> DataFrame:
+    """Bottom-k-by-hash row sample: the ``k`` rows whose
+    ``md5(salt|key_cols)`` is smallest — a uniform sample WITHOUT
+    replacement whose membership is a pure function of row identity.
+    ``key_cols`` must identify a row (e.g. the table's primary key);
+    hashing only the value column would collapse duplicates and bias any
+    downstream estimator toward distinct-value statistics.
+
+    Scale shape: ``orderBy(hash).limit(k)`` plans
+    ``TakeOrderedAndProject`` — each task keeps its local bottom-k, so
+    the exchange carries at most ``k`` rows per upstream partition and
+    the final heap-merge touches ``k * partitions`` rows, at ANY input
+    size. Mergeable: the bottom-k of a union is the bottom-k of the
+    concatenated per-part bottom-k frames (``bottomk_merge``), so an
+    append-only corpus maintains its sample incrementally — the
+    summary-table pattern applied to sampling.
+    """
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+        )
+    ).alias("_bk_hash")
+    return df.select(h, *keep_cols).orderBy("_bk_hash").limit(k)
+
+
+def bottomk_merge(k: int, *samples: DataFrame) -> DataFrame:
+    """Merge bottom-k sample frames (same salt/key space): the global
+    bottom-k of the union — the lossless sample combine."""
+    merged = samples[0]
+    for s in samples[1:]:
+        merged = merged.unionByName(s)
+    return merged.orderBy("_bk_hash").limit(k)
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    qs: list[float],
+    k: int = 2048,
+    salt: str = "bk",
+) -> DataFrame:
+    """Quantile sketch over ``value_col``: exact quantiles of a bottom-k
+    uniform sample, selected by DETERMINISTIC integer rank — sample rank
+    ``1 + floor(q * (n-1))`` under ``(value, hash)`` order — so the
+    estimate involves no interpolation arithmetic at all: it is one of
+    the sampled values, bit-identical across engines, partitionings, and
+    reruns (rank error is the classic O(sqrt(q(1-q)/k)) of a uniform
+    sample; ~1% at k=2048, q=0.5).
+
+    Unlike ``percentile_approx`` (engine-private Greenwald-Khanna state,
+    merge-order-dependent) this sketch is portable: a DuckDB oracle
+    replays the ESTIMATES bit-for-bit. The heavy lifting is the bounded
+    ``TakeOrderedAndProject`` of ``bottomk_sample``; the quantile fold
+    runs on <= k rows. Returns ``(q DOUBLE, {value_col})`` ordered by q.
+    """
+    from pyspark.sql import Window
+
+    sample = bottomk_sample(df, key_cols, [value_col], k=k, salt=salt)
+    w = Window.orderBy(F.col(value_col), F.col("_bk_hash"))
+    ranked = sample.select(
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    probes = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(F.explode(probes).alias("q"), value_col, "_rn", "_n")
+        .filter(
+            F.col("_rn")
+            == 1 + F.floor(F.col("q") * (F.col("_n") - 1)).cast("int")
+        )
+        .select("q", value_col)
+        .orderBy("q")
+    )

@@ -4511,6 +4511,48 @@ def q134(spark, sf_dir):
     )
 
 
+@_register(
+    "q135_quantile_sketch",
+    """WITH s AS (
+         SELECT md5(concat_ws('|', 'bk', CAST(l_orderkey AS VARCHAR),
+                              CAST(l_linenumber AS VARCHAR))) AS h,
+                l_extendedprice AS v
+         FROM lineitem
+         ORDER BY h LIMIT 2048),
+       r AS (
+         SELECT v, h,
+                ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+                COUNT(*) OVER () AS n
+         FROM s)
+       SELECT CAST(q AS DOUBLE) AS q, CAST(v AS DOUBLE) AS l_extendedprice
+       FROM r CROSS JOIN (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) p(q)
+       WHERE rn = 1 + CAST(FLOOR(CAST(q AS DOUBLE) * (n - 1)) AS INT)
+       ORDER BY q""",
+    "B79 completion — portable QUANTILE sketch: exact quantiles of a"
+    " bottom-k-by-md5 uniform row sample, selected by deterministic"
+    " integer rank 1+floor(q*(n-1)) under (value, hash) order. No"
+    " interpolation arithmetic, so the estimates are bit-identical"
+    " across engines/partitionings/reruns and the oracle replays them —"
+    " impossible with percentile_approx's merge-order-dependent GK"
+    " state. Scale: orderBy(hash).limit(k) plans TakeOrderedAndProject"
+    " (per-task bottom-k; the exchange carries <= k rows per partition"
+    " at ANY input size); the quantile fold runs on <= k rows; the"
+    " sample itself is mergeable (bottomk_merge) for incremental"
+    " maintenance. Rank error O(sqrt(q(1-q)/k)) ~ 1% at k=2048.",
+)
+def q135(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import bottomk_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return bottomk_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        qs=[0.25, 0.5, 0.75, 0.9, 0.99],
+        k=2048,
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -738,3 +738,36 @@ def test_hll_registers_merge_is_lossless(spark):
     est_m = SK.hll_estimate_from_registers(merged).first()["hll_estimate"]
     est_w = SK.hll_estimate_from_registers(whole).first()["hll_estimate"]
     assert est_m == est_w
+
+
+def test_bottomk_quantile_sketch_properties(spark):
+    """B79 quantile tier: bottom-k sample is deterministic under
+    repartitioning, mergeable (bottom-k of per-part samples == bottom-k of
+    the whole), plans TakeOrderedAndProject (bounded per-task state), and
+    its rank-selected quantiles land within the O(1/sqrt(k)) band."""
+    from spark_s3_shuffle_spark.operators import sketch as SK
+
+    n = 50_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    sample = SK.bottomk_sample(df, ["k"], ["v"], k=1024)
+    assert "TakeOrderedAndProject" in sample._jdf.queryExecution().executedPlan().toString()
+    rows = sorted(map(tuple, sample.collect()))
+    again = sorted(map(tuple, SK.bottomk_sample(df.repartition(13), ["k"], ["v"], k=1024).collect()))
+    assert rows == again  # membership is a pure function of row identity
+    # mergeable: bottom-k of the union of two half-samples == whole sample
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = SK.bottomk_merge(
+        1024,
+        SK.bottomk_sample(a, ["k"], ["v"], k=1024),
+        SK.bottomk_sample(b, ["k"], ["v"], k=1024),
+    )
+    assert sorted(map(tuple, merged.collect())) == rows
+    # accuracy: values are uniform on [0, n) so the q-quantile is ~q*n;
+    # rank error of a k-sample is ~sqrt(q(1-q)/k) — allow 4 sigma
+    qs = [0.25, 0.5, 0.9]
+    got = {r["q"]: r["v"] for r in SK.bottomk_quantiles(df, "v", ["k"], qs, k=1024).collect()}
+    for q in qs:
+        sigma = (q * (1 - q) / 1024) ** 0.5
+        assert abs(got[q] / n - q) < 4 * sigma, (q, got[q])
