@@ -4553,6 +4553,60 @@ def q135(spark, sf_dir):
     )
 
 
+@_register(
+    "q136_interval_join_attrib",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+       c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       per_view AS (
+         SELECT v.event_id, COUNT(c.event_id) AS clicks_within
+         FROM v LEFT JOIN c
+           ON v.user_id = c.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+         GROUP BY v.event_id)
+       SELECT CAST(clicks_within AS INT) AS clicks_within,
+              COUNT(*) AS n_views
+       FROM per_view GROUP BY clicks_within ORDER BY clicks_within""",
+    "Batch twin of the watermarked stream-stream interval join (B-tier"
+    " streaming; operators/streaming/ops.py stream_stream_interval_join)."
+    " Attribution funnel: for every view, the clicks by the same user"
+    " within 10 minutes after it, folded into a histogram. This closes"
+    " the stream == batch == oracle triangle: the streaming test"
+    " (tests/test_streaming.py) proves the watermarked join reproduces"
+    " this exact batch formulation, and this entry proves the batch"
+    " formulation against DuckDB. Timestamp arithmetic stays in exact"
+    " microsecond INTERVAL terms on both sides. Scale: the join keys on"
+    " user_id (hash exchange on both filtered legs), the time predicate"
+    " prunes within each key group, and streaming state is bounded by"
+    " watermark + interval, independent of stream length.",
+)
+def q136(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("vts")
+    ).alias("l")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("cts"),
+    ).alias("r")
+    per_view = (
+        v.join(
+            c,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.cts") >= F.col("l.vts"))
+            & (F.col("r.cts") <= F.col("l.vts") + F.expr("INTERVAL 10 minutes")),
+            "left",
+        )
+        .groupBy(F.col("l.event_id"))
+        .agg(F.count(F.col("r.click_id")).alias("clicks_within"))
+    )
+    return (
+        per_view.groupBy(F.col("clicks_within").cast("int").alias("clicks_within"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .orderBy("clicks_within")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
