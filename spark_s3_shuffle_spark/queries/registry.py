@@ -4607,6 +4607,89 @@ def q136(spark, sf_dir):
     )
 
 
+@_register(
+    "q137_pagerank_trade_graph",
+    """WITH e0 AS (
+         SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       outw AS (SELECT src, SUM(w) AS ow FROM e0 GROUP BY src),
+       e AS (SELECT e0.src, e0.dst, e0.w, outw.ow
+             FROM e0 JOIN outw ON e0.src = outw.src),
+       nodes AS (SELECT DISTINCT n
+                 FROM (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0) t),
+       r0 AS (SELECT n, CAST(1000000000000 AS BIGINT)
+                        // (SELECT COUNT(*) FROM nodes) AS r
+              FROM nodes),
+       it1 AS (
+         SELECT nodes.n,
+                CAST(150000000000 AS BIGINT)
+                + (85 * COALESCE(sc.contrib, 0)) // 100 AS r
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS n, SUM((p.r * e.w) // e.ow) AS contrib
+           FROM r0 p JOIN e ON p.n = e.src GROUP BY e.dst) sc
+           ON nodes.n = sc.n),
+       it2 AS (
+         SELECT nodes.n,
+                CAST(150000000000 AS BIGINT)
+                + (85 * COALESCE(sc.contrib, 0)) // 100 AS r
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS n, SUM((p.r * e.w) // e.ow) AS contrib
+           FROM it1 p JOIN e ON p.n = e.src GROUP BY e.dst) sc
+           ON nodes.n = sc.n),
+       it3 AS (
+         SELECT nodes.n,
+                CAST(150000000000 AS BIGINT)
+                + (85 * COALESCE(sc.contrib, 0)) // 100 AS r
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS n, SUM((p.r * e.w) // e.ow) AS contrib
+           FROM it2 p JOIN e ON p.n = e.src GROUP BY e.dst) sc
+           ON nodes.n = sc.n)
+       SELECT nt.n_name AS n_name, CAST(it3.r AS BIGINT) AS rank_scaled
+       FROM it3 JOIN nation nt ON it3.n = nt.n_nationkey
+       ORDER BY rank_scaled DESC, n_name""",
+    "Iterative-algorithm representative: 3-iteration weighted PageRank"
+    " over the customer-nation -> supplier-nation trade graph, in"
+    " FIXED-POINT integer arithmetic (scaled bigints, truncating DIV) so"
+    " every step is exact and the DuckDB oracle replays the fixed-point"
+    " run bit-for-bit — no float summation order anywhere. Scale shape"
+    " per iteration (operators/graph.py): the rank frame (|nodes| rows)"
+    " broadcasts into the cached edge join, and the contribution"
+    " aggregate is a map-side-combined exchange carrying <= |nodes| rows"
+    " per upstream partition; the edge table never reshuffles after its"
+    " initial build and nothing round-trips through the driver.",
+)
+def q137(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nt = _t(spark, sf_dir, "nation")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            c["c_nationkey"].alias("src_n"), s["s_nationkey"].alias("dst_n")
+        )
+    )
+    edges = GR.edge_weights(pairs, "src_n", "dst_n")
+    ranks = GR.pagerank_fixed(edges, iterations=3)
+    return (
+        ranks.join(nt, ranks["n"] == nt["n_nationkey"])
+        .select(
+            nt["n_name"].alias("n_name"),
+            ranks["r"].cast("long").alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "n_name")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -771,3 +771,42 @@ def test_bottomk_quantile_sketch_properties(spark):
     for q in qs:
         sigma = (q * (1 - q) / 1024) ** 0.5
         assert abs(got[q] / n - q) < 4 * sigma, (q, got[q])
+
+
+def test_pagerank_fixed_integer_recurrence(spark):
+    """Graph tier: the DataFrame PageRank reproduces a pure-Python mirror
+    of the scaled-integer recurrence exactly, and is invariant to input
+    partitioning (no float summation order anywhere)."""
+    from spark_s3_shuffle_spark.operators import graph as GR
+
+    raw = [(0, 1)] * 3 + [(1, 2)] * 2 + [(2, 0)] * 1 + [(0, 2)] * 1 + [(3, 0)] * 2
+    df = spark.createDataFrame(raw, "a long, b long")
+    edges = GR.edge_weights(df, "a", "b")
+    got = {r["n"]: r["r"] for r in GR.pagerank_fixed(edges, iterations=4).collect()}
+
+    # python mirror of the exact integer recurrence
+    from collections import defaultdict
+    w = defaultdict(int)
+    for a, b in raw:
+        w[(a, b)] += 1
+    nodes = sorted({x for ab in w for x in ab})
+    ow = defaultdict(int)
+    for (a, _), ww in w.items():
+        ow[a] += ww
+    S = GR.SCALE
+    r = {n: S // len(nodes) for n in nodes}
+    for _ in range(4):
+        contrib = defaultdict(int)
+        for (a, b), ww in w.items():
+            contrib[b] += (r[a] * ww) // ow[a]
+        r = {n: S * 15 // 100 + (85 * contrib.get(n, 0)) // 100 for n in nodes}
+    assert got == r, (got, r)
+    again = {
+        rr["n"]: rr["r"]
+        for rr in GR.pagerank_fixed(
+            GR.edge_weights(df.repartition(7), "a", "b"), iterations=4
+        ).collect()
+    }
+    assert again == r
+    # node 3 is a pure source: it should hold exactly the base mass
+    assert r[3] == S * 15 // 100
