@@ -4690,6 +4690,149 @@ def q137(spark, sf_dir):
     )
 
 
+@_register(
+    "q138_ds34_frequent_buyers",
+    """WITH trips AS (
+         SELECT o_custkey, DATE_TRUNC('month', o_orderdate) AS mon,
+                COUNT(*) AS cnt
+         FROM orders GROUP BY o_custkey, DATE_TRUNC('month', o_orderdate)
+         HAVING COUNT(*) BETWEEN 2 AND 4)
+       SELECT c.c_name AS c_name, CAST(t.mon AS DATE) AS mon,
+              CAST(t.cnt AS BIGINT) AS cnt
+       FROM trips t JOIN customer c ON t.o_custkey = c.c_custkey
+       ORDER BY cnt DESC, c_name, mon""",
+    "TPC-DS q34/q73 shape (frequent-trips): per-(customer, month) order"
+    " counts with a HAVING BETWEEN band, joined back to the customer"
+    " dimension for display, sorted by trip count. Engine plan: one"
+    " map-side-combined aggregate on (custkey, month) — the fact table's"
+    " only exchange — then a broadcast join against the customer dim"
+    " (dims broadcast at any fact scale); the HAVING filter runs on the"
+    " aggregated frame before the join, so only qualifying groups touch"
+    " the dimension.",
+)
+def q138(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    trips = (
+        o.groupBy(
+            "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(2, 4))
+    )
+    return (
+        trips.join(F.broadcast(c), trips["o_custkey"] == c["c_custkey"])
+        .select(
+            c["c_name"].alias("c_name"),
+            F.col("mon").cast("date").alias("mon"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "c_name", "mon")
+    )
+
+
+@_register(
+    "q139_ds93_returns_adjusted",
+    """WITH net AS (
+         SELECT o.o_custkey,
+                SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(0 AS DECIMAL(18,6))
+                         ELSE CAST(l.l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                    END) AS net_rev
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_custkey)
+       SELECT c.c_name AS c_name,
+              CAST(ROUND(n.net_rev, 2) AS DOUBLE) AS net_rev
+       FROM net n JOIN customer c ON n.o_custkey = c.c_custkey
+       ORDER BY net_rev DESC, c_name LIMIT 20""",
+    "TPC-DS q93 shape (returns-adjusted sales): revenue per customer"
+    " where returned line items (l_returnflag = 'R') contribute zero —"
+    " the conditional-exclusion aggregate DS expresses with a left join"
+    " to store_returns, folded here into one CASE inside the sum (the"
+    " fixtures carry the return flag inline). Exact DECIMAL accumulation"
+    " with a single display round. Plan: fact-fact join on orderkey"
+    " (both sides key-partitioned), partial+final hash agg on custkey,"
+    " broadcast customer dim, TakeOrderedAndProject for the top-20 —"
+    " only aggregated customer rows reach the sort.",
+)
+def q139(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    net_term = F.when(
+        F.col("l_returnflag") == "R", F.lit(0).cast("decimal(18,6)")
+    ).otherwise(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    net = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(net_term).alias("net_rev"))
+    )
+    return (
+        net.join(F.broadcast(c), net["o_custkey"] == c["c_custkey"])
+        .select(
+            c["c_name"].alias("c_name"),
+            F.round(F.col("net_rev"), 2).cast("double").alias("net_rev"),
+        )
+        .orderBy(F.desc("net_rev"), "c_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "q140_ds95_multi_supplier_orders",
+    """WITH qual AS (
+         SELECT l_orderkey
+         FROM lineitem GROUP BY l_orderkey
+         HAVING COUNT(DISTINCT l_suppkey) >= 2
+            AND SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0)
+       SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS mon,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS total_price
+       FROM orders o JOIN qual q ON o.o_orderkey = q.l_orderkey
+       GROUP BY DATE_TRUNC('month', o.o_orderdate)
+       ORDER BY mon""",
+    "TPC-DS q95 shape (multi-site fulfilment with returns): orders whose"
+    " line items ship from >= 2 DISTINCT suppliers AND include at least"
+    " one return, rolled up per month. DS writes this as chained EXISTS"
+    " subqueries over ws_wh self-joins; the engine collapses it into one"
+    " grouped qualification pass over lineitem (distinct-supplier count"
+    " + conditional return sum in a single partial+final aggregate) and"
+    " a semi-join back onto orders. Scale: the qualification aggregate"
+    " shuffles one row per order (never payloads), the semi join keys"
+    " both sides on orderkey, and the month rollup is map-side combined.",
+)
+def q140(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_ns"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("_nr"),
+        )
+        .filter((F.col("_ns") >= 2) & (F.col("_nr") > 0))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(qual, o["o_orderkey"] == qual["l_orderkey"], "left_semi")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("mon")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
