@@ -4833,6 +4833,131 @@ def q140(spark, sf_dir):
     )
 
 
+@_register(
+    "q141_resample_interpolate",
+    """WITH base AS (
+         SELECT user_id, epoch_us(ts) AS t_us, value
+         FROM events WHERE user_id < 25),
+       grid AS (
+         SELECT u.user_id, g.hour, epoch_us(g.hour) AS t_us
+         FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 25) u
+         CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                   TIMESTAMP '2024-01-30 23:00:00',
+                                                   INTERVAL 1 HOUR)) AS hour) g),
+       u AS (
+         SELECT user_id, t_us, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid, hour
+         FROM grid
+         UNION ALL
+         SELECT user_id, t_us, value, 0 AS is_grid, CAST(NULL AS TIMESTAMP) AS hour
+         FROM base),
+       w AS (
+         SELECT user_id, t_us, hour, is_grid,
+           last_value(value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY t_us, is_grid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY t_us, is_grid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY t_us, is_grid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN value IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY t_us, is_grid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         FROM u)
+       SELECT user_id, hour,
+              CAST(ROUND(CASE
+                     WHEN pv IS NULL THEN NULL
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv)
+                          * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                   END, 2) AS DOUBLE) AS value
+       FROM w WHERE is_grid = 1
+       ORDER BY user_id, hour""",
+    "Time-series LINEAR interpolation at a fixed hourly grid (q118's LOCF"
+    " sibling): each grid point takes pv + (nv-pv)*(t-pt)/(nt-pt) from"
+    " its neighboring raw observations — NULL before the first"
+    " observation, held flat after the last. The interleave trick does"
+    " all the work in ONE pass: grid points union with observations and"
+    " two mirror-image IGNORE NULLS window walks pick the bracketing"
+    " (value, exact microsecond timestamp) pairs, so there is no self-"
+    " join and no per-gap search. Timestamp deltas stay exact bigint"
+    " microseconds; only the final ratio/lerp touches doubles, in one"
+    " fixed expression shape both engines evaluate identically. Scale:"
+    " one exchange on user_id serves the whole interleaved window; rows"
+    " per series = observations + |grid|, independent of total fact"
+    " volume across series.",
+)
+def q141(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    obs = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+        F.lit(0).alias("is_grid"),
+        F.lit(None).cast("timestamp_ntz").alias("hour"),
+    )
+    grid_hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(grid_hours))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("hour").cast("timestamp")).alias("t_us"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+            "hour",
+        )
+    )
+    both = grid.unionByName(obs)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("value").isNotNull(), F.col("t_us"))
+    w = both.select(
+        "user_id",
+        "t_us",
+        "hour",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t_us") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    val = (
+        F.when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id", "hour", F.round(val, 2).cast("double").alias("value")
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
