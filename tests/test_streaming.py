@@ -570,3 +570,51 @@ def test_streaming_export_shards_matches_batch_assignment(spark, sf_dir):
     back = spark.read.parquet(f"{tmp}/out").select("doc_id", "shard")
     expect = PL.shard_assign(docs, "doc_id", 4).select("doc_id", "shard")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_matview_maintenance_matches_batch(spark, sf_dir):
+    """Streaming materialized-view maintenance: folding micro-batches into
+    the persisted summary via the algebraic refresh must reproduce the
+    batch-built summary EXACTLY (decimal components), and the version
+    trail must be monotone (one immutable v<id> per micro-batch)."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="matview-stream-")
+    li.repartition(5).write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{tmp}/in")
+    )
+    S.run_stream_to_completion(
+        S.matview_maintenance_sink(stream, f"{tmp}/summary", f"{tmp}/ckpt"),
+        timeout_secs=180,
+    )
+
+    got = S.latest_summary(spark, f"{tmp}/summary")
+    assert got is not None, "no summary version committed"
+    from spark_s3_shuffle_spark.operators.matview import (
+        build_lineitem_summary,
+        refresh_summary,
+    )
+
+    expected = refresh_summary(build_lineitem_summary(li.limit(0)), li)
+    key = lambda r: (str(r[0]), str(r[1]), str(r[2]))
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, expected.collect()), key=key
+    )
+    # multiple micro-batches actually happened (maxFilesPerTrigger=1 over
+    # 5 files), each leaving an immutable version
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(f"{tmp}/summary").getFileSystem(
+        spark.sparkContext._jsc.sc().hadoopConfiguration()
+    )
+    versions = [
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{tmp}/summary"))
+        if st.getPath().getName().startswith("v")
+    ]
+    assert len(versions) >= 2, versions
