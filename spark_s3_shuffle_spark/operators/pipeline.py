@@ -538,3 +538,54 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample: keep the ``k`` rows with the
+    smallest ``u / w`` priority, where ``u`` is the row's 52-bit md5 hash
+    (exactly representable in a double) and ``w`` its positive integer
+    weight. P(u/w < t) = min(1, t*w), so for k << n the inclusion
+    probabilities converge to weight-proportional — the same limit
+    exponential-race (A-ES) sampling targets — while the priority stays
+    ONE IEEE division of two exactly-representable doubles: no logs, no
+    libm, bit-identical across engines, partitionings, and retries (an
+    oracle replays the exact selected set, registry q142).
+
+    Scale shape: ``orderBy(priority).limit(k)`` plans
+    TakeOrderedAndProject — per-task bottom-k state, an exchange of at
+    most k rows per partition at any input size. The sample is mergeable
+    (bottom-k of unioned per-part bottom-k frames), so an append-only
+    corpus maintains its weighted sample incrementally. Rows with
+    non-positive weight are excluded (they would win every race)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    pri = (u / F.col(weight_col).cast("double")).alias("_ws_priority")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(pri, *df.columns)
+        .orderBy("_ws_priority", *key_cols)
+        .limit(k)
+    )

@@ -4958,6 +4958,38 @@ def q141(spark, sf_dir):
     )
 
 
+@_register(
+    "q142_weighted_sample",
+    """WITH pr AS (
+         SELECT doc_id, n_chars,
+                CAST(CAST(concat('0x', substring(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                          AS UBIGINT) AS DOUBLE)
+                / CAST(n_chars AS DOUBLE) AS p
+         FROM documents WHERE n_chars > 0)
+       SELECT doc_id, n_chars
+       FROM (SELECT doc_id, n_chars FROM pr ORDER BY p, doc_id LIMIT 500) t
+       ORDER BY doc_id""",
+    "Deterministic WEIGHTED sampling (pipeline tier): bottom-k by u/w"
+    " priority where u is the row's 52-bit md5 word (exact in a double)"
+    " and w the length weight — inclusion probability converges to"
+    " weight-proportional for k << n (the A-ES limit) with the priority"
+    " computed as ONE IEEE division, no logs/libm, so the exact selected"
+    " set is engine- and partitioning-independent and the oracle replays"
+    " it. Plans TakeOrderedAndProject: per-task bottom-k, <= k rows per"
+    " partition shuffled at any corpus size; the sample is mergeable for"
+    " incremental maintenance (operators/pipeline.py weighted_sample).",
+)
+def q142(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        PL.weighted_sample(
+            docs.select("doc_id", "n_chars"), ["doc_id"], "n_chars", 500
+        )
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -810,3 +810,33 @@ def test_pagerank_fixed_integer_recurrence(spark):
     assert again == r
     # node 3 is a pure source: it should hold exactly the base mass
     assert r[3] == S * 15 // 100
+
+
+def test_weighted_sample_determinism_and_weight_proportionality(spark):
+    """Pipeline tier: weighted bottom-k selection is a pure function of row
+    identity (stable under repartition), plans TakeOrderedAndProject, and
+    doubles a row's inclusion rate when its weight doubles (within the
+    binomial band)."""
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)).alias("w"),
+    )
+    k = 2000
+    s = PL.weighted_sample(df, ["k"], "w", k)
+    assert "TakeOrderedAndProject" in s._jdf.queryExecution().executedPlan().toString()
+    picked = {r["k"] for r in s.collect()}
+    assert len(picked) == k
+    again = {r["k"] for r in PL.weighted_sample(df.repartition(11), ["k"], "w", k).collect()}
+    assert picked == again
+    # weight-2 rows should win ~2x as often: expected 2/3 of the sample
+    heavy = sum(1 for x in picked if x % 2 == 1)
+    frac = heavy / k
+    sigma = (2 / 3 * 1 / 3 / k) ** 0.5
+    assert abs(frac - 2 / 3) < 5 * sigma, frac
+    # non-positive weights are excluded, never auto-winners
+    df2 = df.withColumn("w", F.when(F.col("k") < 100, F.lit(0)).otherwise(F.col("w")))
+    s2 = {r["k"] for r in PL.weighted_sample(df2, ["k"], "w", k).collect()}
+    assert all(x >= 100 for x in s2)
