@@ -4990,6 +4990,54 @@ def q142(spark, sf_dir):
     )
 
 
+_Q143_ORACLE = f"""WITH rw AS (
+     SELECT CAST(ts AS DATE) AS day,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % 256 AS reg,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS UBIGINT) AS w
+     FROM events),
+   rr AS (
+     SELECT day, reg,
+            MAX(CASE WHEN w > 0 THEN 57 - LENGTH(bin(w)) ELSE 57 END) AS maxrho
+     FROM rw GROUP BY day, reg),
+   packed AS (
+     SELECT day, SUM(CAST(1 AS BIGINT) << (57 - maxrho)) AS scaled,
+            COUNT(*) AS hit
+     FROM rr GROUP BY day),
+   est AS (
+     SELECT day, CAST({_HLL_NUMER!r} AS DOUBLE)
+            / CAST(CAST(scaled AS HUGEINT)
+                   + CAST(256 - hit AS HUGEINT) * (CAST(1 AS HUGEINT) << 57)
+                   AS DOUBLE) AS e,
+            CAST(256 - hit AS DOUBLE) AS zeros, hit
+     FROM packed)
+   SELECT day, CAST(ROUND(CASE WHEN e <= 640.0 AND zeros > 0
+                          THEN 256.0 * LN(256.0 / zeros) ELSE e END, 1)
+               AS DOUBLE) AS hll_estimate,
+          CAST(hit AS BIGINT) AS registers_hit
+   FROM est ORDER BY day"""
+
+
+@_register(
+    "q143_hll_by_day",
+    _Q143_ORACLE,
+    "Per-GROUP HyperLogLog — distinct users per day, one portable sketch"
+    " per group (operators/sketch.py hll_distinct_by_key). The register"
+    " aggregate's exchange is |groups| x 256 rows regardless of fact"
+    " volume (map-side MAX combine), vs exact countDistinct shuffling"
+    " every distinct (day, user) pair — THE reporting shape a 100 TB"
+    " events corpus actually runs. Same exact-integer harmonic-sum"
+    " algebra as q133, so DuckDB replays every per-day ESTIMATE"
+    " bit-for-bit.",
+)
+def q143(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct_by_key
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return hll_distinct_by_key(ev, ["day"], "user_id").orderBy("day")
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

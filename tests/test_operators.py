@@ -840,3 +840,22 @@ def test_weighted_sample_determinism_and_weight_proportionality(spark):
     df2 = df.withColumn("w", F.when(F.col("k") < 100, F.lit(0)).otherwise(F.col("w")))
     s2 = {r["k"] for r in PL.weighted_sample(df2, ["k"], "w", k).collect()}
     assert all(x >= 100 for x in s2)
+
+
+def test_hll_by_key_matches_global_and_accuracy(spark):
+    """Per-group HLL: each group's sketch equals the global sketch of that
+    group's rows (same register algebra), estimates stay in the b=8 band,
+    and the register exchange is invariant to duplication."""
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct, hll_distinct_by_key
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 2500).alias("k")
+    )
+    per = {r["g"]: r["hll_estimate"] for r in hll_distinct_by_key(df, ["g"], "k").collect()}
+    for g in (0, 1, 2):
+        solo = hll_distinct(df.filter(F.col("g") == g), "k").first()["hll_estimate"]
+        assert per[g] == solo, (g, per[g], solo)
+        exact = df.filter(F.col("g") == g).select("k").distinct().count()
+        assert abs(per[g] - exact) / exact < 0.20, (g, per[g], exact)
+    dup = {r["g"]: r["hll_estimate"] for r in hll_distinct_by_key(df.union(df), ["g"], "k").collect()}
+    assert dup == per
