@@ -68,9 +68,14 @@ def pagerank_fixed(
         edges.select(F.col("src").alias("n"))
         .unionByName(edges.select(F.col("dst").alias("n")))
         .distinct()
+        .persist()
     )
+    # The edge frame is scanned once per iteration: persist it so each
+    # step reads the materialized (src, dst, w, ow) partitions instead of
+    # re-planning the whole upstream lineage (standard practice for
+    # iterative graph jobs; Spark evicts LRU if memory is tight).
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    e = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
     # |nodes| as a 1-row broadcast frame — no driver-side count action.
     nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -87,7 +92,9 @@ def pagerank_fixed(
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
+            nodes.join(
+                F.broadcast(contrib), nodes["n"] == contrib["dst"], "left"
+            )
             .select(
                 "n",
                 (

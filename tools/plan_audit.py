@@ -43,6 +43,8 @@ NESTED_LOOP_OK = {
     "q130_mixture_sample",  # 1-row corpus-total broadcast into the quota expr
     "q131_corpus_export_pipeline",  # same 1-row survivor-total broadcast
     "q132_ds23_frequent_best",  # 1-row mean-spend broadcast (scalar filter)
+    "q137_pagerank_trade_graph",  # 1-row |nodes| broadcast seeding the rank frame
+    "q141_resample_interpolate",  # |buckets|-row broadcast grid x distinct series (q118's sibling)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -60,6 +62,11 @@ MAX_EXCHANGES = {
     "q120b_batch_ivf_join": 16,  # includes the cached index-build lineage in explain
     "q131_corpus_export_pipeline": 10,  # 5-stage composite: dedup agg+semi,
     # survivor counts agg, mixture join, shard agg, final sort
+    "q137_pagerank_trade_graph": 14,  # 3-iteration loop over PERSISTED node/edge
+    # frames: each InMemoryRelation reference re-prints its build lineage in the
+    # plan text, so the textual count multiplies; the executed job materializes
+    # the edge build once and pays ONE bounded contrib exchange per iteration
+    # (rank + contrib frames broadcast — see operators/graph.py)
 }
 
 
