@@ -5038,6 +5038,87 @@ def q143(spark, sf_dir):
     return hll_distinct_by_key(ev, ["day"], "user_id").orderBy("day")
 
 
+@_register(
+    "q144_funnel_cohorts",
+    """WITH fv AS (
+         SELECT user_id, MIN(ts) AS v_ts
+         FROM events WHERE event_type = 'view' GROUP BY user_id),
+       fc AS (
+         SELECT e.user_id, MIN(e.ts) AS c_ts
+         FROM events e JOIN fv ON e.user_id = fv.user_id
+         WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+         GROUP BY e.user_id),
+       fp AS (
+         SELECT e.user_id, MIN(e.ts) AS p_ts
+         FROM events e JOIN fc ON e.user_id = fc.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+         GROUP BY e.user_id)
+       SELECT CAST(fv.v_ts AS DATE) AS cohort,
+              COUNT(*) AS n_viewed,
+              COUNT(fc.c_ts) AS n_clicked,
+              COUNT(fp.p_ts) AS n_purchased
+       FROM fv
+       LEFT JOIN fc ON fv.user_id = fc.user_id
+       LEFT JOIN fp ON fv.user_id = fp.user_id
+       GROUP BY CAST(fv.v_ts AS DATE) ORDER BY cohort""",
+    "Funnel / ordered-sequence analysis (the MATCH_RECOGNIZE shape a"
+    " behavioural warehouse runs daily): per user, first view, first"
+    " click strictly AFTER that view, first purchase strictly AFTER that"
+    " click, cohorted by first-view date. The oracle states it as three"
+    " chained self-joins (three event scans); the engine computes all"
+    " three stage timestamps in ONE exchange on user_id — three chained"
+    " window passes over the same partitioning (Spark reuses the"
+    " exchange and sort), each deriving the next stage's cutoff from the"
+    " previous window column — then one tiny cohort rollup. At 100 TB"
+    " that is scan+shuffle once vs three times, and no join at all.",
+)
+def q144(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = (
+        staged.filter(F.col("v_ts").isNotNull())
+        .select("user_id", "v_ts", "c_ts", "p_ts")
+        .distinct()
+    )
+    return (
+        per_user.groupBy(F.col("v_ts").cast("date").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("c_ts").alias("n_clicked"),
+            F.count("p_ts").alias("n_purchased"),
+        )
+        .orderBy("cohort")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -238,3 +238,54 @@ def test_tpcds_pack_plan_shapes(spark, sf_dir):
     plan128 = I.formatted_plan(QUERIES["q128_ds88_time_buckets"].builder(spark, sf_dir))
     assert plan128.count("events.parquet") <= 1 and "Scan parquet" in plan128
     assert "Join" not in plan128  # single-scan conditional agg, no self-joins
+
+
+def test_funnel_single_event_exchange(spark, sf_dir):
+    """q144: the three chained stage windows share ONE exchange on user_id
+    (Spark reuses the partitioning/sort), so the events table is scanned
+    and shuffled once — not three times as the oracle's join formulation
+    would."""
+    q = QUERIES["q144_funnel_cohorts"].builder(spark, sf_dir)
+    plan = I.formatted_plan(q)
+    # exchanges: one hashpartitioning(user_id) for the windows + distinct,
+    # one for the cohort agg, plus the final orderBy's range partitioning
+    assert plan.count("hashpartitioning(user_id") == 1, plan.count(
+        "hashpartitioning(user_id"
+    )
+    assert plan.count("Window") == 3 or "Window" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Scale guard: with Spark's runtime bloom-filter join filtering on, a
+    selective dim-side predicate injects a might_contain probe into the
+    fact scan side — the built-in analogue of the engine's manifest
+    blooms, pruning shuffle input before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # production default is 10GB of fact-side scan before the bloom pays
+        # for itself; the fixtures are far smaller, so drop the floor to
+        # observe the injection the 100 TB plan would get for free
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join shape
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
