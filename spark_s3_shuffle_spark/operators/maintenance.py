@@ -1,0 +1,136 @@
+"""Table-maintenance tier: small-file compaction + version retention.
+
+The reference owns its storage lifecycle explicitly — per-shuffle and
+whole-app prefix deletion on unregister/stop (SURVEY A13:
+`S3ShuffleDispatcher.scala:104-118,174-183`, `S3ShuffleManager.scala:
+156-186`). This module is the same discipline applied to the engine's
+own on-storage artifacts:
+
+- ``compact_shards``: streaming appends (`export_shards_sink`) leave one
+  file per shard PER MICRO-BATCH; a 100 TB/day stream grows thousands of
+  small files per shard, and small files are the top operational killer
+  of object-store tables (per-file open cost on every read). Compaction
+  rewrites each shard to its canonical single-file form — byte-stable,
+  because the in-file order is pinned to the same content-hash order the
+  batch writer uses, so compacting a streamed export converges it to the
+  EXACT layout a one-shot batch export would have produced.
+- ``vacuum_versions``: versioned artifacts (`matview_maintenance_sink``'s
+  ``v<batch_id>`` summaries) accumulate one immutable directory per
+  refresh; retention keeps the last N and deletes the rest — the
+  summary-table analogue of the reference's ``removeShuffle``.
+
+Both operate through the Hadoop FileSystem API, so ``file://`` in tests
+and ``s3a://`` in production run the same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.sc().hadoopConfiguration()
+    )
+    return fs, hpath, jvm
+
+
+def list_shard_files(spark: SparkSession, root: str) -> dict[str, int]:
+    """Map ``shard=<k>`` directory name -> parquet part-file count."""
+    fs, hroot, jvm = _fs(spark, root)
+    out: dict[str, int] = {}
+    if not fs.exists(hroot):
+        return out
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("shard=")):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().startswith("part-")
+        )
+        out[name] = n
+    return out
+
+
+def compact_shards(
+    spark: SparkSession,
+    root: str,
+    id_col: str,
+    salt: str = "shard",
+) -> dict[str, int]:
+    """Rewrite a sharded export so every shard holds ONE file in canonical
+    content-hash order, converging any append history to the layout a
+    one-shot batch export would have produced (byte-stable: reruns and
+    re-compactions are no-ops modulo parquet metadata).
+
+    The rewrite is one job over the whole table: read (partition-pruned
+    parquet), one exchange back onto the shard key with as many tasks as
+    shards, task-local hash sort, atomic swap (write to ``<root>/.compact``
+    then rename over the old tree — readers never observe a half-written
+    shard on a rename-consistent store). Returns the per-shard file count
+    after compaction.
+
+    Scale: cost is one scan + one exchange of the table — run it when the
+    per-shard file count (``list_shard_files``) crosses a threshold, not
+    per append. Compaction never changes row content or order contract,
+    only file boundaries, so readers need no coordination beyond the
+    atomic rename.
+    """
+    fs, hroot, jvm = _fs(spark, root)
+    tmp = f"{root}/.compact"
+    df = spark.read.parquet(root)
+    shards = [r["shard"] for r in df.select("shard").distinct().collect()]
+    n_shards = len(shards)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    (
+        df.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), order, F.col(id_col))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    for st in fs.listStatus(htmp):
+        name = st.getPath().getName()
+        if not name.startswith("shard="):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{name}")
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        fs.rename(st.getPath(), dest)
+    fs.delete(htmp, True)
+    return list_shard_files(spark, root)
+
+
+def vacuum_versions(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[str]:
+    """Delete all but the newest ``keep_last`` ``v<id>`` version
+    directories under ``root`` (the retention pass for
+    ``matview_maintenance_sink`` summaries). Returns the deleted names.
+    Readers resolve the latest version at read time, so retaining >= 1
+    version keeps them unbroken; keep >= 2 to tolerate a reader holding
+    the previous version open across the vacuum."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, hroot, jvm = _fs(spark, root)
+    if not fs.exists(hroot):
+        return []
+    versions = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v"):
+            try:
+                versions.append((int(name[1:]), name))
+            except ValueError:
+                continue
+    versions.sort()
+    doomed = [name for _, name in versions[:-keep_last]]
+    for name in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}"), True)
+    return doomed

@@ -316,3 +316,69 @@ def test_shard_assign_avoids_global_sort_bottleneck(spark):
                 spark.conf.set(k, v)
         sc.setJobGroup("", "")
         df.unpersist()
+
+
+def test_compact_shards_converges_to_batch_layout(spark):
+    """Maintenance tier: appended shard history (multiple part files per
+    shard) compacts to ONE canonical file per shard whose content AND
+    in-file order equal a one-shot batch export — so streamed appends plus
+    compaction == batch write, and re-compaction is a no-op."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.pipeline import shard_assign, write_training_shards
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 97).alias("payload")
+    )
+    appended = tempfile.mkdtemp(prefix="compact-") + "/t"
+    order = F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string")))
+    for part in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        sharded = shard_assign(df.filter(part), "doc_id", 4)
+        (
+            sharded.repartition(4, F.col("shard"))
+            .sortWithinPartitions(F.col("shard"), order, F.col("doc_id"))
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(appended)
+        )
+    before = MT.list_shard_files(spark, appended)
+    assert before and all(n >= 2 for n in before.values()), before
+
+    after = MT.compact_shards(spark, appended, "doc_id")
+    assert set(after) == set(before) and all(n == 1 for n in after.values()), after
+
+    batch = tempfile.mkdtemp(prefix="compact-batch-") + "/t"
+    write_training_shards(df, batch, "doc_id", 4)
+    for shard in sorted(after):
+        got = spark.read.parquet(f"{appended}/{shard}").select("doc_id", "payload").collect()
+        want = spark.read.parquet(f"{batch}/{shard}").select("doc_id", "payload").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], shard
+
+    again = MT.compact_shards(spark, appended, "doc_id")
+    assert all(n == 1 for n in again.values())
+    for shard in sorted(after):
+        got = spark.read.parquet(f"{appended}/{shard}").select("doc_id", "payload").collect()
+        want = spark.read.parquet(f"{batch}/{shard}").select("doc_id", "payload").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], shard
+
+
+def test_vacuum_versions_retention(spark):
+    """Version retention keeps the newest N summary versions and the
+    latest-resolution contract intact."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.streaming.ops import latest_summary
+
+    root = tempfile.mkdtemp(prefix="vacuum-") + "/summary"
+    for i in range(5):
+        spark.range(i, i + 3).write.mode("overwrite").parquet(f"{root}/v{i:010d}")
+    deleted = MT.vacuum_versions(spark, root, keep_last=2)
+    assert deleted == [f"v{i:010d}" for i in range(3)], deleted
+    latest = latest_summary(spark, root)
+    assert sorted(r["id"] for r in latest.collect()) == [4, 5, 6]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MT.vacuum_versions(spark, root, keep_last=0)
