@@ -344,3 +344,65 @@ def hll_distinct_by_key(
         F.round(corrected, 1).alias(out),
         F.col("_hit").cast("long").alias("registers_hit"),
     )
+
+
+def bottomk_quantiles_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    qs: list[float],
+    k: int = 1024,
+    salt: str = "bkg",
+) -> DataFrame:
+    """Per-GROUP quantile sketch (the p95-per-endpoint reporting shape):
+    for every ``key_cols`` tuple, exact quantiles of a per-group bottom-k
+    uniform sample, selected by the same deterministic integer rank as
+    :func:`bottomk_quantiles` — bit-identical across engines and
+    partitionings, oracle-replayable.
+
+    Scale shape: the per-group sample is a rank-filter window
+    (``row_number over (partition by key order by hash) <= k``), which
+    Spark 4 plans with WindowGroupLimit pushdown — each task pre-trims to
+    its local per-group top-k BEFORE the exchange, so the shuffle carries
+    at most k rows per (group, upstream-partition), never the raw
+    per-group volume. The quantile fold then runs on |groups| x k rows.
+    Returns ``(*key_cols, q DOUBLE, {value_col})``.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(salt),
+            *[F.col(c).cast("string") for c in key_cols + id_cols],
+        )
+    ).alias("_bk_hash")
+    w_sample = Window.partitionBy(*key_cols).orderBy("_bk_hash")
+    sample = (
+        df.select(*key_cols, F.col(value_col), h)
+        .withColumn("_srn", F.row_number().over(w_sample))
+        .filter(F.col("_srn") <= k)
+    )
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col(value_col), F.col("_bk_hash")
+    )
+    w_n = Window.partitionBy(*key_cols)
+    ranked = sample.select(
+        *key_cols,
+        F.col(value_col),
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_n).alias("_n"),
+    )
+    probes = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(
+            *key_cols, F.explode(probes).alias("q"), value_col, "_rn", "_n"
+        )
+        .filter(
+            F.col("_rn")
+            == 1 + F.floor(F.col("q") * (F.col("_n") - 1)).cast("int")
+        )
+        .select(*key_cols, "q", value_col)
+        .orderBy(*key_cols, "q")
+    )

@@ -5119,6 +5119,48 @@ def q144(spark, sf_dir):
     )
 
 
+@_register(
+    "q145_quantiles_by_group",
+    """WITH s AS (
+         SELECT l_returnflag,
+                md5(concat_ws('|', 'bkg', l_returnflag, CAST(l_orderkey AS VARCHAR),
+                              CAST(l_linenumber AS VARCHAR))) AS h,
+                l_extendedprice AS v
+         FROM lineitem
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) <= 1024),
+       r AS (
+         SELECT l_returnflag, v, h,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM s)
+       SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+              CAST(v AS DOUBLE) AS l_extendedprice
+       FROM r CROSS JOIN (VALUES (0.25),(0.5),(0.75),(0.95)) p(q)
+       WHERE rn = 1 + CAST(FLOOR(CAST(q AS DOUBLE) * (n - 1)) AS INT)
+       ORDER BY l_returnflag, q""",
+    "B80 per-GROUP companion: p25/p50/p75/p95 of extended price per"
+    " return flag from per-group bottom-k samples (the p95-per-endpoint"
+    " reporting shape). The sampling window is a rank filter Spark 4"
+    " plans with WindowGroupLimit pushdown — each task pre-trims to its"
+    " local per-group k BEFORE the exchange, so the shuffle carries at"
+    " most k rows per (group, partition) rather than raw group volume."
+    " Same deterministic integer-rank selection as q135: the oracle"
+    " replays every per-group quantile bit-for-bit.",
+)
+def q145(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import bottomk_quantiles_by_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return bottomk_quantiles_by_key(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        qs=[0.25, 0.5, 0.75, 0.95],
+        k=1024,
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -859,3 +859,31 @@ def test_hll_by_key_matches_global_and_accuracy(spark):
         assert abs(per[g] - exact) / exact < 0.20, (g, per[g], exact)
     dup = {r["g"]: r["hll_estimate"] for r in hll_distinct_by_key(df.union(df), ["g"], "k").collect()}
     assert dup == per
+
+
+def test_bottomk_quantiles_by_key_window_group_limit(spark):
+    """Per-group quantile sampling plans WindowGroupLimit (map-side
+    pre-trim before the exchange) and is invariant to repartitioning."""
+    from spark_s3_shuffle_spark.operators.sketch import bottomk_quantiles_by_key
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    out = bottomk_quantiles_by_key(df, ["g"], "v", ["k"], [0.5, 0.9], k=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = sorted(map(tuple, out.collect()))
+    again = sorted(
+        map(
+            tuple,
+            bottomk_quantiles_by_key(
+                df.repartition(9), ["g"], "v", ["k"], [0.5, 0.9], k=512
+            ).collect(),
+        )
+    )
+    assert rows == again
+    # each group's values are ~uniform on its residue-class lattice; the
+    # median estimate must land near the true middle (4-sigma band at k=512)
+    med = {r[0]: r[2] for r in rows if r[1] == 0.5}
+    for g, v in med.items():
+        assert abs(v / 30_000 - 0.5) < 4 * (0.25 / 512) ** 0.5, (g, v)
