@@ -5161,6 +5161,85 @@ def q145(spark, sf_dir):
     )
 
 
+@_register(
+    "q146_exact_moments_profile",
+    """WITH c AS (
+         SELECT l_returnflag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS px,
+                CAST(l_quantity AS HUGEINT) AS qy
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag,
+                COUNT(*) AS n,
+                SUM(px) AS sx, SUM(qy) AS sy,
+                SUM(px * px) AS sxx, SUM(qy * qy) AS syy,
+                SUM(px * qy) AS sxy
+         FROM c GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              CAST(n AS BIGINT) AS n,
+              CAST(ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+                   AS DOUBLE) AS mean_price,
+              CAST(ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 4)
+                   AS DOUBLE) AS std_price,
+              CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS DOUBLE) AS corr_qty_price
+       FROM m ORDER BY l_returnflag""",
+    "Data-profiling tier: per-group mean / sample stddev / Pearson"
+    " correlation from EXACT integer moments — prices scaled to integer"
+    " cents, all five sums accumulated in exact wide-integer arithmetic"
+    " (decimal(38,0) in Spark, HUGEINT in DuckDB), variance and"
+    " correlation assembled as n*Sxx - Sx^2 style integer expressions"
+    " and only THEN cast to double for one fixed shape of"
+    " division/sqrt (IEEE-exact operations — sqrt is correctly rounded"
+    " by the standard, unlike libm transcendentals). Spark's built-in"
+    " stddev/corr stream float partials whose summation order varies"
+    " with partitioning; this formulation is bit-stable at any"
+    " parallelism and the oracle replays it. One map-side-combined"
+    " exchange of 5 numbers per group per partition at any fact volume.",
+)
+def q146(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    px = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")
+    )
+    qy = F.col("l_quantity").cast("decimal(18,0)")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    m = (
+        li.select(
+            "l_returnflag", px.alias("px"), qy.alias("qy")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("px"))).alias("sx"),
+            F.sum(d38(F.col("qy"))).alias("sy"),
+            F.sum(d38(F.col("px") * F.col("px"))).alias("sxx"),
+            F.sum(d38(F.col("qy") * F.col("qy"))).alias("syy"),
+            F.sum(d38(F.col("px") * F.col("qy"))).alias("sxy"),
+        )
+    )
+    nn = d38(F.col("n"))
+    var_num = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_num = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov_num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nn * (nn - 1)).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sx").cast("double") / F.col("n").cast("double") / 100.0, 4
+        ).alias("mean_price"),
+        F.round(F.sqrt(var_num / den) / 100.0, 4).alias("std_price"),
+        F.round(
+            cov_num / (F.sqrt(var_num) * F.sqrt(vary_num)), 6
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
