@@ -5240,6 +5240,54 @@ def q146(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@_register(
+    "q147_histogram_profile",
+    """WITH c AS (
+         SELECT l_returnflag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
+         FROM lineitem),
+       mm AS (
+         SELECT l_returnflag, MIN(px) AS lo, MAX(px) AS hi
+         FROM c GROUP BY l_returnflag)
+       SELECT c.l_returnflag,
+              CAST(((c.px - mm.lo) * 20) // (mm.hi - mm.lo + 1) AS INT) AS bin,
+              COUNT(*) AS n
+       FROM c JOIN mm ON c.l_returnflag = mm.l_returnflag
+       GROUP BY c.l_returnflag, CAST(((c.px - mm.lo) * 20) // (mm.hi - mm.lo + 1) AS INT)
+       ORDER BY c.l_returnflag, bin""",
+    "Profiling tier: 20-bin equi-width histogram of price per return"
+    " flag, with binning done ENTIRELY in integer arithmetic (prices as"
+    " integer cents; bin = (px-lo)*nbins DIV (hi-lo+1)) so bucket"
+    " boundaries are bit-exact across engines — float-width binning"
+    " ((px-lo)/w) puts boundary values in different buckets per engine"
+    " rounding. Plan: one map-side-combined bounds aggregate (3 rows)"
+    " broadcast back onto the fact scan, then one map-side-combined"
+    " count aggregate — per-group bounds inherently need the extra"
+    " bounds pass; with fixed/known bounds the histogram is a single"
+    " scan.",
+)
+def q147(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    px = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("px")
+    )
+    c = li.select("l_returnflag", px)
+    mm = c.groupBy("l_returnflag").agg(
+        F.min("px").alias("lo"), F.max("px").alias("hi")
+    )
+    binned = c.join(F.broadcast(mm), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("CAST(((px - lo) * 20) DIV (hi - lo + 1) AS INT)").alias("bin"),
+    )
+    return (
+        binned.groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "bin")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
