@@ -5288,6 +5288,103 @@ def q147(spark, sf_dir):
     )
 
 
+@_register(
+    "q148_trailing_range_window",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+                CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS BIGINT) AS dn
+         FROM orders GROUP BY CAST(o_orderdate AS DATE))
+       SELECT day,
+              CAST(ROUND(rev, 2) AS DOUBLE) AS rev,
+              CAST(ROUND(SUM(rev) OVER (ORDER BY dn
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS trail7_rev
+       FROM daily ORDER BY day""",
+    "B24 extension — RANGE-interval frame: trailing 7-day revenue per"
+    " day via RANGE BETWEEN 6 PRECEDING over an integer day number,"
+    " which (unlike a ROWS frame) stays correct when calendar days are"
+    " missing from the data. The window runs over the DAILY aggregate"
+    " (|days| rows — calendar-bounded at any fact volume), after a"
+    " map-side-combined per-day DECIMAL sum; exact decimal accumulation"
+    " keeps the trailing sums engine-identical.",
+)
+def q148(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    ).withColumn("dn", F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("long"))
+    w = Window.orderBy("dn").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("rev"), 2).cast("double").alias("rev"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("trail7_rev"),
+    ).orderBy("day")
+
+
+@_register(
+    "q149_zscore_outliers",
+    """WITH c AS (
+         SELECT l_returnflag,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS px
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag, COUNT(*) AS n, SUM(px) AS sx, SUM(px * px) AS sxx
+         FROM c GROUP BY l_returnflag)
+       SELECT c.l_returnflag,
+              COUNT(*) AS n_total,
+              SUM(CASE WHEN ABS(CAST(c.px AS DOUBLE) * CAST(m.n AS DOUBLE)
+                                - CAST(m.sx AS DOUBLE))
+                            > 2.5 * SQRT(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                       THEN 1 ELSE 0 END) AS n_outliers
+       FROM c JOIN m ON c.l_returnflag = m.l_returnflag
+       GROUP BY c.l_returnflag ORDER BY c.l_returnflag""",
+    "Anomaly tier: per-group z-score outlier counts (|x - mean| >"
+    " 2.5 sigma) WITHOUT ever materializing mean or sigma as rounded"
+    " intermediates — the test is cross-multiplied to |x*n - Sx| >"
+    " 2.5*sqrt(n*Sxx - Sx^2), where every term inside the casts is an"
+    " EXACT integer (cents-scaled moments), so the boundary decision is"
+    " the same fixed double expression on both engines; no row can"
+    " flip buckets from float accumulation order. Plan: a 3-row exact-"
+    " moment aggregate broadcast back onto the fact scan, one"
+    " conditional count — two scans, both map-side combined, the"
+    " broadcast 3 rows.",
+)
+def q149(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    px = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")
+        .alias("px")
+    )
+    c = li.select("l_returnflag", px)
+    d38 = lambda col: col.cast("decimal(38,0)")
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("px"))).alias("sx"),
+        F.sum(d38(F.col("px") * F.col("px"))).alias("sxx"),
+    )
+    nn = d38(F.col("n"))
+    dev = F.abs(
+        F.col("px").cast("double") * F.col("n").cast("double")
+        - F.col("sx").cast("double")
+    )
+    bound = 2.5 * F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return (
+        c.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(dev > bound, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
