@@ -306,6 +306,21 @@ def hll_distinct_by_key(
     The per-group fold then touches |groups| x m rows. Returns
     ``(*key_cols, out DOUBLE, registers_hit BIGINT)``.
     """
+    regs = hll_registers_by_key(df, key_cols, col, b=b, salt=salt)
+    return hll_estimate_from_registers_by_key(regs, key_cols, b=b, out=out)
+
+
+def hll_registers_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    col: str,
+    b: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Keyed sketch STATE: ``(*key_cols, reg, maxrho)`` with at most 2^b
+    rows per key — persistable as a summary table (one register frame per
+    finest-grain key) and losslessly re-grainable via
+    :func:`hll_rollup_registers`."""
     if not 1 <= b <= 8:
         raise ValueError("b must be in [1, 8]")
     m = 1 << b
@@ -318,11 +333,43 @@ def hll_distinct_by_key(
         .cast("int")
         .alias("rho")
     )
-    regs = (
+    return (
         df.select(*key_cols, reg, rho)
         .groupBy(*key_cols, "reg")
         .agg(F.max("rho").alias("maxrho"))
     )
+
+
+def hll_rollup_registers(
+    regs: DataFrame, key_exprs: dict[str, "F.Column"]
+) -> DataFrame:
+    """Re-grain a keyed register frame to a COARSER grain (e.g. daily ->
+    weekly) by the lossless register merge: any deterministic function of
+    the key columns induces a coarser partition, and per-register MAX over
+    it yields EXACTLY the sketch a direct computation at that grain would
+    build — the summary-table navigation pattern (matview.navigate_derived)
+    applied to approximate state. ``key_exprs`` maps output key name ->
+    expression over the register frame's columns."""
+    projected = regs.select(
+        *[expr.alias(name) for name, expr in key_exprs.items()],
+        "reg",
+        "maxrho",
+    )
+    return projected.groupBy(*key_exprs.keys(), "reg").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+
+
+def hll_estimate_from_registers_by_key(
+    regs: DataFrame,
+    key_cols: list[str],
+    b: int = 8,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """Fold a keyed register frame into per-key estimates (the grouped
+    form of :func:`hll_estimate_from_registers`; same exact-integer
+    harmonic sums, |groups| x 2^b input rows)."""
+    m = 1 << b
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS + 1} - maxrho)")
     packed = regs.groupBy(*key_cols).agg(
         F.sum(term.cast("decimal(28,0)")).alias("_scaled"),

@@ -5385,6 +5385,67 @@ def q149(spark, sf_dir):
     )
 
 
+_Q150_ORACLE = f"""WITH rw AS (
+     SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % 256 AS reg,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS UBIGINT) AS w
+     FROM events),
+   rr AS (
+     SELECT week, reg,
+            MAX(CASE WHEN w > 0 THEN 57 - LENGTH(bin(w)) ELSE 57 END) AS maxrho
+     FROM rw GROUP BY week, reg),
+   packed AS (
+     SELECT week, SUM(CAST(1 AS BIGINT) << (57 - maxrho)) AS scaled,
+            COUNT(*) AS hit
+     FROM rr GROUP BY week),
+   est AS (
+     SELECT week, CAST({_HLL_NUMER!r} AS DOUBLE)
+            / CAST(CAST(scaled AS HUGEINT)
+                   + CAST(256 - hit AS HUGEINT) * (CAST(1 AS HUGEINT) << 57)
+                   AS DOUBLE) AS e,
+            CAST(256 - hit AS DOUBLE) AS zeros, hit
+     FROM packed)
+   SELECT week, CAST(ROUND(CASE WHEN e <= 640.0 AND zeros > 0
+                           THEN 256.0 * LN(256.0 / zeros) ELSE e END, 1)
+                AS DOUBLE) AS hll_estimate,
+          CAST(hit AS BIGINT) AS registers_hit
+   FROM est ORDER BY week"""
+
+
+@_register(
+    "q150_hll_weekly_rollup",
+    _Q150_ORACLE,
+    "Sketch-summary NAVIGATION: weekly distinct users answered from the"
+    " DAILY register store by lossless register merge"
+    " (hll_rollup_registers — per-register MAX under the derived week"
+    " key), never re-touching the fact. The oracle computes the weekly"
+    " sketch DIRECTLY from raw events; equality is the merge property"
+    " (max of maxes over any coarser partition == direct max), i.e. the"
+    " matview navigate_derived pattern applied to approximate state —"
+    " maintained daily summaries answer any coarser distinct-count"
+    " grain bit-exactly. At 100 TB the rollup reads |days| x 256"
+    " summary rows instead of the events corpus.",
+)
+def q150(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import (
+        hll_estimate_from_registers_by_key,
+        hll_registers_by_key,
+        hll_rollup_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = hll_registers_by_key(ev, ["day"], "user_id")
+    weekly = hll_rollup_registers(
+        daily,
+        {"week": F.date_trunc("week", F.col("day")).cast("date")},
+    )
+    return hll_estimate_from_registers_by_key(weekly, ["week"]).orderBy(
+        "week"
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
