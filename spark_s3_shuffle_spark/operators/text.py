@@ -245,3 +245,62 @@ def shingles(text: Column, n: int = 5) -> Column:
     for k in range(1, n):
         acc = F.zip_with(acc, F.slice(toks, k + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(toks) >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def bigram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Language-model-proxy quality signal: per document, the fraction of
+    its bigram OCCURRENCES that appear at least ``min_count`` times in the
+    whole corpus — low coverage marks gibberish/boilerplate the way high
+    perplexity would, but with INTEGER counts only (matched/total is one
+    IEEE division of two exact ints), so the scores are engine- and
+    partitioning-exact where a real LM's float log-sums are not.
+
+    Plan shape: one explode to (doc, bigram) rows, one vocabulary-bound
+    aggregate for the corpus table (bigram vocabularies grow ~Heaps' law,
+    sublinear in corpus size; the min_count filter prunes the long tail),
+    a join back on the bigram key (AQE broadcasts the vocab side while it
+    fits; beyond that it is a plain hash join on a well-distributed key),
+    and a per-doc count aggregate. Nothing is quadratic; the only
+    corpus-sized shuffle carries (doc_id, bigram) pairs.
+
+    Returns ``(id_col, matched, total, coverage)``.
+    """
+    toks = tokens(F.col(text_col))
+    tl = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg_expr = F.transform(
+        F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.element_at(F.col("toks"), i + F.lit(2))
+        ),
+    )
+    bg = tl.select(F.col(id_col), F.explode(bg_expr).alias("bigram"))
+    vocab = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("bigram", F.lit(1).alias("_in"))
+    )
+    return (
+        bg.join(vocab, "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("matched"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            id_col,
+            F.col("matched").cast("long").alias("matched"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                F.col("matched").cast("double") / F.col("total").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+    )

@@ -5446,6 +5446,42 @@ def q150(spark, sf_dir):
     )
 
 
+@_register(
+    "q151_bigram_coverage",
+    """WITH tl AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+       bg AS (
+         SELECT doc_id,
+                UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         FROM tl WHERE len(toks) >= 2),
+       vocab AS (
+         SELECT bigram FROM bg GROUP BY bigram HAVING COUNT(*) >= 5)
+       SELECT b.doc_id,
+              CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+              COUNT(*) AS total,
+              CAST(ROUND(CAST(SUM(CASE WHEN v.bigram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS coverage
+       FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
+       GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "LM-proxy quality signal (B50 extension): per document, the fraction"
+    " of its bigram occurrences appearing >= 5 times corpus-wide — low"
+    " coverage flags gibberish the way high perplexity would, but with"
+    " INTEGER counts only (matched/total is one IEEE division of exact"
+    " ints), so scores are engine-exact where real LM float log-sums"
+    " are not. Plan (operators/text.py bigram_coverage): one explode,"
+    " one vocabulary-bound aggregate (Heaps-law sublinear; min_count"
+    " prunes the tail), a join back on the bigram key, one per-doc"
+    " count aggregate — the only corpus-sized shuffle carries"
+    " (doc_id, bigram) pairs.",
+)
+def q151(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_coverage(docs).orderBy("doc_id")
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
