@@ -887,3 +887,19 @@ def test_bottomk_quantiles_by_key_window_group_limit(spark):
     med = {r[0]: r[2] for r in rows if r[1] == 0.5}
     for g, v in med.items():
         assert abs(v / 30_000 - 0.5) < 4 * (0.25 / 512) ** 0.5, (g, v)
+
+
+def test_bigram_coverage_separates_gibberish(spark):
+    """LM-proxy signal: repetitive running text scores coverage 1.0, a
+    document of unique-token gibberish scores 0.0, and the scores are
+    exact integer ratios (partitioning-invariant)."""
+    common = "the cat sat on the mat " * 20
+    gibberish = " ".join(f"zq{i}xv{i * 7}" for i in range(40))
+    rows = [(i, common) for i in range(10)] + [(99, gibberish)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.bigram_coverage(df).collect()}
+    assert got[0]["coverage"] == 1.0
+    assert got[99]["coverage"] == 0.0
+    assert got[99]["total"] == 39 and got[99]["matched"] == 0
+    again = {r["doc_id"]: tuple(r) for r in T.bigram_coverage(df.repartition(5)).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
