@@ -551,3 +551,37 @@ def quantized_batch_topk_join(
         .filter(F.col("rank") <= k)
         .select(F.col("_pid").alias(probe_id_col), id_col, "cos", "rank")
     )
+
+
+def extend_ivf_index(
+    index: IVFIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Incremental index maintenance: fold a DELTA of vectors into an
+    existing IVF index by assigning only the new rows to the FIXED
+    centroids — given the centroids, per-vector assignment is independent
+    of every other row, so ``extend(build(A), B)`` produces exactly the
+    assignments of a rebuild over A ∪ B with the same centroids
+    (property-tested). Cost is one scan of the delta (the same vectorized
+    numpy-matmul assignment as the build) + a cell-keyed union — the
+    history is never re-scanned, which is what makes a 100 TB embedding
+    corpus maintainable under daily appends. Centroids are deliberately
+    NOT refit here; recluster offline when drift accumulates (the
+    standard FAISS operating procedure)."""
+    v = new_vectors.select(
+        F.col(index.id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    delta = v.withColumn(
+        "cell", _nearest_cell_udf(index.centroid_matrix, index.cells)(F.col("_v"))
+    ).select(index.id_col, "cell", "_v")
+    merged = index.assignments.unionByName(delta).repartition("cell").persist()
+    merged.count()
+    return IVFIndex(
+        merged,
+        index.centroids,
+        index.id_col,
+        index.num_cells,
+        index.cells,
+        index.centroid_matrix,
+    )

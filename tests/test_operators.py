@@ -903,3 +903,41 @@ def test_bigram_coverage_separates_gibberish(spark):
     assert got[99]["total"] == 39 and got[99]["matched"] == 0
     again = {r["doc_id"]: tuple(r) for r in T.bigram_coverage(df.repartition(5)).collect()}
     assert again == {k: tuple(v) for k, v in got.items()}
+
+
+def test_extend_ivf_index_equals_rebuild(spark):
+    """Incremental IVF maintenance: extending an index with a delta yields
+    EXACTLY the assignments of a rebuild over the union with the same
+    centroids — per-vector assignment is independent given fixed
+    centroids, so append-only corpora never re-scan history."""
+    import random
+
+    from spark_s3_shuffle_spark.operators import similarity as SIM
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    a = spark.createDataFrame(rows[:300], "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows[300:], "vec_id long, embedding array<double>")
+    idx = SIM.build_ivf_index(a, num_cells=8)
+    extended = SIM.extend_ivf_index(idx, b)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in extended.assignments.select("vec_id", "cell").collect()
+    }
+    # rebuild over the union with the SAME centroids: assign directly
+    from pyspark.sql import functions as _F
+
+    union = a.unionByName(b)
+    v = union.select("vec_id", SIM._as_double(_F.col("embedding")).alias("_v"))
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in v.withColumn(
+            "cell",
+            SIM._nearest_cell_udf(idx.centroid_matrix, idx.cells)(_F.col("_v")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 400
+    extended.unpersist()
