@@ -5675,6 +5675,50 @@ def q154(spark, sf_dir):
     ).orderBy("day")
 
 
+@_register(
+    "q155_incremental_ingest_dedup",
+    """WITH hist AS (
+         SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
+       delta AS (
+         SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 300),
+       survivors AS (
+         SELECT d.doc_id, d.fp FROM delta d
+         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = d.fp)),
+       within AS (
+         SELECT doc_id, fp,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         FROM survivors)
+       SELECT doc_id FROM within WHERE rn = 1 ORDER BY doc_id""",
+    "Incremental corpus ingestion — the daily-delta dedup shape: new"
+    " documents dedupe (1) against the HISTORICAL fingerprint store via"
+    " an anti join on the 32-byte digest (the store holds digests, never"
+    " payloads, so at 100 TB of history the join side is digest-sized"
+    " and typically bucket-partitioned by digest prefix) and (2) within"
+    " the delta itself via first-wins row_number on the digest —"
+    " composing the B47 exact-dedup primitives into the append-only"
+    " operating pattern: history is NEVER re-scanned, only its digest"
+    " summary is.",
+)
+def q155(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    delta = docs.filter(F.col("doc_id") >= 300).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    survivors = delta.join(hist, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
