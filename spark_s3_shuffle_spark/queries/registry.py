@@ -5719,6 +5719,93 @@ def q155(spark, sf_dir):
     )
 
 
+@_register(
+    "q156_purchase_streaks",
+    """WITH pd AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         FROM events WHERE event_type = 'purchase'),
+       marked AS (
+         SELECT user_id, day,
+                CAST(day - DATE '2024-01-01' AS BIGINT)
+                - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+         FROM pd),
+       streaks AS (
+         SELECT user_id, COUNT(*) AS len, MIN(day) AS start_day
+         FROM marked GROUP BY user_id, grp)
+       SELECT CAST(len AS INT) AS len, COUNT(*) AS n_streaks
+       FROM streaks GROUP BY len ORDER BY len""",
+    "Gaps-and-islands: longest consecutive-day purchase streaks via the"
+    " classic day-number-minus-row-number grouping — consecutive days"
+    " share a constant difference, so islands fall out of ONE window +"
+    " one aggregate with no self-join and no iteration. The exchange on"
+    " user_id serves both the distinct-day compaction and the streak"
+    " window; everything downstream is |user-days| sized. All-integer"
+    " arithmetic, exact oracle replay.",
+)
+def q156(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pd_ = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = pd_.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast(
+                "long"
+            )
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = marked.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy(F.col("len").cast("int").alias("len"))
+        .agg(F.count(F.lit(1)).alias("n_streaks"))
+        .orderBy("len")
+    )
+
+
+@_register(
+    "q157_event_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+       FROM seq WHERE next_type IS NOT NULL
+       GROUP BY event_type, next_type
+       ORDER BY from_type, to_type""",
+    "Path analysis: the user-journey transition matrix (Markov counts"
+    " over consecutive events per user). One exchange on user_id for"
+    " the lead window, then a map-side-combined count over the"
+    " |event_types|^2-bounded key space — at 100 TB the output is 25"
+    " rows regardless of corpus size. Deterministic ordering ties"
+    " broken by (ts, event_id) on both engines.",
+)
+def q157(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -178,3 +178,128 @@ def sessionize_tws(
         outputMode="Update",
         timeMode="EventTime",
     )
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("v_us", LongType()),
+        StructField("c_us", LongType()),
+        StructField("p_us", LongType()),
+    ]
+)
+
+_FUNNEL_FINAL_SCHEMA = StructType(
+    [
+        StructField("v_us", LongType()),
+        StructField("c_us", LongType()),
+        StructField("p_us", LongType()),
+    ]
+)
+
+_FUNNEL_PENDING_SCHEMA = StructType(
+    [StructField("ts_us", LongType()), StructField("kind", LongType())]
+)
+
+_KINDS = {"view": 0, "click": 1, "purchase": 2}
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Exact streaming funnel (first view -> first click strictly after it
+    -> first purchase strictly after that; batch twin = registry q144's
+    stage windows), correct under ARBITRARY arrival order:
+
+    An early click only qualifies once we know no earlier view will ever
+    arrive, so events are buffered in ListState until the WATERMARK
+    passes them; the below-watermark prefix is then folded in event-time
+    order into three monotone finals (ValueState) and dropped from the
+    buffer. That makes state O(events within the watermark horizon) per
+    key — bounded by lateness, not stream length — the only exact design
+    an out-of-order stream admits (without the buffer, a late view
+    re-opens already-rejected clicks). A final event-time timer past the
+    last buffered event flushes each user's funnel when the stream
+    drains; Update mode emits the finals then.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._final = handle.getValueState("final", _FUNNEL_FINAL_SCHEMA)
+        self._pending = handle.getListState("pending", _FUNNEL_PENDING_SCHEMA)
+
+    @staticmethod
+    def _fold(state, events):
+        v, c, p = state
+        for ts, kind in events:  # caller passes event-time order
+            if kind == 0:
+                if v is None or ts < v:
+                    v = ts
+            elif kind == 1:
+                if v is not None and ts > v and (c is None or ts < c):
+                    c = ts
+            else:
+                if c is not None and ts > c and (p is None or ts < p):
+                    p = ts
+        return v, c, p
+
+    def _read_pending(self):
+        out = []
+        for batch in self._pending.get():
+            # rows arrive as an iterator of tuples
+            out.append((batch[0], batch[1]))
+        return out
+
+    def handleInputRows(self, key, rows, timerValues):
+        pend = self._read_pending()
+        for pdf in rows:
+            ts_us = (pdf["event_ts"].astype("int64") // 1_000).tolist()
+            kinds = [_KINDS[k] for k in pdf["event_type"].tolist()]
+            pend.extend(zip(ts_us, kinds))
+        pend.sort()
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        ready = [e for e in pend if e[0] < wm_us]
+        hold = [e for e in pend if e[0] >= wm_us]
+        finals = (
+            tuple(self._final.get()) if self._final.exists() else (None, None, None)
+        )
+        finals = self._fold(finals, ready)
+        self._final.update(finals)
+        self._pending.clear()
+        if hold:
+            self._pending.appendList(hold)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        last = hold[-1][0] if hold else (ready[-1][0] if ready else wm_us)
+        self._handle.registerTimer(last // 1000 + 1)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        pend = sorted(self._read_pending())
+        finals = (
+            tuple(self._final.get()) if self._final.exists() else (None, None, None)
+        )
+        finals = self._fold(finals, pend)
+        self._final.update(finals)
+        self._pending.clear()
+        if finals[0] is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "v_us": [finals[0]],
+                    "c_us": [finals[1]],
+                    "p_us": [finals[2]],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_tws(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming funnel over a watermarked frame carrying ``event_ts`` and
+    ``event_type`` (view/click/purchase rows only)."""
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

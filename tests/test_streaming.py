@@ -5,6 +5,7 @@ sink — then batch-read the sink and check counts (FIXTURES §5)."""
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_s3_shuffle_spark.sources.catalog import load_table
@@ -618,3 +619,110 @@ def test_streaming_matview_maintenance_matches_batch(spark, sf_dir):
         if st.getPath().getName().startswith("v")
     ]
     assert len(versions) >= 2, versions
+
+
+def test_funnel_tws_matches_batch_stage_windows(spark, sf_dir):
+    """Streaming funnel on transformWithState: watermark-bounded event
+    buffering makes the fold exact under out-of-order arrival, and the
+    final timer flush must reproduce the batch q144 stage windows
+    (first view -> first click after it -> first purchase after that)
+    per user, exactly."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from spark_s3_shuffle_spark.streaming import ops as S
+    from spark_s3_shuffle_spark.streaming import stateful as ST
+
+    tmp = tempfile.mkdtemp(prefix="tws-funnel-")
+    ev = load_table(spark, sf_dir, "events").drop("event_ts")
+    ev = ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+    ev.repartitionByRange(4, F.col("ts")).write.mode("overwrite").parquet(
+        f"{tmp}/stage"
+    )
+    os.makedirs(f"{tmp}/in")
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{tmp}/stage/part-*.parquet"))):
+        dst = f"{tmp}/in/{os.path.basename(f)}"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = S.with_watermark(
+        S.read_events_stream(spark, f"{tmp}/in", max_files_per_trigger=1),
+        "1 minute",
+    )
+    fun = ST.funnel_tws(stream)
+    q = (
+        fun.writeStream.format("memory")
+        .queryName("tws_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    if q.isActive:
+        q.stop()
+    got = {
+        r["user_id"]: (r["v_us"], r["c_us"], r["p_us"])
+        for r in spark.table("tws_funnel").collect()
+    }
+
+    w = Window.partitionBy("user_id")
+    us = (F.col("ts").cast("timestamp").cast("double") * 1_000_000).cast("long")
+    staged = (
+        ev.select("user_id", "event_type", us.alias("us"))
+        .withColumn("v", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w))
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("v")),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") > F.col("c")),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+    )
+    want = {
+        r["user_id"]: (r["v"], r["c"], r["p"])
+        for r in staged.filter(F.col("v").isNotNull())
+        .select("user_id", "v", "c", "p")
+        .distinct()
+        .collect()
+    }
+    assert got, "funnel emitted nothing"
+    # every EMITTED funnel must match the batch stage windows exactly;
+    # users may only be withheld when their final timer could not fire —
+    # i.e. their last event sits inside the final watermark tail
+    # (timer at last_event+1ms fires only once watermark = max_ts - delay
+    # passes it)
+    for u, v in got.items():
+        assert want[u] == v, (u, v, want[u])
+    missing = set(want) - set(got)
+    if missing:
+        max_us = ev.agg(
+            F.max((F.col("ts").cast("timestamp").cast("double") * 1_000_000).cast("long"))
+        ).first()[0]
+        last_by_user = {
+            r["user_id"]: r["m"]
+            for r in ev.groupBy("user_id")
+            .agg(F.max((F.col("ts").cast("timestamp").cast("double") * 1_000_000).cast("long")).alias("m"))
+            .collect()
+        }
+        for u in missing:
+            assert last_by_user[u] >= max_us - 61_000_000, (u, last_by_user[u], max_us)
