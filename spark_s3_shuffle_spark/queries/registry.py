@@ -5770,9 +5770,7 @@ def q156(spark, sf_dir):
     )
 
 
-@_register(
-    "q157_event_transition_matrix",
-    """WITH seq AS (
+_Q157_SQL = """WITH seq AS (
          SELECT user_id, event_type,
                 LEAD(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS next_type
@@ -5780,7 +5778,12 @@ def q156(spark, sf_dir):
        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
        FROM seq WHERE next_type IS NOT NULL
        GROUP BY event_type, next_type
-       ORDER BY from_type, to_type""",
+       ORDER BY from_type, to_type"""
+
+
+@_register(
+    "q157_event_transition_matrix",
+    _Q157_SQL,
     "Path analysis: the user-journey transition matrix (Markov counts"
     " over consecutive events per user). One exchange on user_id for"
     " the lead window, then a map-side-combined count over the"
@@ -5803,6 +5806,89 @@ def q157(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
+    )
+
+
+_register(
+    "q157b_sql_text_transitions", _Q157_SQL,
+    "SQL-text front door for the behavioural tier: the transition-matrix"
+    " oracle text itself through spark.sql over temp views — the window"
+    " + aggregate text is ANSI enough to run verbatim on both engines,"
+    " extending text-path parity beyond the TPC-H/DS pack.",
+)(_sql_text_builder(_Q157_SQL, ["events"]))
+
+
+def _hll_scalar_cte(tag: str, where: str) -> str:
+    """One events-filtered HLL estimate as a scalar CTE chain (q133's
+    arithmetic verbatim, tag-prefixed)."""
+    return f"""{tag}_rw AS (
+         SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % 256 AS reg,
+                CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS UBIGINT) AS w
+         FROM events WHERE {where}),
+       {tag}_rr AS (
+         SELECT reg, MAX(CASE WHEN w > 0 THEN 57 - LENGTH(bin(w)) ELSE 57 END) AS maxrho
+         FROM {tag}_rw GROUP BY reg),
+       {tag}_pk AS (
+         SELECT SUM(CAST(1 AS BIGINT) << (57 - maxrho)) AS scaled, COUNT(*) AS hit
+         FROM {tag}_rr),
+       {tag}_est AS (
+         SELECT CASE WHEN e <= 640.0 AND zeros > 0
+                     THEN 256.0 * LN(256.0 / zeros) ELSE e END AS est
+         FROM (SELECT CAST({_HLL_NUMER!r} AS DOUBLE)
+                      / CAST(CAST(scaled AS HUGEINT)
+                             + CAST(256 - hit AS HUGEINT) * (CAST(1 AS HUGEINT) << 57)
+                             AS DOUBLE) AS e,
+                      CAST(256 - hit AS DOUBLE) AS zeros
+               FROM {tag}_pk) t)"""
+
+
+@_register(
+    "q158_hll_set_algebra",
+    f"""WITH {_hll_scalar_cte("a", "event_type = 'click'")},
+       {_hll_scalar_cte("b", "event_type = 'view'")},
+       {_hll_scalar_cte("u", "event_type IN ('click', 'view')")}
+       SELECT CAST(ROUND(a_est.est, 1) AS DOUBLE) AS clickers,
+              CAST(ROUND(b_est.est, 1) AS DOUBLE) AS viewers,
+              CAST(ROUND(u_est.est, 1) AS DOUBLE) AS either,
+              CAST(ROUND(ROUND(a_est.est, 1) + ROUND(b_est.est, 1)
+                         - ROUND(u_est.est, 1), 1) AS DOUBLE) AS both_est
+       FROM a_est CROSS JOIN b_est CROSS JOIN u_est""",
+    "Sketch SET ALGEBRA: distinct users who both clicked AND viewed,"
+    " estimated by inclusion-exclusion over three HLLs (|A| + |B| -"
+    " |A union B|; the union sketch is the register merge, so no fourth"
+    " scan is ever needed on maintained summaries). Every term is the"
+    " q133 deterministic estimator, and the final subtraction is one"
+    " fixed double expression — DuckDB replays the intersection"
+    " ESTIMATE bit-for-bit, something engine-private sketches cannot"
+    " compose at all. Union population from ONE filtered scan here;"
+    " from daily register stores it is hll_merge, zero fact reads.",
+)
+def q158(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    a = hll_distinct(
+        ev.filter(F.col("event_type") == "click"), "user_id", out="est"
+    ).select(F.col("est").alias("a"))
+    b = hll_distinct(
+        ev.filter(F.col("event_type") == "view"), "user_id", out="est"
+    ).select(F.col("est").alias("b"))
+    u = hll_distinct(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        "user_id",
+        out="est",
+    ).select(F.col("est").alias("u"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            F.round(F.col("a"), 1).cast("double").alias("clickers"),
+            F.round(F.col("b"), 1).cast("double").alias("viewers"),
+            F.round(F.col("u"), 1).cast("double").alias("either"),
+            F.round(F.col("a") + F.col("b") - F.col("u"), 1)
+            .cast("double")
+            .alias("both_est"),
+        )
     )
 
 
