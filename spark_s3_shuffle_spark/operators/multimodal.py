@@ -295,3 +295,95 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             })
 
     return df.select("media_id", "payload").mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def decode_wav(payload: bytes | None) -> dict:
+    """REAL audio decoder for RIFF/WAVE PCM — like binary PPM on the image
+    side, uncompressed WAV is parseable with zero media libraries, so the
+    audio seam narrows to COMPRESSED codecs only (mp3/aac/opus keep the
+    deployment stub; same signature, same output keys). Parses the RIFF
+    chunk tree (fmt + data, skipping unknown chunks), validates PCM
+    (format tag 1) at 8- or 16-bit, and computes duration, peak, and RMS
+    over the raw samples — real statistics from a real decode.
+    """
+    import struct
+
+    bad = {
+        "ok": False, "channels": None, "sample_rate": None,
+        "bits": None, "n_samples": None, "duration_s": None,
+        "peak": None, "rms": None,
+    }
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return bad
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return bad
+        tag, channels, rate, _byterate, _align, bits = fmt
+        if tag != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+            return bad
+        if bits == 16:
+            n = len(data) // 2
+            samples = struct.unpack(f"<{n}h", data[: n * 2])
+            scale = 32768.0
+        else:
+            samples = tuple(b - 128 for b in data)
+            scale = 128.0
+        n_frames = len(samples) // channels
+        if n_frames == 0:
+            return bad
+        peak = max(abs(s) for s in samples) / scale
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / scale
+    except (struct.error, ValueError, IndexError):
+        return bad
+    return {
+        "ok": True, "channels": channels, "sample_rate": rate,
+        "bits": bits, "n_samples": n_frames,
+        "duration_s": round(n_frames / rate, 6),
+        "peak": round(peak, 6), "rms": round(rms, 6),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("bits", IntegerType(), True),
+    StructField("n_samples", IntegerType(), True),
+    StructField("duration_s", DoubleType(), True),
+    StructField("peak", DoubleType(), True),
+    StructField("rms", DoubleType(), True),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads + feature-extract through the same Arrow-batched
+    ``mapInPandas`` scan as the image/text decoders — zero shuffle."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ok": [str(d["ok"]).lower() for d in decoded],
+                "channels": pd.array([d["channels"] for d in decoded], dtype="Int32"),
+                "sample_rate": pd.array([d["sample_rate"] for d in decoded], dtype="Int32"),
+                "bits": pd.array([d["bits"] for d in decoded], dtype="Int32"),
+                "n_samples": pd.array([d["n_samples"] for d in decoded], dtype="Int32"),
+                "duration_s": pd.array([d["duration_s"] for d in decoded], dtype="Float64"),
+                "peak": pd.array([d["peak"] for d in decoded], dtype="Float64"),
+                "rms": pd.array([d["rms"] for d in decoded], dtype="Float64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

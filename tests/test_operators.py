@@ -941,3 +941,38 @@ def test_extend_ivf_index_equals_rebuild(spark):
     assert got == want
     assert len(got) == 400
     extended.unpersist()
+
+
+def test_wav_audio_decode_real_values(spark):
+    """B51/B75 audio seam narrowed like the image side: RIFF/WAVE PCM is
+    decoded for real (chunk-tree parse + sample statistics) with zero
+    media libraries; only compressed codecs remain deployment stubs."""
+    import math
+    import struct
+
+    def wav(channels, rate, samples16):
+        data = struct.pack(f"<{len(samples16)}h", *samples16)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        # an unknown odd-sized chunk exercises word-alignment skipping
+        body += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 1 kHz-ish square wave, mono 8 kHz: peak 0.5, rms 0.5 exactly
+    square = [16384 if i % 8 < 4 else -16384 for i in range(8000)]
+    rows = [
+        (1, bytearray(wav(1, 8000, square))),
+        (2, bytearray(wav(2, 44100, [0, 0, 1000, -1000] * 10))),
+        (3, bytearray(b"RIFFnope")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = MM.as_media(df, "media_id", "payload", "audio/wav")
+    got = {r["media_id"]: r for r in MM.extract_audio_features(media).collect()}
+    assert got[1]["ok"] == "true"
+    assert (got[1]["channels"], got[1]["sample_rate"], got[1]["bits"]) == (1, 8000, 16)
+    assert got[1]["n_samples"] == 8000 and got[1]["duration_s"] == 1.0
+    assert got[1]["peak"] == 0.5 and got[1]["rms"] == 0.5
+    assert got[2]["ok"] == "true" and got[2]["channels"] == 2 and got[2]["n_samples"] == 20
+    assert got[3]["ok"] == "false" and got[4]["ok"] == "false"
