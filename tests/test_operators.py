@@ -976,3 +976,42 @@ def test_wav_audio_decode_real_values(spark):
     assert got[1]["peak"] == 0.5 and got[1]["rms"] == 0.5
     assert got[2]["ok"] == "true" and got[2]["channels"] == 2 and got[2]["n_samples"] == 20
     assert got[3]["ok"] == "false" and got[4]["ok"] == "false"
+
+
+def test_operators_degenerate_inputs(spark):
+    """Production hardening: empty and degenerate inputs flow through the
+    new tiers without crashing and with sensible results."""
+    from spark_s3_shuffle_spark.operators import graph as GR
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+    from spark_s3_shuffle_spark.operators import sketch as SK
+    from spark_s3_shuffle_spark.operators.maintenance import snapshot_diff
+
+    empty = spark.createDataFrame([], "k long, v double")
+    assert SK.bottomk_quantiles(empty, "v", ["k"], [0.5], k=16).collect() == []
+    assert SK.hll_distinct_by_key(empty, ["k"], "v").collect() == []
+
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    assert GR.pagerank_fixed(e, iterations=2).collect() == []
+
+    # k larger than the frame: the whole frame survives
+    small = spark.range(0, 5).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+    assert {r["k"] for r in PL.weighted_sample(small, ["k"], "w", 100).collect()} == set(range(5))
+
+    # quantiles of a 1-row frame: every q returns that row's value
+    one = spark.range(1).select(F.col("id").alias("k"), F.lit(7.5).alias("v"))
+    got = SK.bottomk_quantiles(one, "v", ["k"], [0.25, 0.9], k=16).collect()
+    assert [r["v"] for r in got] == [7.5, 7.5]
+
+    # docs below the bigram threshold simply vanish from coverage output
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens two tokens two tokens")],
+        "doc_id long, text string",
+    )
+    cov = {r["doc_id"] for r in T.bigram_coverage(docs).collect()}
+    assert cov == {3}
+
+    # snapshot_diff with key-only tables: everything common is unchanged
+    a = spark.range(0, 4).withColumnRenamed("id", "k")
+    b = spark.range(2, 6).withColumnRenamed("id", "k")
+    st = {r["k"]: r["status"] for r in snapshot_diff(a, b, ["k"]).collect()}
+    assert st == {0: "removed", 1: "removed", 2: "unchanged", 3: "unchanged", 4: "added", 5: "added"}
