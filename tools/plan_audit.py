@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "q132_ds23_frequent_best",  # 1-row mean-spend broadcast (scalar filter)
     "q137_pagerank_trade_graph",  # 1-row |nodes| broadcast seeding the rank frame
     "q141_resample_interpolate",  # |buckets|-row broadcast grid x distinct series (q118's sibling)
+    "q158_hll_set_algebra",  # three 1-row sketch estimates cross-joined into one output row
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
