@@ -36,6 +36,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -304,3 +305,67 @@ class ExchangeManager:
                 removed += 1
         self.stats.clear()
         return removed
+
+
+# -- content checksums (A4/A5 analogue) ------------------------------------
+# The plugin writes per-reduce-partition Adler32/CRC32 objects at shuffle
+# write and validates them at partition boundaries on read
+# (S3ShuffleHelper.scala:49-51,83-92; S3ChecksumValidationStream.scala:
+# 17-92). The engine-level analogue validates CONTENT, not byte streams:
+# an order-independent row-hash sum over the materialized stage, written
+# as a sidecar at stage_write time and recomputed at read time — catching
+# lost/truncated/duplicated files and corrupted values regardless of how
+# the object store re-chunked the bytes.
+
+def _content_checksum(df) -> tuple[int, str]:
+    """(row_count, order-independent content digest): sum of per-row
+    xxhash64 over ALL columns, accumulated exactly in decimal(38,0) so the
+    digest is independent of partitioning and read order."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return int(row["n"]), str(row["s"] if row["s"] is not None else 0)
+
+
+def _checksum_path(stage_path: str) -> str:
+    return f"{stage_path}/_content_checksum.json"
+
+
+def write_stage_checksum(mgr: "ExchangeManager", stage: str) -> dict:
+    """Compute + persist the content checksum of a materialized stage
+    (reads the files AT REST, so what is validated later is what the
+    object store actually holds, not what the writer intended)."""
+    import json as _json
+
+    path = mgr.stage_path(stage)
+    n, digest = _content_checksum(mgr.spark.read.parquet(path))
+    doc = {"stage": stage, "rows": n, "digest": digest}
+    fs, _, jvm = mgr._fs(path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_checksum_path(path)), True)
+    out.write(bytearray(_json.dumps(doc).encode("utf-8")))
+    out.close()
+    return doc
+
+
+def verify_stage_checksum(mgr: "ExchangeManager", stage: str) -> bool:
+    """Recompute the stage's content checksum and compare with the sidecar
+    (A5 read-side validation). Returns False on any mismatch or missing
+    sidecar — callers decide whether to refetch/rebuild the stage, the
+    same recovery the plugin's validation stream triggers."""
+    import json as _json
+
+    path = mgr.stage_path(stage)
+    fs, _, jvm = mgr._fs(path)
+    cpath = jvm.org.apache.hadoop.fs.Path(_checksum_path(path))
+    if not fs.exists(cpath):
+        return False
+    stream = fs.open(cpath)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    want = _json.loads(raw.decode("utf-8"))
+    df = mgr.spark.read.parquet(path)
+    n, digest = _content_checksum(df)
+    return n == want["rows"] and digest == want["digest"]

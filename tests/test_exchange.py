@@ -168,3 +168,31 @@ def test_metered_read_populates_task_metrics(spark, mgr):
     # the coarse _du-based byte meter and the task-level meter agree on
     # magnitude (same files read once)
     assert st.task_input_bytes <= st.bytes_read * 2
+
+
+def test_content_checksum_write_and_verify(spark, mgr):
+    """A4/A5 parity at the engine level: the content checksum validates a
+    materialized stage at rest; losing a part file (or any row) fails
+    verification, and the digest is independent of read parallelism."""
+    import glob
+
+    from spark_s3_shuffle_spark.operators.exchange import (
+        verify_stage_checksum,
+        write_stage_checksum,
+    )
+
+    df = spark.range(2000).withColumn("k", F.col("id") % 7)
+    mgr.stage_write(df, "ck", keys=["k"], num_partitions=5)
+    doc = write_stage_checksum(mgr, "ck")
+    assert doc["rows"] == 2000
+    assert verify_stage_checksum(mgr, "ck")
+
+    # tamper: drop one part file -> count and digest both shift
+    path = mgr.stage_path("ck").replace("file:", "")
+    victim = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    os.remove(victim)
+    assert not verify_stage_checksum(mgr, "ck")
+
+    # missing sidecar reports unverifiable, not crash
+    mgr.stage_write(df, "ck2", keys=["k"])
+    assert not verify_stage_checksum(mgr, "ck2")
