@@ -413,6 +413,22 @@ def _max_task_shuffle_read(spark, group: str) -> int:
     return mx
 
 
+def _sum_task_shuffle_read(spark, group: str) -> int:
+    """Total shuffle-read RECORDS across every task of the jobs tagged with
+    ``group`` (the volume twin of :func:`_max_task_shuffle_read`)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    total = 0
+    for jid in sc.statusTracker().getJobIdsForGroup(group):
+        for sid in sc.statusTracker().getJobInfo(jid).stageIds:
+            tasks = store.taskList(sid, 0, 10000)
+            for j in range(tasks.size()):
+                tm = tasks.apply(j).taskMetrics()
+                if tm.isDefined():
+                    total += int(tm.get().shuffleReadMetrics().recordsRead())
+    return total
+
+
 def _zipf_frame(spark):
     """200k rows; key 0 holds 50%, the rest spread over ~1000 keys."""
     return spark.range(200_000).select(
@@ -1015,3 +1031,50 @@ def test_operators_degenerate_inputs(spark):
     b = spark.range(2, 6).withColumnRenamed("id", "k")
     st = {r["k"]: r["status"] for r in snapshot_diff(a, b, ["k"]).collect()}
     assert st == {0: "removed", 1: "removed", 2: "unchanged", 3: "unchanged", 4: "added", 5: "added"}
+
+
+def test_hll_by_key_shuffle_bounded_vs_exact_distinct(spark):
+    """B81's scale claim, measured: the per-group HLL register aggregate
+    shuffles at most |groups| x 256 rows (map-side MAX combine), while
+    exact countDistinct's first exchange carries every distinct
+    (group, value) pair. Asserted from task-level shuffleRead metrics."""
+    import uuid
+
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct_by_key
+
+    sc = spark.sparkContext
+    tag = uuid.uuid4().hex[:8]
+    n, groups = 400_000, 4
+    # high-cardinality values: ~100k distinct per group
+    df = spark.range(n).select(
+        (F.col("id") % groups).alias("g"), F.floor(F.col("id") / groups).cast("long").alias("v")
+    ).persist()
+    df.count()
+    confs = {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sc.setJobGroup(f"exact-{tag}", "exact countDistinct per group")
+        df.groupBy("g").agg(F.countDistinct("v")).collect()
+        sc.setJobGroup(f"hll-{tag}", "per-group HLL registers")
+        hll_distinct_by_key(df, ["g"], "v").collect()
+        sc.setJobGroup(f"done-{tag}", "")
+        exact_rows = _sum_task_shuffle_read(spark, f"exact-{tag}")
+        hll_rows = _sum_task_shuffle_read(spark, f"hll-{tag}")
+        # exact: ~n distinct (g, v) pairs cross the wire; HLL: bounded by
+        # |groups| * 256 per UPSTREAM PARTITION on the first exchange plus
+        # the |groups|*256-row fold — measured 32,800 at 32 partitions,
+        # matching the bound exactly. The gap grows with n (exact scales
+        # with distinct pairs, the sketch does not).
+        assert exact_rows >= n // 2, exact_rows
+        upstream = df.rdd.getNumPartitions()
+        assert hll_rows <= groups * 256 * (upstream + 2), (hll_rows, upstream)
+        assert hll_rows * 8 <= exact_rows, (exact_rows, hll_rows)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        df.unpersist()
