@@ -199,3 +199,82 @@ def test_export_ops_replay_exactly_in_python(spark, ids, n_shards, weights, tota
         return math.floor(rate * float(2**32))
     expect_kept = sorted(i for i, r in ((i, "abc"[abs(i) % 3]) for i in ids) if u32("mix", i) < thr(r))
     assert kept == expect_kept
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k1=st.integers(1, 5),
+    k2=st.integers(6, 20),
+)
+def test_bottomk_prefix_property(spark, rows, k1, k2):
+    """Bottom-k sketches are PREFIXES of each other: the k1-sample is
+    always contained in the k2-sample (k1 < k2), for both the uniform and
+    the weighted variant — the property that makes samples shrinkable
+    without recomputation."""
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+    from spark_s3_shuffle_spark.operators import sketch as SKC
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    s1 = {r["k"] for r in SKC.bottomk_sample(df, ["k"], ["k"], k=k1).collect()}
+    s2 = {r["k"] for r in SKC.bottomk_sample(df, ["k"], ["k"], k=k2).collect()}
+    assert s1 <= s2
+    w1 = {r["k"] for r in PL.weighted_sample(df, ["k"], "w", k1).collect()}
+    w2 = {r["k"] for r in PL.weighted_sample(df, ["k"], "w", k2).collect()}
+    assert w1 <= w2
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_bottomk_quantiles_monotone_in_q(spark, rows):
+    """Quantile estimates are non-decreasing in q (rank selection under a
+    total order cannot invert), and every estimate is an actual data
+    value."""
+    from spark_s3_shuffle_spark.operators.sketch import bottomk_quantiles
+
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)], "k long, v double"
+    )
+    qs = [0.1, 0.4, 0.6, 0.95]
+    got = bottomk_quantiles(df, "v", ["k"], qs, k=16).collect()
+    vals = [r["v"] for r in got]
+    assert vals == sorted(vals)
+    data = {v for _, v in ((r["k"], r["v"]) for r in df.collect())}
+    assert all(v in data for v in vals)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_snapshot_diff_involution(spark, rows):
+    """diff(a, a) is all-unchanged; swapping the sides swaps added and
+    removed and preserves changed/unchanged — the reconciliation algebra
+    a migration validator relies on."""
+    from spark_s3_shuffle_spark.operators.maintenance import snapshot_diff
+
+    a = spark.createDataFrame(rows, "k long, v long").dropDuplicates(["k"])
+    b = a.filter(F.col("k") % 2 == 0).withColumn(
+        "v", F.col("v") + (F.col("k") % 3)
+    )
+    same = snapshot_diff(a, a, ["k"]).select("status").distinct().collect()
+    assert {r["status"] for r in same} <= {"unchanged"}
+    fwd = {r["k"]: r["status"] for r in snapshot_diff(a, b, ["k"]).collect()}
+    rev = {r["k"]: r["status"] for r in snapshot_diff(b, a, ["k"]).collect()}
+    flip = {"added": "removed", "removed": "added"}
+    assert rev == {k: flip.get(s, s) for k, s in fwd.items()}
