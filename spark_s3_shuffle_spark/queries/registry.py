@@ -5892,6 +5892,127 @@ def q158(spark, sf_dir):
     )
 
 
+@_register(
+    "q159_retention_cohorts",
+    """WITH fs AS (
+         SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+         FROM events GROUP BY user_id),
+       act AS (
+         SELECT DISTINCT e.user_id, fs.cohort,
+                CAST((CAST(date_trunc('week', e.ts) AS DATE) - fs.cohort)
+                     AS BIGINT) // 7 AS week_offset
+         FROM events e JOIN fs ON e.user_id = fs.user_id)
+       SELECT cohort, CAST(week_offset AS INT) AS week_offset,
+              COUNT(*) AS n_active
+       FROM act GROUP BY cohort, week_offset
+       ORDER BY cohort, week_offset""",
+    "Retention triangle — the growth-analytics staple: users bucketed by"
+    " first-seen week (cohort), then counted as active in each later"
+    " week offset. One exchange on user_id computes first-seen; the"
+    " activity join is key-co-partitioned on the same key; the final"
+    " aggregate is |cohorts| x |offsets| — calendar-bounded at any"
+    " corpus size. Integer day/week arithmetic end to end.",
+)
+def q159(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    fs = ev.groupBy("user_id").agg(F.min(week).alias("cohort"))
+    act = (
+        ev.select("user_id", week.alias("wk"))
+        .join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@_register(
+    "q160_rfm_segmentation",
+    """WITH rfm AS (
+         SELECT o_custkey,
+                MAX(o_orderdate) AS last_order,
+                COUNT(*) AS freq,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+         FROM orders GROUP BY o_custkey),
+       scored AS (
+         SELECT o_custkey,
+                NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r,
+                NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+                NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+         FROM rfm)
+       SELECT r, f, m, COUNT(*) AS n_customers
+       FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
+    "RFM segmentation (recency/frequency/monetary quartiles) — the"
+    " marketing-analytics staple. One map-side-combined aggregate on"
+    " custkey builds the per-customer RFM triple; three NTILE windows"
+    " score it (ties broken by custkey so quartile boundaries are"
+    " deterministic on both engines — unordered NTILE is"
+    " partition-order-dependent); the segment rollup is 64 rows at any"
+    " customer count. The windows run over the |customers| aggregate,"
+    " never the fact table.",
+)
+def q160(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+@_register(
+    "q161_basket_cooccurrence",
+    """WITH pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+       SELECT p1, p2, COUNT(*) AS n
+       FROM pairs GROUP BY p1, p2
+       HAVING COUNT(*) >= 3
+       ORDER BY n DESC, p1, p2 LIMIT 100""",
+    "Market-basket co-occurrence: part pairs bought in the same order,"
+    " thresholded and top-100. The self-join is keyed on l_orderkey —"
+    " co-partitioned, never cartesian — and pair volume is quadratic"
+    " only in BASKET size (TPC-H baskets are <= 7 lines; at 100 TB the"
+    " explosion factor stays ~ basket^2/2 ~ 20x rows before the"
+    " map-side-combined pair count). TakeOrderedAndProject caps the"
+    " result movement at 100 rows.",
+)
+def q161(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.desc("n"), "p1", "p2")
+        .limit(100)
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
