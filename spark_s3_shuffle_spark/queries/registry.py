@@ -6013,6 +6013,69 @@ def q161(spark, sf_dir):
     )
 
 
+@_register(
+    "q162_lasttouch_attribution",
+    """WITH clicks AS (
+         SELECT user_id, ts, event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) % 10 AS channel
+         FROM events WHERE event_type = 'click'),
+       p AS (
+         SELECT user_id, ts, event_id, value
+         FROM events WHERE event_type = 'purchase'),
+       m AS (
+         SELECT p.event_id AS pid, p.value, c.channel,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+         FROM p JOIN clicks c
+           ON p.user_id = c.user_id AND c.ts <= p.ts)
+       SELECT channel, COUNT(*) AS n_purchases,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM m WHERE rn = 1 GROUP BY channel ORDER BY channel""",
+    "Last-touch revenue attribution — the marketing-analytics companion"
+    " to the funnel: each purchase's value goes to the channel (a JSON"
+    " prop) of the LAST click at-or-before it, per user. The oracle"
+    " states it as a range join + per-purchase row_number; the engine"
+    " reuses the B14 as-of operator — one exchange + sort on user_id,"
+    " no range-join explosion — then a 10-row channel rollup with exact"
+    " DECIMAL revenue. Ties at equal click ts resolve to the highest"
+    " event_id on both sides.",
+)
+def q162(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sec_ts = F.col("ts").cast("timestamp")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros(sec_ts).alias("t"),
+        F.col("event_id").alias("click_id"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(sec_ts).alias("t"),
+        "event_id",
+        "value",
+    )
+    att = asof_join(
+        purchases,
+        clicks,
+        on="t",
+        by="user_id",
+        value_cols=["channel"],
+        right_order=("click_id",),
+    )
+    return (
+        att.filter(F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
