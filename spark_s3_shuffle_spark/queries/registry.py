@@ -6076,6 +6076,130 @@ def q162(spark, sf_dir):
     )
 
 
+@_register(
+    "q163_dedup_survivorship",
+    """WITH ranked AS (
+         SELECT doc_id, md5(text) AS fp, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents)
+       SELECT COUNT(*) AS n_kept,
+              SUM(CASE WHEN rn > 1 THEN 0 ELSE n_chars END) AS kept_chars,
+              COUNT(DISTINCT fp) AS n_groups
+       FROM ranked WHERE rn = 1""",
+    "Dedup SURVIVORSHIP policy: within each exact-duplicate group keep"
+    " the BEST row (longest text, doc_id tie-break) rather than an"
+    " arbitrary first — the canonical-record selection every real dedup"
+    " pipeline needs (quality-ranked, deterministic). One digest-keyed"
+    " window; survivors emerge without a second scan or join, and the"
+    " policy is any ORDER BY over row attributes.",
+)
+def q163(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("fp"), "n_chars"
+    ).withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.countDistinct("fp").alias("n_groups"),
+    )
+
+
+@_register(
+    "q164_referential_audit",
+    """SELECT 'lineitem_orphan_order' AS check_name,
+              (SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+       UNION ALL
+       SELECT 'order_orphan_customer',
+              (SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+       UNION ALL
+       SELECT 'lineitem_orphan_supplier',
+              (SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+       ORDER BY check_name""",
+    "Referential-integrity audit — the data-quality gate a warehouse"
+    " runs after every load: orphan counts for the three fact->dim"
+    " relationships via anti joins (dims broadcast, so each check is"
+    " one fact scan with a map-side filter; the three checks could"
+    " share one scan via conditional aggregation if the dims are"
+    " pre-broadcast). Fixture integrity is intact, so all counts are"
+    " zero — the oracle proves the CHECKS agree, not just the totals.",
+)
+def q164(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    def check(name, df, keys, dim, dim_key):
+        bad = df.join(
+            F.broadcast(dim.select(dim_key)),
+            df[keys] == dim[dim_key],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_bad"))
+        return bad.select(F.lit(name).alias("check_name"), "n_bad")
+
+    return (
+        check("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(check("order_orphan_customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(check("lineitem_orphan_supplier", li, "l_suppkey", s, "s_suppkey"))
+        .orderBy("check_name")
+    )
+
+
+@_register(
+    "q165_calendar_completeness",
+    """WITH cal AS (
+         SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                       INTERVAL 1 DAY)) AS d),
+       daily AS (
+         SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+         FROM events GROUP BY CAST(ts AS DATE))
+       SELECT CAST(cal.d AS DATE) AS d,
+              COALESCE(daily.n, 0) AS n_events,
+              (daily.n IS NULL) AS is_gap
+       FROM cal LEFT JOIN daily ON CAST(cal.d AS DATE) = daily.d
+       ORDER BY d""",
+    "Freshness/completeness audit: every expected calendar day joined"
+    " against actual per-day event counts — gap days surface as"
+    " explicit rows instead of silent absences (the monitoring query"
+    " behind every ingestion SLA dashboard). The calendar generates"
+    " from a broadcast sequence (no fact scan); the daily aggregate is"
+    " map-side combined; output is calendar-bounded at any volume.",
+)
+def q165(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cal.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("d")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
