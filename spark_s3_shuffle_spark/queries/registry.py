@@ -6200,6 +6200,58 @@ def q165(spark, sf_dir):
     )
 
 
+@_register(
+    "q166_filtered_vector_search",
+    """SELECT vec_id, label,
+              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                     WHERE vec_id = 0)), 4) AS cos
+       FROM embeddings
+       WHERE label IN (1, 3) AND vec_id <> 0
+       ORDER BY cos DESC, vec_id LIMIT 10""",
+    "FILTERED vector search — the retrieval shape every RAG stack runs"
+    " (top-k under a metadata predicate): the label filter applies"
+    " BEFORE scoring, pushed to the parquet scan, so the similarity"
+    " computation touches only qualifying rows — pre-filtering, not the"
+    " score-then-discard post-filter that under-fills k when the"
+    " predicate is selective. Plan: pushed filter -> fused score"
+    " projection -> TakeOrderedAndProject; the same predicate composes"
+    " with the IVF/quantized tiers by filtering their candidate scans.",
+)
+def q166(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    filtered = emb.filter(
+        F.col("label").isin(1, 3) & (F.col("vec_id") != 0)
+    )
+    from spark_s3_shuffle_spark.functions.vector import cosine as _cos
+
+    p = F.broadcast(
+        probe.select(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "_probe"
+            )
+        )
+    )
+    return (
+        filtered.select(
+            "vec_id",
+            "label",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .crossJoin(p)
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cos(F.col("_v"), F.col("_probe")), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
