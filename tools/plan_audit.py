@@ -46,6 +46,7 @@ NESTED_LOOP_OK = {
     "q137_pagerank_trade_graph",  # 1-row |nodes| broadcast seeding the rank frame
     "q141_resample_interpolate",  # |buckets|-row broadcast grid x distinct series (q118's sibling)
     "q158_hll_set_algebra",  # three 1-row sketch estimates cross-joined into one output row
+    "q166_filtered_vector_search",  # 1-row probe broadcast, same as the q34 family
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
