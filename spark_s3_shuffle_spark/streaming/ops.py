@@ -268,3 +268,33 @@ def matview_maintenance_sink(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "event_ts",
+    within: str = "10 minutes",
+    left_watermark: str = "20 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the real-time
+    drop-off detector: every left event emits, matched or not, so
+    "views with NO click within 10 minutes" stream out as null-matched
+    rows. Outer emission is watermark-driven: a left row is held until
+    the watermark proves no in-interval right row can still arrive, THEN
+    emitted with nulls — so null-matches lag by (watermark + interval),
+    the price of correctness on an out-of-order stream. State bounds are
+    the same as the inner join (both sides evicted past watermark +
+    interval)."""
+    l = left.withWatermark(ts_col, left_watermark).alias("l")
+    r = right.withWatermark(ts_col, right_watermark).alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    )

@@ -726,3 +726,49 @@ def test_funnel_tws_matches_batch_stage_windows(spark, sf_dir):
         }
         for u in missing:
             assert last_by_user[u] >= max_us - 61_000_000, (u, last_by_user[u], max_us)
+
+
+def test_stream_stream_outer_interval_join_matches_batch(spark, sf_dir, events_drop_dir):
+    """LEFT OUTER watermarked interval join: matched rows must equal the
+    batch join's matches, and null-matched (dropped-off) views must be a
+    subset of the batch left-anti set — outer emission only happens once
+    the watermark proves no match can arrive, so tail views may be
+    withheld but never wrongly null-matched."""
+    src = f"{events_drop_dir}/in"
+    views = S.read_events_stream(spark, src).filter(F.col("event_type") == "view")
+    clicks = S.read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    joined = S.stream_stream_interval_join_outer(views, clicks).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    out = f"{events_drop_dir}/out_ssjo"
+    ckpt = f"{events_drop_dir}/ckpt_ssjo"
+    S.run_stream_to_completion(S.parquet_sink(joined, out, ckpt), timeout_secs=180)
+    got = [(r["view_id"], r["click_id"]) for r in spark.read.parquet(out).collect()]
+    got_matched = {p for p in got if p[1] is not None}
+    got_unmatched = {p[0] for p in got if p[1] is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    bviews = ev.filter(F.col("event_type") == "view").alias("l")
+    bclicks = ev.filter(F.col("event_type") == "click").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.event_ts") >= F.col("l.event_ts"))
+        & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    batch = bviews.join(bclicks, cond, "left_outer").select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    want_matched = {
+        (r["view_id"], r["click_id"])
+        for r in batch.filter(F.col("click_id").isNotNull()).collect()
+    }
+    want_unmatched = {
+        r["view_id"] for r in batch.filter(F.col("click_id").isNull()).collect()
+    }
+    assert got_matched, "no matches emitted"
+    assert got_matched <= want_matched
+    assert got_unmatched, "no null-matched drop-offs emitted"
+    # never wrongly null-matched: every streamed drop-off is a true one
+    assert got_unmatched <= want_unmatched, got_unmatched - want_unmatched
