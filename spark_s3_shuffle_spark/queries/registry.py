@@ -6319,6 +6319,62 @@ def q167(spark, sf_dir):
     )
 
 
+@_register(
+    "q168_ds59_week_over_week",
+    """WITH wk AS (
+         SELECT o_orderpriority AS prio,
+                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                CAST(EXTRACT(week FROM o_orderdate) AS INT) AS wk,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         FROM orders GROUP BY 1, 2, 3)
+       SELECT a.prio, a.yr, a.wk,
+              CAST(ROUND(a.rev, 2) AS DOUBLE) AS rev,
+              CAST(ROUND(b.rev, 2) AS DOUBLE) AS rev_prev_year,
+              CAST(ROUND(CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 4)
+                   AS DOUBLE) AS yoy_ratio
+       FROM wk a JOIN wk b
+         ON a.prio = b.prio AND a.wk = b.wk AND a.yr = b.yr + 1
+       ORDER BY a.prio, a.yr, a.wk""",
+    "TPC-DS q59 shape (week-over-week store sales): weekly revenue per"
+    " channel self-joined against the SAME ISO week one year earlier,"
+    " with the YoY ratio. The fact table aggregates once"
+    " (map-side-combined on (prio, year, week)); the self-join runs on"
+    " the |channels| x |weeks| aggregate — broadcastable at any fact"
+    " volume. Exact DECIMAL revenue; the ratio is one IEEE division of"
+    " identically-derived doubles, so both engines agree to the 4th"
+    " decimal exactly.",
+)
+def q168(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.weekofyear("o_orderdate").cast("int").alias("wk"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    a = wk.alias("a")
+    b = wk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.prio") == F.col("b.prio"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.yr") == F.col("b.yr") + 1),
+        )
+        .select(
+            F.col("a.prio").alias("prio"),
+            F.col("a.yr").alias("yr"),
+            F.col("a.wk").alias("wk"),
+            F.round(F.col("a.rev"), 2).cast("double").alias("rev"),
+            F.round(F.col("b.rev"), 2).cast("double").alias("rev_prev_year"),
+            F.round(
+                F.col("a.rev").cast("double") / F.col("b.rev").cast("double"),
+                4,
+            ).alias("yoy_ratio"),
+        )
+        .orderBy("prio", "yr", "wk")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
