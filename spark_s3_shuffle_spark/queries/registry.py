@@ -6375,6 +6375,64 @@ def q168(spark, sf_dir):
     )
 
 
+@_register(
+    "q169_ds65_underperformers",
+    """WITH prev AS (
+         SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+         FROM lineitem GROUP BY l_partkey),
+       brand_avg AS (
+         SELECT p.p_brand, SUM(prev.rev) AS brev, COUNT(*) AS bn
+         FROM prev JOIN part p ON prev.l_partkey = p.p_partkey
+         GROUP BY p.p_brand)
+       SELECT p.p_brand, p.p_name,
+              CAST(ROUND(prev.rev, 2) AS DOUBLE) AS rev,
+              CAST(ROUND(CAST(ba.brev AS DOUBLE) / CAST(ba.bn AS DOUBLE), 2)
+                   AS DOUBLE) AS brand_avg_rev
+       FROM prev
+       JOIN part p ON prev.l_partkey = p.p_partkey
+       JOIN brand_avg ba ON p.p_brand = ba.p_brand
+       WHERE prev.rev * ba.bn * 2 < ba.brev
+       ORDER BY p.p_brand, p.p_name, rev""",
+    "TPC-DS q65 shape (underperforming items): parts earning less than"
+    " HALF their brand's average revenue. The threshold comparison is"
+    " CROSS-MULTIPLIED (rev * n * 2 < total) so the filter decision is"
+    " exact DECIMAL arithmetic — dividing first would put boundary"
+    " parts at the mercy of float rounding. Plan: one fact aggregate on"
+    " partkey (map-side combined), broadcast part dim, a |brands|-row"
+    " average table broadcast back — no second fact scan, no"
+    " correlated subquery execution.",
+)
+def q169(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    prev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "rev"
+        )
+    )
+    joined = prev.join(
+        F.broadcast(p), prev["l_partkey"] == p["p_partkey"]
+    ).select("p_brand", "p_name", "rev")
+    ba = joined.groupBy("p_brand").agg(
+        F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
+    )
+    return (
+        joined.join(F.broadcast(ba), "p_brand")
+        .filter(F.col("rev") * F.col("bn") * 2 < F.col("brev"))
+        .select(
+            "p_brand",
+            "p_name",
+            F.round(F.col("rev"), 2).cast("double").alias("rev"),
+            F.round(
+                F.col("brev").cast("double") / F.col("bn").cast("double"), 2
+            ).alias("brand_avg_rev"),
+        )
+        .orderBy("p_brand", "p_name", "rev")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
