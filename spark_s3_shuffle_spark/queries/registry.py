@@ -6433,6 +6433,59 @@ def q169(spark, sf_dir):
     )
 
 
+@_register(
+    "q170_ds46_cross_nation_orders",
+    """WITH xborder AS (
+         SELECT DISTINCT l.l_orderkey
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE s.s_nationkey <> c.c_nationkey)
+       SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS mon,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE) AS total_price
+       FROM orders o JOIN xborder x ON o.o_orderkey = x.l_orderkey
+       GROUP BY DATE_TRUNC('month', o.o_orderdate)
+       ORDER BY mon""",
+    "TPC-DS q46/q68 shape (cross-location fulfilment): orders with at"
+    " least one line shipped from a supplier in a DIFFERENT nation than"
+    " the customer, rolled up monthly. The qualification pass joins the"
+    " fact once against two BROADCAST dims (customer via orders,"
+    " supplier direct) and semi-joins back onto orders — the"
+    " mismatch predicate evaluates map-side inside the broadcast joins,"
+    " so the only fact-sized exchanges are the orderkey-keyed"
+    " qualification distinct and the semi join.",
+)
+def q170(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    xborder = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(li["l_orderkey"])
+        .distinct()
+    )
+    return (
+        o.join(xborder, o["o_orderkey"] == xborder["l_orderkey"], "left_semi")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("mon")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
