@@ -176,3 +176,72 @@ def snapshot_diff(old, new, key_cols: list[str]):
         *[F.col(f"old_{c}") for c in val_cols],
         *[F.col(f"new_{c}") for c in val_cols],
     )
+
+
+def export_integrity_manifest(spark: SparkSession, root: str) -> dict:
+    """Per-shard content checksums for a sharded export: ONE pass over the
+    table computes (rows, order-independent xxhash64 sum in exact
+    decimal) per shard and persists them as ``_integrity.json`` beside
+    the shards. A training consumer can then verify any single shard it
+    downloads — or the whole export — without trusting transport or
+    storage. Returns the manifest dict."""
+    import json as _json
+
+    df = spark.read.parquet(root)
+    data_cols = [c for c in df.columns if c != "shard"]
+    per_shard = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)")).alias("digest"),
+        )
+        .collect()
+    )
+    manifest = {
+        str(r["shard"]): {"rows": int(r["rows"]), "digest": str(r["digest"])}
+        for r in per_shard
+    }
+    fs, _, jvm = _fs(spark, root)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/_integrity.json"), True)
+    out.write(bytearray(_json.dumps(manifest, sort_keys=True).encode("utf-8")))
+    out.close()
+    return manifest
+
+
+def verify_export_integrity(
+    spark: SparkSession, root: str, shard: str | None = None
+) -> bool:
+    """Recompute shard checksums and compare with ``_integrity.json``.
+    With ``shard`` set, only that shard's files are read (partition-pruned
+    scan) — the single-download verification path. Returns False on any
+    mismatch or missing manifest."""
+    import json as _json
+
+    fs, _, jvm = _fs(spark, root)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{root}/_integrity.json")
+    if not fs.exists(mpath):
+        return False
+    stream = fs.open(mpath)
+    try:
+        manifest = _json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    df = spark.read.parquet(root)
+    if shard is not None:
+        df = df.filter(F.col("shard") == shard)
+        want = {shard: manifest.get(shard)}
+        if want[shard] is None:
+            return False
+    else:
+        want = manifest
+    data_cols = [c for c in df.columns if c != "shard"]
+    got = {
+        str(r["shard"]): {"rows": int(r["rows"]), "digest": str(r["digest"])}
+        for r in df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)")).alias("digest"),
+        )
+        .collect()
+    }
+    return got == want

@@ -382,3 +382,35 @@ def test_vacuum_versions_retention(spark):
 
     with _pytest.raises(ValueError):
         MT.vacuum_versions(spark, root, keep_last=0)
+
+
+def test_export_integrity_manifest_roundtrip_and_tamper(spark):
+    """Export integrity: per-shard checksums verify a full export AND a
+    single downloaded shard; losing a file inside one shard fails exactly
+    that shard's verification."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.pipeline import write_training_shards
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 101).alias("payload")
+    )
+    root = tempfile.mkdtemp(prefix="integrity-") + "/t"
+    write_training_shards(df, root, "doc_id", 4)
+    manifest = MT.export_integrity_manifest(spark, root)
+    assert len(manifest) == 4 and sum(v["rows"] for v in manifest.values()) == 4000
+    assert MT.verify_export_integrity(spark, root)
+    some_shard = sorted(manifest)[0]
+    assert MT.verify_export_integrity(spark, root, shard=some_shard)
+
+    victim_dir = f"{root}/shard={some_shard}"
+    victim = sorted(glob.glob(f"{victim_dir}/part-*.parquet"))[0]
+    _os.remove(victim)
+    assert not MT.verify_export_integrity(spark, root, shard=some_shard)
+    assert not MT.verify_export_integrity(spark, root)
+    # other shards still verify individually
+    other = sorted(manifest)[1]
+    assert MT.verify_export_integrity(spark, root, shard=other)
