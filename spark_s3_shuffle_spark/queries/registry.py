@@ -6486,6 +6486,63 @@ def q170(spark, sf_dir):
     )
 
 
+@_register(
+    "q171_vocab_unk_rate",
+    """WITH tok AS (
+         SELECT doc_id,
+                UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+         FROM documents),
+       vocab AS (
+         SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= 10)
+       SELECT t.doc_id,
+              COUNT(*) AS n_tokens,
+              CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+              CAST(ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS unk_rate
+       FROM tok t LEFT JOIN vocab v ON t.w = v.w
+       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "Tokenizer-vocabulary construction + per-document UNK rate: build"
+    " the word vocabulary at a frequency floor (the word-level analogue"
+    " of a BPE merge table's coverage) and score every document by the"
+    " fraction of its token OCCURRENCES falling outside it — the signal"
+    " that drives vocab-size choices and flags out-of-domain documents."
+    " Integer counts, one IEEE division. Plan: one explode, a"
+    " Heaps-law-bounded vocabulary aggregate, a key join back, one"
+    " per-doc count — same bounded shapes as the bigram tier (q151).",
+)
+def q171(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_unk"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unk",
+            F.round(
+                F.col("n_unk").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("unk_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
