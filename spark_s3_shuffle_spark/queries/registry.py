@@ -6543,6 +6543,146 @@ def q171(spark, sf_dir):
     )
 
 
+@_register(
+    "q172_ratio_to_report",
+    """WITH m AS (
+         SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+                o_orderpriority AS prio,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         FROM orders GROUP BY 1, 2)
+       SELECT mon, prio,
+              CAST(ROUND(rev, 2) AS DOUBLE) AS rev,
+              CAST(ROUND(CAST(rev AS DOUBLE)
+                         / CAST(SUM(rev) OVER (PARTITION BY mon) AS DOUBLE), 4)
+                   AS DOUBLE) AS share
+       FROM m ORDER BY mon, prio""",
+    "Ratio-to-report window: each channel's share of its month's total"
+    " revenue — the contribution-analysis staple. The share denominator"
+    " is a window SUM over the month partition of the ALREADY-aggregated"
+    " frame (|months| x |priorities| rows — the window never touches the"
+    " fact), accumulated in exact DECIMAL so the single share division"
+    " is engine-identical.",
+)
+def q172(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    w = Window.partitionBy("mon")
+    return m.select(
+        "mon",
+        "prio",
+        F.round(F.col("rev"), 2).cast("double").alias("rev"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"),
+            4,
+        ).alias("share"),
+    ).orderBy("mon", "prio")
+
+
+@_register(
+    "q173_abc_classification",
+    """WITH pr AS (
+         SELECT l_partkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+         FROM lineitem GROUP BY l_partkey),
+       ranked AS (
+         SELECT l_partkey, rev,
+                SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                SUM(rev) OVER () AS total
+         FROM pr)
+       SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                   WHEN cum * 100 <= total * 95 THEN 'B'
+                   ELSE 'C' END AS klass,
+              COUNT(*) AS n_parts,
+              CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_rev
+       FROM ranked GROUP BY 1 ORDER BY klass""",
+    "ABC / Pareto 80-95 classification: parts ranked by revenue with a"
+    " cumulative-share cutoff. The class boundary compares"
+    " CROSS-MULTIPLIED exact decimals (cum*100 <= total*80) so no part"
+    " ever flips class from a float share; the running window orders by"
+    " (rev DESC, partkey) — a total order, so cumulative sums are"
+    " unambiguous on both engines. Windows run over the |parts|"
+    " aggregate, never the fact.",
+)
+def q173(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "rev"
+        )
+    )
+    w_run = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_run).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    klass = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.groupBy(klass.alias("klass"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev"), 2).cast("double").alias("class_rev"),
+        )
+        .orderBy("klass")
+    )
+
+
+@_register(
+    "q174_gini_diversity",
+    """WITH c AS (
+         SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_i
+         FROM events GROUP BY 1, 2),
+       d AS (
+         SELECT day, SUM(n_i) AS n, SUM(n_i * n_i) AS sq
+         FROM c GROUP BY day)
+       SELECT day,
+              CAST(n AS BIGINT) AS n_events,
+              CAST(ROUND(CAST(n * n - sq AS DOUBLE)
+                         / CAST(n * n AS DOUBLE), 6) AS DOUBLE) AS gini
+       FROM d ORDER BY day""",
+    "Diversity profiling via GINI IMPURITY — the rational surrogate for"
+    " entropy (1 - sum((n_i/n)^2) needs no logs): per day, how mixed"
+    " the event-type distribution is. Computed as the integer expression"
+    " (n^2 - sum n_i^2) / n^2 — exact numerator and denominator, one"
+    " IEEE division — so the diversity score is engine- and"
+    " partitioning-exact where Shannon entropy's libm logs are not."
+    " Two map-side-combined aggregates, output calendar-bounded.",
+)
+def q174(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_i"))
+    d = c.groupBy("day").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sq"),
+    )
+    return d.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("day")
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
