@@ -6683,6 +6683,109 @@ def q174(spark, sf_dir):
     ).orderBy("day")
 
 
+@_register(
+    "q175_ship_latency_histogram",
+    """SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+              COUNT(*) AS n
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1 ORDER BY lag_days""",
+    "Order-to-ship latency distribution — the fulfilment SLA metric:"
+    " integer day lags bucketed exactly (no float binning). One"
+    " orderkey-keyed join and a map-side-combined count over the"
+    " bounded lag domain; output is |distinct lags| rows at any fact"
+    " volume.",
+)
+def q175(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lag_days")
+    )
+
+
+@_register(
+    "q176_repurchase_intervals",
+    """WITH seq AS (
+         SELECT o_custkey,
+                CAST(date_diff('day',
+                     CAST(LAG(o_orderdate) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+         FROM orders)
+       SELECT CAST(gap_days // 30 AS INT) AS gap_months, COUNT(*) AS n
+       FROM seq WHERE gap_days IS NOT NULL
+       GROUP BY 1 ORDER BY gap_months""",
+    "Repeat-purchase intervals: days between consecutive orders per"
+    " customer (lag window, (date, orderkey) tie-break), bucketed to"
+    " months by INTEGER division — boundary gaps cannot flip buckets."
+    " One exchange on custkey; the histogram is bounded by the calendar"
+    " span at any fact volume. The retention-model input feature.",
+)
+def q176(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        seq.groupBy(
+            F.expr("CAST(gap_days DIV 30 AS INT)").alias("gap_months")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("gap_months")
+    )
+
+
+@_register(
+    "q177_basket_size_distribution",
+    """WITH b AS (
+         SELECT l_orderkey, COUNT(*) AS lines,
+                COUNT(DISTINCT l_partkey) AS parts
+         FROM lineitem GROUP BY l_orderkey)
+       SELECT CAST(lines AS INT) AS lines,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(CAST(SUM(parts) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS avg_parts
+       FROM b GROUP BY lines ORDER BY lines""",
+    "Basket-size distribution with per-size distinct-part averages —"
+    " the co-occurrence tier's (q161) denominator statistics. One"
+    " orderkey aggregate then a tiny rollup; AVG runs over exact"
+    " integer counts so the only float is the final display division"
+    " (identical summation order is guaranteed because the partial"
+    " sums are integers).",
+)
+def q177(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.countDistinct("l_partkey").alias("parts"),
+    )
+    return (
+        b.groupBy(F.col("lines").cast("int").alias("lines"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum("parts").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_parts"),
+        )
+        .orderBy("lines")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
