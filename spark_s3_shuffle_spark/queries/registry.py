@@ -6786,6 +6786,63 @@ def q177(spark, sf_dir):
     )
 
 
+@_register(
+    "q178_conversion_latency",
+    """WITH fv AS (
+         SELECT user_id, MIN(ts) AS v_ts
+         FROM events WHERE event_type = 'view' GROUP BY user_id),
+       fp AS (
+         SELECT e.user_id, MIN(e.ts) AS p_ts
+         FROM events e JOIN fv ON e.user_id = fv.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+         GROUP BY e.user_id)
+       SELECT CAST((epoch_us(fp.p_ts) - epoch_us(fv.v_ts))
+                   // 3600000000 AS INT) AS hours_bucket,
+              COUNT(*) AS n_users
+       FROM fv JOIN fp ON fv.user_id = fp.user_id
+       GROUP BY 1 ORDER BY hours_bucket""",
+    "Conversion-latency distribution — the funnel tier's timing"
+    " companion: first-view to first-purchase-after-view latency per"
+    " user, bucketed to hours by elapsed-microseconds DIV 3600000000 —"
+    " exact integers on both engines (boundary-crossing date_diff"
+    " semantics would disagree with elapsed-time bucketing; float"
+    " binning would drift). The engine derives both stage timestamps in the q144"
+    " chained-window style over ONE user_id exchange; the oracle uses"
+    " the equivalent two-scan join formulation. Output bounded by the"
+    " latency domain at any volume.",
+)
+def q178(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ).withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = (
+        staged.filter(F.col("v_ts").isNotNull() & F.col("p_ts").isNotNull())
+        .select("user_id", "v_ts", "p_ts")
+        .distinct()
+    )
+    elapsed_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))
+    return (
+        per_user.select(elapsed_us.alias("_us"))
+        .select(F.expr("CAST(_us DIV 3600000000 AS INT)").alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hours_bucket")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
