@@ -6843,6 +6843,87 @@ def q178(spark, sf_dir):
     )
 
 
+_Q179_ORACLE = f"""WITH rw AS (
+     SELECT CAST(ts AS DATE) AS day,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % 256 AS reg,
+            CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS UBIGINT) AS w
+     FROM events),
+   daily AS (
+     SELECT day, reg,
+            MAX(CASE WHEN w > 0 THEN 57 - LENGTH(bin(w)) ELSE 57 END) AS maxrho
+     FROM rw GROUP BY day, reg),
+   expanded AS (
+     SELECT day + o.off AS wday, reg, maxrho
+     FROM daily CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) o(off)),
+   rolled AS (
+     SELECT wday, reg, MAX(maxrho) AS maxrho
+     FROM expanded
+     WHERE wday BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'
+     GROUP BY wday, reg),
+   packed AS (
+     SELECT wday, SUM(CAST(1 AS BIGINT) << (57 - maxrho)) AS scaled,
+            COUNT(*) AS hit
+     FROM rolled GROUP BY wday),
+   est AS (
+     SELECT wday, CAST({_HLL_NUMER!r} AS DOUBLE)
+            / CAST(CAST(scaled AS HUGEINT)
+                   + CAST(256 - hit AS HUGEINT) * (CAST(1 AS HUGEINT) << 57)
+                   AS DOUBLE) AS e,
+            CAST(256 - hit AS DOUBLE) AS zeros, hit
+     FROM packed)
+   SELECT CAST(wday AS DATE) AS wday,
+          CAST(ROUND(CASE WHEN e <= 640.0 AND zeros > 0
+                          THEN 256.0 * LN(256.0 / zeros) ELSE e END, 1)
+               AS DOUBLE) AS hll_estimate,
+          CAST(hit AS BIGINT) AS registers_hit
+   FROM est ORDER BY wday"""
+
+
+@_register(
+    "q179_rolling_wau",
+    _Q179_ORACLE,
+    "Rolling 7-day active users (the WAU growth metric) from the DAILY"
+    " register store: each day's <= 256-row register frame fans out to"
+    " the 7 window-end days it covers, then a per-(window, register) MAX"
+    " — the lossless merge — yields every day's trailing-week sketch"
+    " WITHOUT ever re-touching events. Work is |days| x 7 x 256 rows at"
+    " ANY corpus size; an exact rolling COUNT(DISTINCT) would rescan or"
+    " re-shuffle every (day, user) pair per window. Same exact-integer"
+    " estimator as q133/q143/q150 — DuckDB replays every windowed"
+    " estimate bit-for-bit.",
+)
+def q179(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators.sketch import (
+        hll_estimate_from_registers_by_key,
+        hll_registers_by_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = hll_registers_by_key(ev, ["day"], "user_id")
+    expanded = daily.select(
+        "day",
+        "reg",
+        "maxrho",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select(
+        F.date_add(F.col("day"), F.col("off")).alias("wday"),
+        "reg",
+        "maxrho",
+    ).filter(
+        F.col("wday").between(
+            F.lit("2024-01-07").cast("date"), F.lit("2024-01-30").cast("date")
+        )
+    )
+    rolled = expanded.groupBy("wday", "reg").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+    return hll_estimate_from_registers_by_key(rolled, ["wday"]).orderBy(
+        "wday"
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
