@@ -6924,6 +6924,94 @@ def q179(spark, sf_dir):
     )
 
 
+@_register(
+    "q180_new_vs_returning",
+    """WITH fs AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+         FROM events GROUP BY user_id),
+       act AS (
+         SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, fs.first_day
+         FROM events e JOIN fs ON e.user_id = fs.user_id)
+       SELECT day,
+              CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+              CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+       FROM act GROUP BY day ORDER BY day""",
+    "Daily new-vs-returning split — the first-seen transform again (cf."
+    " q154/q159): one exchange on user_id for first-seen, a key-co-"
+    " partitioned activity join, then a conditional count per day."
+    " Exact integers; output calendar-bounded.",
+)
+def q180(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .join(fs, "user_id")
+    )
+    return (
+        act.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
+    "q181_weekly_churn",
+    """WITH wk AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+         FROM events)
+       SELECT a.week AS week,
+              COUNT(*) AS active_prev,
+              CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+              CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained
+       FROM wk a LEFT JOIN wk b
+         ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+       GROUP BY a.week ORDER BY week""",
+    "Weekly churn: users active in week w classified by presence in week"
+    " w+1 — a self left-join of the distinct (user, week) frame on"
+    " (user, next-week). Both the distinct compaction and the self-join"
+    " key on user_id (one exchange family); the classification is a"
+    " conditional count. Output |weeks| rows; exact integers.",
+)
+def q181(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    a = wk.alias("a")
+    b = wk.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.week") == F.date_add(F.col("a.week"), 7)),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("active_prev"),
+            F.sum(F.when(F.col("b.user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("churned"),
+            F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("retained"),
+        )
+        .orderBy("week")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
