@@ -772,3 +772,53 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, sf_dir, events_d
     assert got_unmatched, "no null-matched drop-offs emitted"
     # never wrongly null-matched: every streamed drop-off is a true one
     assert got_unmatched <= want_unmatched, got_unmatched - want_unmatched
+
+
+def test_streamed_export_compacts_to_batch_layout(spark, sf_dir, events_drop_dir):
+    """End-to-end export chain: stream events through export_shards_sink
+    (one file per shard per micro-batch), then compact — the result must
+    be byte-identical (content AND in-file order) to a one-shot batch
+    export of the same rows, and the integrity manifest must verify."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.pipeline import write_training_shards
+
+    tmp = tempfile.mkdtemp(prefix="stream-export-compact-")
+    stream = S.read_events_stream(spark, f"{events_drop_dir}/in", max_files_per_trigger=2)
+    S.run_stream_to_completion(
+        S.export_shards_sink(
+            stream.select("event_id", "user_id", "event_type"),
+            f"{tmp}/t",
+            f"{tmp}/ckpt",
+            id_col="event_id",
+            n_shards=4,
+        ),
+        timeout_secs=180,
+    )
+    before = MT.list_shard_files(spark, f"{tmp}/t")
+    assert before and any(n >= 2 for n in before.values()), before
+    after = MT.compact_shards(spark, f"{tmp}/t", "event_id")
+    assert all(n == 1 for n in after.values()), after
+
+    batch = tempfile.mkdtemp(prefix="batch-export-") + "/t"
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    write_training_shards(rows, batch, "event_id", 4)
+    for shard in sorted(after):
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/t/{shard}")
+            .select("event_id", "user_id", "event_type")
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in spark.read.parquet(f"{batch}/{shard}")
+            .select("event_id", "user_id", "event_type")
+            .collect()
+        ]
+        assert got == want, shard
+    MT.export_integrity_manifest(spark, f"{tmp}/t")
+    assert MT.verify_export_integrity(spark, f"{tmp}/t")
