@@ -196,3 +196,30 @@ def test_content_checksum_write_and_verify(spark, mgr):
     # missing sidecar reports unverifiable, not crash
     mgr.stage_write(df, "ck2", keys=["k"])
     assert not verify_stage_checksum(mgr, "ck2")
+
+
+def test_content_checksum_invariant_to_read_parallelism(spark, mgr):
+    """The content digest is an order-independent exact-integer sum, so
+    re-reading the same stage under different shuffle/read parallelism
+    (and after a key repartition) must verify identically."""
+    from spark_s3_shuffle_spark.operators.exchange import (
+        verify_stage_checksum,
+        write_stage_checksum,
+    )
+
+    df = spark.range(3000).withColumn("k", F.col("id") % 11)
+    mgr.stage_write(df, "ckp", keys=["k"], num_partitions=4)
+    doc = write_stage_checksum(mgr, "ckp")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("5", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            assert verify_stage_checksum(mgr, "ckp"), parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # a REWRITE with different partitioning carries the same content:
+    # recomputed digest equals the sidecar written before the rewrite
+    re_read = mgr.stage_read("ckp").repartition(9, "k")
+    mgr.stage_write(re_read, "ckp2", keys=["k"], num_partitions=9)
+    doc2 = write_stage_checksum(mgr, "ckp2")
+    assert (doc["rows"], doc["digest"]) == (doc2["rows"], doc2["digest"])
