@@ -25,3 +25,30 @@ def test_parquet_sink_roundtrip(spark, sf_dir):
         write_parquet(df, f"{tmp}/out")
         back = spark.read.parquet(f"{tmp}/out")
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_registry_contract_pins_rows_only_set():
+    """Meta-contract: every registry entry is documented, and the set of
+    oracle-less (rows-only) queries is EXACTLY the declared hash-family
+    seven — a new query accidentally registered without its DuckDB
+    oracle fails here instead of silently downgrading the driver's
+    correctness gate."""
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+
+    assert all(spec.doc for spec in QUERIES.values()), [
+        n for n, s in QUERIES.items() if not s.doc
+    ]
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    assert rows_only == {
+        "q34b_ivf_topk",
+        "q34c_lsh_topk",
+        "q42_minhash_dedup",
+        "q43_simhash_dedup",
+        "q44_ngram_jaccard",
+        "q59_minhash_dedup_cc",
+        "q120b_batch_ivf_join",
+    }, rows_only
+    # column-name discipline: oracle text must not alias nothing (crude
+    # guard: every oracle SELECT list mentions AS or bare column names —
+    # enforced implicitly by the sweeps; here we pin total counts)
+    assert len(QUERIES) >= 192
