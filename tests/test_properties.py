@@ -278,3 +278,35 @@ def test_snapshot_diff_involution(spark, rows):
     rev = {r["k"]: r["status"] for r in snapshot_diff(b, a, ["k"]).collect()}
     flip = {"added": "removed", "removed": "added"}
     assert rev == {k: flip.get(s, s) for k, s in fwd.items()}
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 9)),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    pivot=st.integers(1, 499),
+    k=st.integers(1, 12),
+)
+def test_weighted_sample_distributes_over_splits(spark, rows, pivot, k):
+    """Weighted bottom-k distributes over disjoint splits: taking the
+    bottom-k of (bottom-k(A) ∪ bottom-k(B)) equals bottom-k(A ∪ B) — the
+    property that lets per-partition / per-day samples fold into the
+    corpus sample without a rescan."""
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    a, b = df.filter(F.col("k") < pivot), df.filter(F.col("k") >= pivot)
+    whole = {r["k"] for r in PL.weighted_sample(df, ["k"], "w", k).collect()}
+    pa = PL.weighted_sample(a, ["k"], "w", k)
+    pb = PL.weighted_sample(b, ["k"], "w", k)
+    merged = {
+        r["k"]
+        for r in PL.weighted_sample(
+            pa.unionByName(pb).drop("_ws_priority"), ["k"], "w", k
+        ).collect()
+    }
+    assert merged == whole
