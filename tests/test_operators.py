@@ -1078,3 +1078,74 @@ def test_hll_by_key_shuffle_bounded_vs_exact_distinct(spark):
             else:
                 spark.conf.set(k, v)
         df.unpersist()
+
+
+def test_interpolation_exact_at_observation_points(spark):
+    """q141's operator semantics pinned at the boundaries: a grid point
+    coinciding exactly with an observation returns that observation's
+    value (frac = 0), points before the first observation are NULL, and
+    points after the last hold flat."""
+    rows = [
+        (1, "2024-01-01 02:00:00", 10.0),
+        (1, "2024-01-01 04:00:00", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+    from spark_s3_shuffle_spark.queries.registry import QUERIES  # noqa: F401
+
+    # reuse the q141 interleave inline: grid hours 00..05
+    obs = df.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+        F.lit(0).alias("is_grid"),
+        F.lit(None).cast("timestamp_ntz").alias("hour"),
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-01 05:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    grid = df.select("user_id").distinct().crossJoin(hours).select(
+        "user_id",
+        F.unix_micros(F.col("hour").cast("timestamp")).alias("t_us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+        "hour",
+    )
+    both = grid.unionByName(obs)
+    from pyspark.sql import Window as W2
+
+    back = W2.partitionBy("user_id").orderBy("t_us", "is_grid").rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    fwd = W2.partitionBy("user_id").orderBy("t_us", "is_grid").rowsBetween(W2.currentRow, W2.unboundedFollowing)
+    obs_t = F.when(F.col("value").isNotNull(), F.col("t_us"))
+    w = both.select(
+        "user_id", "t_us", "hour", "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t_us") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    val = (
+        F.when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    got = {
+        r["hour"].hour: r["v"]
+        for r in w.filter(F.col("is_grid") == 1)
+        .select("hour", F.round(val, 2).alias("v"))
+        .collect()
+    }
+    assert got[0] is None and got[1] is None      # before first obs
+    assert got[2] == 10.0                         # exactly at obs
+    assert got[3] == 20.0                         # true midpoint
+    assert got[4] == 30.0                         # exactly at obs
+    assert got[5] == 30.0                         # hold after last
