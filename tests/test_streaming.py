@@ -822,3 +822,38 @@ def test_streamed_export_compacts_to_batch_layout(spark, sf_dir, events_drop_dir
         assert got == want, shard
     MT.export_integrity_manifest(spark, f"{tmp}/t")
     assert MT.verify_export_integrity(spark, f"{tmp}/t")
+
+
+def test_matview_version_trail_vacuums_safely(spark, sf_dir):
+    """Retention over a real streamed version trail: vacuum keeps the
+    newest N versions and the latest-resolution read still equals the
+    batch summary afterwards."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.matview import (
+        build_lineitem_summary,
+        refresh_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="matview-vacuum-")
+    li.repartition(6).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{tmp}/in")
+    )
+    S.run_stream_to_completion(
+        S.matview_maintenance_sink(stream, f"{tmp}/summary", f"{tmp}/ckpt"),
+        timeout_secs=180,
+    )
+    deleted = MT.vacuum_versions(spark, f"{tmp}/summary", keep_last=2)
+    assert len(deleted) >= 3, deleted
+    got = S.latest_summary(spark, f"{tmp}/summary")
+    expected = refresh_summary(build_lineitem_summary(li.limit(0)), li)
+    key = lambda r: (str(r[0]), str(r[1]), str(r[2]))
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, expected.collect()), key=key
+    )
