@@ -1149,3 +1149,26 @@ def test_interpolation_exact_at_observation_points(spark):
     assert got[3] == 20.0                         # true midpoint
     assert got[4] == 30.0                         # exactly at obs
     assert got[5] == 30.0                         # hold after last
+
+
+def test_hll_set_algebra_intersection_band(spark):
+    """q158's algebra sanity-checked on controlled sets: the inclusion-
+    exclusion intersection estimate of two overlapping populations lands
+    within the 3-sketch error band of the true overlap."""
+    from spark_s3_shuffle_spark.operators.sketch import hll_distinct
+
+    a = spark.range(0, 6000).withColumnRenamed("id", "k")          # [0, 6000)
+    b = spark.range(4000, 12000).withColumnRenamed("id", "k")      # [4000, 12000)
+    u = a.unionByName(b)
+    ea = hll_distinct(a, "k").first()["hll_estimate"]
+    eb = hll_distinct(b, "k").first()["hll_estimate"]
+    eu = hll_distinct(u, "k").first()["hll_estimate"]
+    inter = ea + eb - eu
+    true = 2000
+    # three b=8 sketches, sigma ~6.5% each; the difference amplifies
+    # absolute error, so allow 3 * sigma * (|A| + |B| + |U|) worst case
+    band = 3 * 0.065 * (6000 + 8000 + 12000) ** 0.5 * 10  # generous
+    assert abs(inter - true) < max(band, 0.35 * (6000 + 8000)), (inter, true)
+    # determinism: identical rerun gives identical composed estimate
+    ea2 = hll_distinct(a.repartition(5), "k").first()["hll_estimate"]
+    assert ea2 == ea
