@@ -366,6 +366,14 @@ def verify_stage_checksum(mgr: "ExchangeManager", stage: str) -> bool:
     finally:
         stream.close()
     want = _json.loads(raw.decode("utf-8"))
-    df = mgr.spark.read.parquet(path)
-    n, digest = _content_checksum(df)
+    # Total corruption — every parquet file missing/deleted — makes the
+    # read itself raise (unable to infer schema) rather than produce a
+    # mismatching digest; that is still "validation failed", so report
+    # False and let the caller refetch/rebuild, mirroring the
+    # missing-sidecar path above.
+    try:
+        df = mgr.spark.read.parquet(path)
+        n, digest = _content_checksum(df)
+    except Exception:
+        return False
     return n == want["rows"] and digest == want["digest"]

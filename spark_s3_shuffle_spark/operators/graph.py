@@ -87,7 +87,17 @@ def pagerank_fixed(
             e.join(
                 F.broadcast(ranks.withColumnRenamed("n", "src")), "src"
             )
-            .select("dst", F.expr("(r * w) DIV ow").alias("c"))
+            # r is ~SCALE (1e12) and w an unbounded observation count, so
+            # the product can exceed 2^63 at full corpus scale; accumulate
+            # it in decimal(38,0) (the sketch modules' exact-arithmetic
+            # style) so the truncating division stays exact instead of
+            # silently wrapping in non-ANSI mode. IntegralDivide on
+            # decimals still yields the bigint quotient both engines agree
+            # on.
+            .select(
+                "dst",
+                F.expr("(CAST(r AS DECIMAL(38,0)) * w) DIV ow").alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -70,18 +70,25 @@ def compact_shards(
 
     The rewrite is one job over the whole table: read (partition-pruned
     parquet), one exchange back onto the shard key with as many tasks as
-    shards, task-local hash sort, atomic swap (write to ``<root>/.compact``
-    then rename over the old tree — readers never observe a half-written
-    shard on a rename-consistent store). Returns the per-shard file count
-    after compaction.
+    shards, task-local hash sort, then a crash-safe per-shard swap:
+    write the compacted tree to ``<root>/.compact``, rename each live
+    ``shard=k`` aside to ``.old-k``, rename the compacted shard in, then
+    delete ``.old-k``. Every intermediate crash state retains either a
+    visible copy of each shard or a recoverable hidden one (``.compact``
+    / ``.old-*`` are dot-prefixed, so parquet readers never see partial
+    state), and a rerun first completes/rolls back the interrupted swap
+    via ``recover_compaction`` before rescanning the table — so the
+    rescan never observes a table missing a shard's rows. Returns the
+    per-shard file count after compaction.
 
     Scale: cost is one scan + one exchange of the table — run it when the
     per-shard file count (``list_shard_files``) crosses a threshold, not
     per append. Compaction never changes row content or order contract,
     only file boundaries, so readers need no coordination beyond the
-    atomic rename.
+    per-shard directory renames.
     """
     fs, hroot, jvm = _fs(spark, root)
+    recover_compaction(spark, root)
     tmp = f"{root}/.compact"
     df = spark.read.parquet(root)
     shards = [r["shard"] for r in df.select("shard").distinct().collect()]
@@ -100,11 +107,46 @@ def compact_shards(
         if not name.startswith("shard="):
             continue
         dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{name}")
+        aside = jvm.org.apache.hadoop.fs.Path(f"{root}/.old-{name}")
         if fs.exists(dest):
-            fs.delete(dest, True)
+            fs.rename(dest, aside)
         fs.rename(st.getPath(), dest)
+        if fs.exists(aside):
+            fs.delete(aside, True)
     fs.delete(htmp, True)
     return list_shard_files(spark, root)
+
+
+def recover_compaction(spark: SparkSession, root: str) -> dict[str, str]:
+    """Complete or roll back an interrupted ``compact_shards`` swap so the
+    visible table is whole again. For every hidden ``.old-shard=k`` left
+    by a crash: if the visible ``shard=k`` is missing, the crash hit
+    between rename-aside and rename-in — restore the old copy (rollback;
+    the pending compacted copy in ``.compact`` is discarded with the rest
+    of the tmp tree). If the visible shard is present, the compacted copy
+    was already renamed in — just drop the stale ``.old-`` copy (roll
+    forward). Finally delete any leftover ``.compact`` tree. Idempotent;
+    returns ``{shard_name: "restored" | "dropped_old"}`` for audit."""
+    fs, hroot, jvm = _fs(spark, root)
+    actions: dict[str, str] = {}
+    if not fs.exists(hroot):
+        return actions
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not name.startswith(".old-shard="):
+            continue
+        shard_name = name[len(".old-"):]
+        dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{shard_name}")
+        if not fs.exists(dest):
+            fs.rename(st.getPath(), dest)
+            actions[shard_name] = "restored"
+        else:
+            fs.delete(st.getPath(), True)
+            actions[shard_name] = "dropped_old"
+    htmp = jvm.org.apache.hadoop.fs.Path(f"{root}/.compact")
+    if fs.exists(htmp):
+        fs.delete(htmp, True)
+    return actions
 
 
 def vacuum_versions(
@@ -113,11 +155,20 @@ def vacuum_versions(
     """Delete all but the newest ``keep_last`` ``v<id>`` version
     directories under ``root`` (the retention pass for
     ``matview_maintenance_sink`` summaries). Returns the deleted names.
-    Readers resolve the latest version at read time, so retaining >= 1
-    version keeps them unbroken; keep >= 2 to tolerate a reader holding
-    the previous version open across the vacuum."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    ``keep_last`` must be >= 2: the newest ``v<batch_id>`` directory may
+    be an uncommitted write from a crashed micro-batch (the sink commits
+    a version before the checkpoint records the batch), so the replay's
+    ``latest_summary(below_batch_id=N)`` needs at least one OLDER
+    committed version to rebuild from — retaining only the newest could
+    leave replay with nothing below N, silently discarding history.
+    Keeping two also tolerates a reader holding the previous version
+    open across the vacuum."""
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: the newest version may be an "
+            "uncommitted crashed-micro-batch write; replay needs an "
+            "older committed version to rebuild from"
+        )
     fs, hroot, jvm = _fs(spark, root)
     if not fs.exists(hroot):
         return []

@@ -577,6 +577,10 @@ def extend_ivf_index(
     ).select(index.id_col, "cell", "_v")
     merged = index.assignments.unionByName(delta).repartition("cell").persist()
     merged.count()
+    # The old assignment frame is folded into (and fully materialized by)
+    # `merged`; drop its pinned copy so a daily-append maintenance loop
+    # holds exactly ONE cached assignment frame, not one per extend.
+    index.assignments.unpersist()
     return IVFIndex(
         merged,
         index.centroids,

@@ -197,6 +197,13 @@ def test_content_checksum_write_and_verify(spark, mgr):
     mgr.stage_write(df, "ck2", keys=["k"])
     assert not verify_stage_checksum(mgr, "ck2")
 
+    # total corruption — EVERY parquet file gone, only the sidecar left —
+    # must also report False (the caller decides refetch/rebuild), not
+    # crash with an unable-to-infer-schema AnalysisException
+    for part in glob.glob(f"{path}/part-*.parquet"):
+        os.remove(part)
+    assert not verify_stage_checksum(mgr, "ck")
+
 
 def test_content_checksum_invariant_to_read_parallelism(spark, mgr):
     """The content digest is an order-independent exact-integer sum, so

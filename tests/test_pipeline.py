@@ -382,6 +382,60 @@ def test_vacuum_versions_retention(spark):
 
     with _pytest.raises(ValueError):
         MT.vacuum_versions(spark, root, keep_last=0)
+    # keep_last=1 is rejected too: the newest version may be an
+    # uncommitted crashed-micro-batch write, and replay needs one older
+    # committed version to rebuild from.
+    with _pytest.raises(ValueError):
+        MT.vacuum_versions(spark, root, keep_last=1)
+
+
+def test_compact_shards_crash_recovery(spark):
+    """Every crash state of the compaction swap keeps the table whole:
+    (a) crash after the shard was renamed aside but before the compacted
+    copy renamed in — recovery restores the aside copy; (b) crash after
+    rename-in but before the aside copy was deleted — recovery drops the
+    stale copy; (c) leftover .compact tree alone — recovery discards it.
+    In all three, a rerun of compact_shards converges to the canonical
+    one-file-per-shard layout with zero row loss."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.pipeline import shard_assign
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3 % 53).alias("payload")
+    )
+    root = tempfile.mkdtemp(prefix="crash-compact-") + "/t"
+    sharded = shard_assign(df, "doc_id", 4)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(root)
+    total = spark.read.parquet(root).count()
+
+    fs, hroot, jvm = MT._fs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    # (a) mid-swap: shard=0 renamed aside, compacted copy still in .compact
+    fs.mkdirs(P(f"{root}/.compact"))
+    fs.rename(P(f"{root}/shard=0"), P(f"{root}/.old-shard=0"))
+    assert spark.read.parquet(root).count() < total  # table visibly torn
+    actions = MT.recover_compaction(spark, root)
+    assert actions == {"shard=0": "restored"}, actions
+    assert spark.read.parquet(root).count() == total
+    assert not fs.exists(P(f"{root}/.compact"))
+
+    # (b) post-rename-in: visible shard present AND a stale .old- copy
+    fs.mkdirs(P(f"{root}/.old-shard=1"))
+    actions = MT.recover_compaction(spark, root)
+    assert actions == {"shard=1": "dropped_old"}, actions
+    assert not fs.exists(P(f"{root}/.old-shard=1"))
+    assert spark.read.parquet(root).count() == total
+
+    # (c) a leftover .compact tree alone is discarded, and compact_shards
+    # itself runs recovery at entry before rescanning the table
+    fs.mkdirs(P(f"{root}/.compact"))
+    fs.rename(P(f"{root}/shard=2"), P(f"{root}/.old-shard=2"))
+    after = MT.compact_shards(spark, root, "doc_id")
+    assert all(n == 1 for n in after.values()), after
+    assert spark.read.parquet(root).count() == total
 
 
 def test_export_integrity_manifest_roundtrip_and_tamper(spark):
