@@ -5954,26 +5954,34 @@ def q159(spark, sf_dir):
        FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
     "RFM segmentation (recency/frequency/monetary quartiles) — the"
     " marketing-analytics staple. One map-side-combined aggregate on"
-    " custkey builds the per-customer RFM triple; three NTILE windows"
-    " score it (ties broken by custkey so quartile boundaries are"
-    " deterministic on both engines — unordered NTILE is"
-    " partition-order-dependent); the segment rollup is 64 rows at any"
-    " customer count. The windows run over the |customers| aggregate,"
-    " never the fact table.",
+    " custkey builds the per-customer RFM triple; each quartile is an"
+    " exact distributed NTILE (operators/prefix.py global_ntile: range"
+    " exchange + per-shard row_number + broadcast shard offsets + the"
+    " closed-form NTILE fill) — NO single-partition window anywhere, so"
+    " no task ever holds more than ~|customers|/P rows even at 10^8+"
+    " customers. Ties broken by custkey so quartile boundaries are"
+    " deterministic on both engines; the segment rollup is 64 rows at"
+    " any customer count.",
 )
 def q160(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    r = PX.global_ntile(rfm, 4, ["last_order", "o_custkey"], out="r").select(
+        "o_custkey", "r"
     )
+    f = PX.global_ntile(rfm, 4, ["freq", "o_custkey"], out="f").select(
+        "o_custkey", "f"
+    )
+    m = PX.global_ntile(rfm, 4, ["monetary", "o_custkey"], out="m").select(
+        "o_custkey", "m"
+    )
+    scored = r.join(f, "o_custkey").join(m, "o_custkey")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -6279,28 +6287,28 @@ def q166(spark, sf_dir):
     " (total spend, order count) — no other customer strictly better on"
     " BOTH axes. The classic formulation is an O(n^2) NOT EXISTS self-"
     " join; this one is LINEAR after one sort: collapse to per-spend"
-    " levels, one running-max window over spend-descending order finds"
-    " each level's best count among all strictly-higher spenders, and a"
-    " level survives iff it beats that. The window runs over"
-    " |distinct spend levels| rows; the only fact-sized work is the"
-    " per-customer aggregate (map-side combined). Exact DECIMAL spend"
-    " keys make level grouping and the dominance comparison"
-    " engine-identical.",
+    " levels, then a distributed strict-preceding running max over"
+    " spend-descending order (operators/prefix.py: range exchange +"
+    " per-shard window + broadcast shard-prefix maxima — no"
+    " single-partition WindowExec, so the near-all-distinct DECIMAL"
+    " spend levels never funnel through one task) finds each level's"
+    " best count among all strictly-higher spenders; a level survives"
+    " iff it beats that. The only fact-sized work is the per-customer"
+    " aggregate (map-side combined). Exact DECIMAL spend keys make"
+    " level grouping and the dominance comparison engine-identical.",
 )
 def q167(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
     o = _t(spark, sf_dir, "orders")
     pts = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     lvl = pts.groupBy("spend").agg(F.max("n_orders").alias("best_n"))
-    w = (
-        Window.orderBy(F.desc("spend"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = lvl.select(
-        "spend", "best_n", F.max("best_n").over(w).alias("higher_best")
-    )
+    ranked = PX.running_max_strictly_preceding(
+        lvl, [F.desc("spend")], "best_n", out="higher_best"
+    ).select("spend", "best_n", "higher_best")
     return (
         pts.join(ranked, "spend")
         .filter(
@@ -6604,12 +6612,17 @@ def q172(spark, sf_dir):
     "ABC / Pareto 80-95 classification: parts ranked by revenue with a"
     " cumulative-share cutoff. The class boundary compares"
     " CROSS-MULTIPLIED exact decimals (cum*100 <= total*80) so no part"
-    " ever flips class from a float share; the running window orders by"
-    " (rev DESC, partkey) — a total order, so cumulative sums are"
-    " unambiguous on both engines. Windows run over the |parts|"
-    " aggregate, never the fact.",
+    " ever flips class from a float share; the cumulative sum is the"
+    " distributed two-phase prefix sum (operators/prefix.py: range"
+    " exchange on (rev DESC, partkey) + per-shard running sum +"
+    " broadcast shard-prefix offsets — no single-partition WindowExec,"
+    " no task holds more than ~|parts|/P rows) and the grand total is a"
+    " 1-row broadcast, not a SUM() OVER (). Exact decimal accumulation"
+    " end-to-end keeps both engines hash-identical.",
 )
 def q173(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,6)")
     pr = li.groupBy("l_partkey").agg(
@@ -6617,15 +6630,11 @@ def q173(spark, sf_dir):
             "rev"
         )
     )
-    w_run = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = pr.select(
-        "l_partkey",
-        "rev",
-        F.sum("rev").over(w_run).alias("cum"),
-        F.sum("rev").over(w_all).alias("total"),
+    total = pr.agg(F.sum("rev").alias("total"))
+    ranked = (
+        PX.running_sum(pr, [F.desc("rev"), "l_partkey"], "rev", out="cum")
+        .crossJoin(F.broadcast(total))
+        .select("l_partkey", "rev", "cum", "total")
     )
     klass = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))

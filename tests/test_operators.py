@@ -1172,3 +1172,145 @@ def test_hll_set_algebra_intersection_band(spark):
     # determinism: identical rerun gives identical composed estimate
     ea2 = hll_distinct(a.repartition(5), "k").first()["hll_estimate"]
     assert ea2 == ea
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix aggregates (round-6: the single-task window killers)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_fixture(spark):
+    """10k rows with ties (grp has 311 levels), NULLs in the value column,
+    and exact decimals — every edge the single-task window handles."""
+    return spark.range(10007).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 311).alias("grp"),
+        F.when(F.col("id") % 53 == 0, None)
+        .otherwise((F.col("id") * 7 % 997).cast("decimal(18,6)"))
+        .alias("v"),
+    )
+
+
+def test_global_row_number_matches_single_task_window(spark):
+    from pyspark.sql import Window
+
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    df = _prefix_fixture(spark)
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("grp", "k"))
+    ).select("k", "rn")
+    got = PX.global_row_number(df, ["grp", "k"]).select("k", "rn")
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_global_ntile_matches_spark_ntile_all_fills(spark):
+    """NTILE's uneven fill (first n%k buckets take one extra row) must
+    reproduce Spark's exactly — including k > n where every row is its
+    own bucket."""
+    from pyspark.sql import Window
+
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    df = _prefix_fixture(spark)
+    for k in (4, 13, 20000):
+        want = df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("grp", "k"))
+        ).select("k", "b")
+        got = PX.global_ntile(df, k, ["grp", "k"], out="b").select("k", "b")
+        mism = (
+            want.join(got.withColumnRenamed("b", "b2"), "k")
+            .filter("b != b2")
+            .count()
+        )
+        assert mism == 0, f"ntile({k}): {mism} mismatches"
+
+
+def test_running_sum_and_strict_max_match_windows(spark):
+    """Running decimal sum (desc order + tiebreak) and strict-preceding
+    max — NULL semantics included (sum skips NULLs; max of an empty
+    preceding frame is NULL) — match the single-task windows row-for-row."""
+    from pyspark.sql import Window
+
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    df = _prefix_fixture(spark)
+    w = Window.orderBy(F.desc("v"), "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w)).select("k", "cum")
+    got = PX.running_sum(df, [F.desc("v"), "k"], "v").select("k", "cum")
+    assert (
+        want.join(got.withColumnRenamed("cum", "c2"), "k")
+        .filter("NOT (cum <=> c2)")
+        .count()
+        == 0
+    )
+
+    w2 = Window.orderBy(F.desc("grp"), "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.withColumn("pm", F.max("v").over(w2)).select("k", "pm")
+    got = PX.running_max_strictly_preceding(
+        df, [F.desc("grp"), "k"], "v", out="pm"
+    ).select("k", "pm")
+    assert (
+        want.join(got.withColumnRenamed("pm", "p2"), "k")
+        .filter("NOT (pm <=> p2)")
+        .count()
+        == 0
+    )
+
+
+def test_prefix_aggregates_avoid_single_task_funnel(spark):
+    """The scale claim, measured from task-level shuffle-read metrics: a
+    single-task NTILE window funnels ALL n rows through one task, while
+    global_ntile's worst task reads a small multiple of n/P (range shard
+    plus balls-in-bins pid collisions). Same machinery as the export and
+    skew straggler tests."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    sc = spark.sparkContext
+    n = 400_000
+    tag = uuid.uuid4().hex[:8]
+    # 32 range shards: worst distributed task = a few 12.5k shards that
+    # collide in the pid hash (balls-in-bins, a small constant factor),
+    # vs the single-task window's full 400k.
+    confs = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("srt")
+    ).persist()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df.count()
+        sc.setJobGroup(f"single-{tag}", "single-task ntile window")
+        df.withColumn(
+            "b", F.ntile(4).over(Window.orderBy("srt", "k"))
+        ).groupBy("b").count().collect()
+        sc.setJobGroup(f"dist-{tag}", "distributed two-phase ntile")
+        PX.global_ntile(df, 4, ["srt", "k"], out="b").groupBy(
+            "b"
+        ).count().collect()
+        sc.setJobGroup(f"done-{tag}", "")
+        single_max = _max_task_shuffle_read(spark, f"single-{tag}")
+        dist_max = _max_task_shuffle_read(spark, f"dist-{tag}")
+        assert single_max >= n, single_max
+        assert dist_max * 4 <= single_max, (single_max, dist_max)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        sc.setJobGroup("", "")
+        df.unpersist()

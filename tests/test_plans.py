@@ -289,3 +289,93 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _unpartitioned_window_specs(df) -> list[str]:
+    """Every windowspecdefinition in the OPTIMIZED plan whose partition
+    spec is EMPTY (first argument is an ordering, i.e. contains ASC/DESC
+    before any comma-nesting) — the shape that makes WindowExec move all
+    data to a single partition."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        # first top-level argument of the spec
+        depth, arg = 0, ""
+        for ch in chunk:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            arg += ch
+        if " ASC" in arg or " DESC" in arg:
+            bad.append(arg)
+    return bad
+
+
+def test_prefix_rewrites_kill_single_task_windows(spark, sf_dir):
+    """q160 (RFM NTILE), q167 (skyline running-max) and q173 (ABC
+    cumulative share) — the three per-entity global-window shapes —
+    must plan with ZERO unpartitioned window specs: every window in the
+    optimized plan carries a partition key (the range-shard pid for the
+    data-sized frames, the constant pmod key for the P-row summary
+    fold). The single-task WindowExec straggler is structurally gone."""
+    for q in (
+        "q160_rfm_segmentation",
+        "q167_pareto_frontier",
+        "q173_abc_classification",
+    ):
+        df = QUERIES[q].builder(spark, sf_dir)
+        bad = _unpartitioned_window_specs(df)
+        assert not bad, (q, bad)
+
+
+def test_single_task_window_detector_sees_the_antipattern(spark, sf_dir):
+    """The detector itself must flag the shape it exists to catch (guard
+    against a silently vacuous plan test)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    df = o.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))
+    )
+    assert _unpartitioned_window_specs(df)
+
+
+def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
+    """Repo-wide contract: NO registry query may plan an unpartitioned
+    window except the declared bounded set, where the window provably
+    runs over a frame that does not grow with the data:
+
+    - q58_terasort: the TeraValidate boundary fold — one row per
+      partition (P rows, thousands at 100 TB).
+    - q125_ds51_cumulative_crossover: cumulative sums over the per-DAY
+      channel aggregate (|calendar days| rows).
+    - q135_quantile_sketch: rank over the bottom-k candidate set
+      (k rows by construction).
+    - q148_trailing_range_window: trailing RANGE frame over the per-day
+      series (|days| rows).
+    - q154_cumulative_distinct_users: running first-seen fold over the
+      per-day frame (|days| rows).
+
+    Anything new that shows up here is a scale regression: fix it with
+    operators/prefix.py, don't grow the allowlist without a boundedness
+    argument."""
+    allowed = {
+        "q58_terasort",
+        "q125_ds51_cumulative_crossover",
+        "q135_quantile_sketch",
+        "q148_trailing_range_window",
+        "q154_cumulative_distinct_users",
+    }
+    flagged = {}
+    for name, q in QUERIES.items():
+        df = q.builder(spark, sf_dir)
+        bad = _unpartitioned_window_specs(df)
+        if bad:
+            flagged[name] = bad[0]
+    rogue = {k: v for k, v in flagged.items() if k not in allowed}
+    assert not rogue, rogue
