@@ -352,8 +352,9 @@ def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
 
     - q58_terasort: the TeraValidate boundary fold — one row per
       partition (P rows, thousands at 100 TB).
-    - q125_ds51_cumulative_crossover: cumulative sums over the per-DAY
-      channel aggregate (|calendar days| rows).
+    - q125_ds51_cumulative_crossover (and its verbatim text twin
+      q204_sql_text_ds51): cumulative sums over the per-DAY channel
+      aggregate (|calendar days| rows).
     - q135_quantile_sketch: rank over the bottom-k candidate set
       (k rows by construction).
     - q148_trailing_range_window: trailing RANGE frame over the per-day
@@ -367,6 +368,7 @@ def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
     allowed = {
         "q58_terasort",
         "q125_ds51_cumulative_crossover",
+        "q204_sql_text_ds51",
         "q135_quantile_sketch",
         "q148_trailing_range_window",
         "q154_cumulative_distinct_users",
