@@ -7193,6 +7193,128 @@ def q184(spark, sf_dir):
     ).orderBy("ptype")
 
 
+@_register(
+    "q214_spend_percentile_bands",
+    """WITH pts AS (
+         SELECT o_custkey,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+         FROM orders GROUP BY o_custkey),
+       rn AS (
+         SELECT o_custkey, spend,
+                ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn
+         FROM pts),
+       st AS (
+         SELECT o_custkey, spend,
+                MIN(rn) OVER (PARTITION BY spend) AS rnk,
+                (SELECT COUNT(*) FROM pts) AS n
+         FROM rn),
+       b AS (
+         SELECT spend, ((rnk - 1) * 10) // (n - 1) AS band FROM st)
+       SELECT CAST(band AS INT) AS band,
+              COUNT(*) AS n_customers,
+              CAST(ROUND(MIN(spend), 2) AS DOUBLE) AS min_spend,
+              CAST(ROUND(MAX(spend), 2) AS DOUBLE) AS max_spend
+       FROM b GROUP BY band ORDER BY band""",
+    "Exact decile (percentile-band) segmentation over per-customer spend"
+    " — the PERCENT_RANK shape done distributed: rank comes from the"
+    " two-phase prefix row_number (operators/prefix.py — no"
+    " single-partition WindowExec), peer-group collapse (MIN rank among"
+    " equal spends) is a hash-partitioned window on the spend key, and"
+    " the band is pure INTEGER arithmetic ((rank-1)*10 DIV (n-1)) so no"
+    " float boundary can flip a customer's decile between engines. The"
+    " total n rides as a 1-row broadcast. At 10^8 customers no task"
+    " holds more than a range shard.",
+)
+def q214(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend")
+    )
+    rn = PX.global_row_number(pts, ["spend", "o_custkey"], out="rn")
+    nn = pts.agg(F.count(F.lit(1)).alias("n"))
+    peers = Window.partitionBy("spend")
+    st = rn.crossJoin(F.broadcast(nn)).select(
+        "spend", F.min("rn").over(peers).alias("rnk"), "n"
+    )
+    b = st.select(
+        "spend", F.expr("((rnk - 1) * 10) DIV (n - 1)").alias("band")
+    )
+    return (
+        b.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend"), 2).cast("double").alias("min_spend"),
+            F.round(F.max("spend"), 2).cast("double").alias("max_spend"),
+        )
+        .orderBy("band")
+    )
+
+
+@_register(
+    "q215_exact_median_selection",
+    """WITH pr AS (
+         SELECT l_partkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+         FROM lineitem GROUP BY l_partkey),
+       rn AS (
+         SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, l_partkey) AS rn
+         FROM pr),
+       nn AS (SELECT COUNT(*) AS n FROM pr),
+       med AS (
+         SELECT SUM(rn.rev) AS s, COUNT(*) AS c
+         FROM rn, nn
+         WHERE rn.rn IN ((nn.n + 1) // 2, (nn.n + 2) // 2)),
+       p90 AS (
+         SELECT rn.rev AS v
+         FROM rn, nn
+         WHERE rn.rn = ((nn.n - 1) * 90) // 100 + 1)
+       SELECT CAST(nn.n AS BIGINT) AS n_parts,
+              CAST(ROUND(CAST(med.s AS DOUBLE) / med.c, 6) AS DOUBLE)
+                AS median_rev,
+              CAST(ROUND(CAST(p90.v AS DOUBLE), 6) AS DOUBLE) AS p90_rev
+       FROM nn, med, p90""",
+    "EXACT global median and p90 by distributed selection — not an"
+    " approx sketch: the two-phase prefix row_number assigns every"
+    " per-part revenue its exact global rank without a single-task sort,"
+    " then the median/p90 rows are picked by rank equality (integer"
+    " index arithmetic shared by both engines, the (n+1)/2,(n+2)/2"
+    " midpoint pair averaging even-sized frames). One double division"
+    " at the very end, per the oracle-determinism recipe. The classic"
+    " 'exact percentile at scale' answer: rank + select beats sorting"
+    " the world into one task.",
+)
+def q215(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev")
+    )
+    rn = PX.global_row_number(pr, ["rev", "l_partkey"], out="rn")
+    nn = pr.agg(F.count(F.lit(1)).alias("n"))
+    sel = rn.crossJoin(F.broadcast(nn))
+    med = sel.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    ).agg(F.sum("rev").alias("s"), F.count(F.lit(1)).alias("c"))
+    p90 = sel.filter(F.col("rn") == F.expr("((n - 1) * 90) DIV 100 + 1")).select(
+        F.col("rev").alias("v")
+    )
+    return (
+        nn.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            F.col("n").cast("long").alias("n_parts"),
+            F.round(F.col("s").cast("double") / F.col("c"), 6)
+            .cast("double")
+            .alias("median_rev"),
+            F.round(F.col("v").cast("double"), 6).cast("double").alias("p90_rev"),
+        )
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
