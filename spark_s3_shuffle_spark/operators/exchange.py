@@ -222,6 +222,54 @@ class ExchangeManager:
             st.task_read_millis += rt
             st.metered_stages += 1
 
+    def tune_read_partition_bytes(
+        self,
+        stage: str,
+        target_task_millis: int = 2_000,
+        min_bytes: int = 1 << 20,
+        max_bytes: int = 1 << 30,
+    ) -> dict:
+        """Metering-driven read-parallelism knob (A10 parity for the
+        filesystem exchange — the reference hill-climbs its prefetch
+        thread count from observed latencies,
+        `S3BufferedPrefetchIterator.scala:32-69`; the Spark-native
+        analogue of "how much read work per concurrent unit" is
+        ``spark.sql.files.maxPartitionBytes``, the scan-split size).
+
+        Consumes the task metrics a prior :meth:`metered_read` window
+        harvested (observed aggregate bytes / executor-run-millis) and
+        sizes the split so one scan task carries ``target_task_millis``
+        of work at the OBSERVED per-task throughput — small splits on a
+        slow store (more concurrent requests hide latency), large splits
+        on a fast one (fewer per-task overheads). Clamped to
+        [min_bytes, max_bytes], applied to the session conf (takes
+        effect on the NEXT read planned), returns the decision record::
+
+            {"observed_bytes_per_ms", "old_max_partition_bytes",
+             "new_max_partition_bytes", "target_task_millis"}
+
+        Raises ValueError if the stage has no metered observations — the
+        knob never guesses.
+        """
+        st = self.stats.get(stage)
+        if st is None or st.task_read_millis <= 0 or st.task_input_bytes <= 0:
+            raise ValueError(
+                f"stage {stage!r} has no metered read observations; run a "
+                "metered_read window first — the knob adapts, not guesses"
+            )
+        bytes_per_ms = st.task_input_bytes / st.task_read_millis
+        proposed = int(bytes_per_ms * target_task_millis)
+        clamped = max(min_bytes, min(max_bytes, proposed))
+        key = "spark.sql.files.maxPartitionBytes"
+        old = self.spark.conf.get(key)
+        self.spark.conf.set(key, str(clamped))
+        return {
+            "observed_bytes_per_ms": round(bytes_per_ms, 2),
+            "old_max_partition_bytes": old,
+            "new_max_partition_bytes": clamped,
+            "target_task_millis": target_task_millis,
+        }
+
     # -- bucketed variant: co-located, shuffle-free downstream joins -------
     def stage_write_bucketed(
         self,

@@ -230,3 +230,43 @@ def test_content_checksum_invariant_to_read_parallelism(spark, mgr):
     mgr.stage_write(re_read, "ckp2", keys=["k"], num_partitions=9)
     doc2 = write_stage_checksum(mgr, "ckp2")
     assert (doc["rows"], doc["digest"]) == (doc2["rows"], doc2["digest"])
+
+
+def test_tune_read_partition_bytes_changes_scan_parallelism(spark, mgr):
+    """A10 parity, A/B-measured: the knob consumes REAL metered-read task
+    metrics and resizes the scan split; under a deliberately tiny split
+    the same stage reads as many tasks, after tuning it reads as few —
+    the conf change demonstrably changes read parallelism."""
+    df = spark.range(200_000).withColumn("k", F.col("id") % 16).withColumn(
+        "pad", F.sha2(F.col("id").cast("string"), 256)
+    )
+    mgr.stage_write(df, "tune", keys=["k"], num_partitions=16)
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        # no observations yet -> the knob refuses to guess
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mgr.tune_read_partition_bytes("tune")
+
+        # A: tiny splits -> wide scan
+        spark.conf.set(key, str(64 * 1024))
+        with mgr.metered_read("tune") as d:
+            d.agg(F.count(F.lit(1))).collect()
+        wide = mgr.stage_read("tune", meter=False).rdd.getNumPartitions()
+
+        st = mgr.stats["tune"]
+        assert st.task_input_bytes > 0 and st.task_read_millis > 0
+
+        # B: tune from the observed throughput -> larger split -> narrow scan
+        decision = mgr.tune_read_partition_bytes(
+            "tune", target_task_millis=10_000
+        )
+        assert decision["new_max_partition_bytes"] >= 1 << 20
+        assert int(spark.conf.get(key)) == decision["new_max_partition_bytes"]
+        narrow = mgr.stage_read("tune", meter=False).rdd.getNumPartitions()
+        assert narrow < wide, (narrow, wide, decision)
+    finally:
+        spark.conf.set(key, old)
