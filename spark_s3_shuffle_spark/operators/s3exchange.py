@@ -373,6 +373,40 @@ def verify_stage(spark: SparkSession, stage: str, cfg: S3Config) -> bool:
     return seen == want
 
 
+class S3ExchangeManager:
+    """API-parity facade over the S3 protocol functions, mirroring
+    `exchange.ExchangeManager`'s surface (stage_write / stage_read /
+    verify / remove_stage / remove_all) so callers switch stores by
+    swapping the manager, not their code — the reference's promise that
+    ``file://`` and object-store roots run the same pipeline
+    (`README.md:38-40`). Stage paths are prefix-sharded per stage name
+    (crc32, process-stable) under ``{app_id}/{stage}``."""
+
+    def __init__(self, spark: SparkSession, cfg: S3Config, app_id: str = "app"):
+        import zlib
+
+        self.spark = spark
+        self.cfg = cfg
+        self.app_id = app_id
+        self._crc = zlib.crc32
+
+    def stage_key(self, stage: str) -> str:
+        shard = self._crc(stage.encode("utf-8")) % self.cfg.prefix_shards
+        return f"x{shard:02d}/{self.app_id}/{stage}"
+
+    def stage_write(self, df: DataFrame, stage: str) -> dict:
+        return stage_write(df, self.stage_key(stage), self.cfg)
+
+    def stage_read(self, stage: str, **kw) -> DataFrame:
+        return stage_read(self.spark, self.stage_key(stage), self.cfg, **kw)
+
+    def verify(self, stage: str) -> bool:
+        return verify_stage(self.spark, self.stage_key(stage), self.cfg)
+
+    def remove_stage(self, stage: str) -> int:
+        return remove_stage(self.stage_key(stage), self.cfg)
+
+
 def remove_stage(stage: str, cfg: S3Config, delete_threads: int = 4) -> int:
     """Tear a stage down: the manifest's keys (plus the manifest itself)
     go through bulk DeleteObjects, 1000 per request, batches issued from

@@ -215,3 +215,62 @@ def test_bulk_delete_pages_thousand_key_batches(s3cfg):
     assert deleted == 1_050
     listed = client.list_objects_v2(Bucket=s3cfg.bucket, Prefix="stages/bulk/")
     assert listed["KeyCount"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Backend parametrization: the SAME protocol body against the filesystem
+# exchange and the S3 exchange — the reference's "file:// and object-store
+# roots run the same pipeline" claim, executed on both stores.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fs_mgr(spark, tmp_path):
+    from spark_s3_shuffle_spark.operators.exchange import ExchangeManager
+
+    return ExchangeManager(spark, f"file://{tmp_path}/scratch", prefixes=4)
+
+
+@pytest.fixture()
+def s3_mgr(spark, s3cfg):
+    from spark_s3_shuffle_spark.operators.s3exchange import S3ExchangeManager
+
+    return S3ExchangeManager(spark, s3cfg, app_id="paramapp")
+
+
+@pytest.mark.parametrize("backend", ["fs", "s3"])
+def test_exchange_protocol_on_both_stores(spark, fs_mgr, s3_mgr, backend):
+    """Write -> read-back-equal -> verify-ok -> remove -> gone, same body
+    on the Hadoop-FS store and the S3-API store."""
+    from spark_s3_shuffle_spark.operators.exchange import (
+        verify_stage_checksum,
+        write_stage_checksum,
+    )
+
+    df = spark.range(6_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 11).alias("grp"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    if backend == "fs":
+        fs_mgr.stage_write(df, "param", keys=["grp"], num_partitions=4)
+        back = fs_mgr.stage_read("param")
+        write_stage_checksum(fs_mgr, "param")
+        verified = verify_stage_checksum(fs_mgr, "param")
+    else:
+        s3_mgr.stage_write(df, "param")
+        back = s3_mgr.stage_read("param")
+        verified = s3_mgr.verify("param")
+
+    assert back.count() == 6_000
+    assert df.exceptAll(back).count() == 0 and back.exceptAll(df).count() == 0
+    assert verified
+
+    if backend == "fs":
+        assert fs_mgr.remove_stage("param")
+        with pytest.raises(Exception):
+            fs_mgr.stage_read("param").count()
+    else:
+        assert s3_mgr.remove_stage("param") > 0
+        with pytest.raises(FileNotFoundError):
+            s3_mgr.stage_read("param")
