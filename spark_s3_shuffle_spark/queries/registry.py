@@ -2241,7 +2241,8 @@ def get_orders_manifest(spark: SparkSession, sf_dir: str) -> str:
 
 @_register(
     "q82_manifest_source",
-    """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    """SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
        FROM orders WHERE o_orderkey >= 500
        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "B59 Python DataSource front door under the full oracle: the orders"
@@ -2267,7 +2268,14 @@ def q82(spark, sf_dir):
         df.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # decimal accumulation, ONE double cast at the end: a raw
+            # double SUM diverges from the oracle in the last ulp once the
+            # frame is large enough (caught by the sf1 step-up sweep)
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -2684,7 +2692,8 @@ def get_orders_zorder_manifest(spark: SparkSession, sf_dir: str) -> str:
 
 @_register(
     "q96_zorder_manifest",
-    """SELECT o_orderstatus, COUNT(*) AS n, CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+    """SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
        FROM orders
        WHERE o_custkey <= 200
          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -2717,7 +2726,11 @@ def q96(spark, sf_dir):
         df.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -3650,7 +3663,7 @@ def q116(spark, sf_dir):
 @_register(
     "q117_variant_json",
     """SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n,
-              CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
        FROM events
        GROUP BY k ORDER BY k NULLS FIRST""",
     "Semi-structured fast path via Spark 4 VariantType: props parses ONCE"
@@ -3670,7 +3683,9 @@ def q117(spark, sf_dir):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy(F.col("k").asc_nulls_first())
     )

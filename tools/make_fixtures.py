@@ -16,6 +16,13 @@ key-space offsets:
 - `documents.text` gets a per-copy suffix token so replication does not
   manufacture cross-copy exact/near duplicates (within-copy duplicate
   structure — what the dedup operators measure — is preserved exactly);
+- `embeddings.embedding` gets a per-copy SIGNED PERMUTATION (cyclic
+  shift + deterministic sign flips — an orthogonal transform): all
+  within-copy cosines are preserved EXACTLY (norms, cluster geometry,
+  labels stay meaningful) while cross-copy cosines scramble toward 0,
+  preserving the corpus premise the near-dup oracles rely on ("no true
+  near-dups above threshold") that verbatim replication would break —
+  the sf1 sweep caught exactly that (q45/q81 planted-twin failures);
 - values/dates/embeddings copy through verbatim, so per-copy
   distributions are IDENTICAL to the driver's sf0.1.
 
@@ -106,6 +113,19 @@ def replicate(spark, src: str, out: str, copies: int) -> None:
                 c = c.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" c{i}"))
                 ).withColumn("n_chars", F.length("text").cast("long"))
+            if t == "embeddings" and i > 0:
+                dim = len(df.select("embedding").first()["embedding"])
+                shift = (7 * i) % dim
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(sequence(0, {dim - 1}), idx -> "
+                        f"CAST((CASE WHEN pmod(xxhash64({i}L, idx), 2) = 0 "
+                        f"THEN 1.0 ELSE -1.0 END) * "
+                        f"element_at(embedding, pmod(idx + {shift}, {dim}) + 1)"
+                        " AS FLOAT))"
+                    ),
+                )
             parts.append(c)
         u = parts[0]
         for c in parts[1:]:
