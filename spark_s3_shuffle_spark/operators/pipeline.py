@@ -589,3 +589,118 @@ def weighted_sample(
         .orderBy("_ws_priority", *key_cols)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: distributed global sequence packing + temperature mixture
+# ---------------------------------------------------------------------------
+
+def pack_sequences_global(
+    df: DataFrame,
+    token_col: str,
+    ctx: int,
+    order: list,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing over the WHOLE corpus: documents
+    are concatenated in a deterministic total order and sliced into
+    fixed-``ctx``-token training windows; each document's chunk span is a
+    pure function of its global token offset.
+
+    This is the distributed-global upgrade of :func:`pack_by_token_budget`
+    (whose unpartitioned form funnels the sort tail through one task —
+    its own docstring says so): the global running token sum comes from
+    the two-phase prefix sum (`operators/prefix.py`), so no task ever
+    holds more than a range shard, at ANY corpus size — the form a 100 TB
+    pretraining corpus actually needs.
+
+    Adds columns: ``start_offset`` (tokens before this doc),
+    ``first_chunk`` / ``last_chunk`` (ctx-window ids the doc lands in).
+    A doc with ``last_chunk > first_chunk`` crosses a window boundary
+    (the packing loss the summary quantifies).
+    """
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    cum = PX.running_sum(df, order, token_col, out="_cum")
+    return (
+        cum.withColumn(
+            "start_offset", (F.col("_cum") - F.col(token_col)).cast("long")
+        )
+        .withColumn("first_chunk", F.expr(f"start_offset DIV {ctx}"))
+        .withColumn(
+            "last_chunk",
+            F.expr(f"(start_offset + {token_col} - 1) DIV {ctx}"),
+        )
+        .drop("_cum")
+    )
+
+
+def _exact_isqrt(col: Column) -> Column:
+    """Floor integer sqrt, EXACT at any magnitude: start from the
+    correctly-rounded double sqrt and correct the potential off-by-one at
+    perfect-square boundaries (above 2^52 the double round-trip alone can
+    misround) — the same guarded-exactness style as the sketch modules."""
+    guess = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    return (
+        F.when((guess + 1) * (guess + 1) <= col, guess + 1)
+        .when(guess * guess > col, guess - 1)
+        .otherwise(guess)
+    )
+
+
+def temperature_mixture_allocation(
+    df: DataFrame,
+    source_col: str,
+    total: int,
+) -> DataFrame:
+    """Temperature-flattened mixture allocation (T=2, i.e. weights ∝
+    sqrt(count) — the standard multilingual rebalancing that upsamples
+    small sources relative to proportional sampling) with EXACT integer
+    arithmetic end-to-end: per-source integer sqrt (guarded exact), then
+    largest-remainder apportionment of ``total`` samples — base quota
+    ``(total·isqrt) DIV Σisqrt`` plus one extra for the top remainders —
+    so allocations are deterministic, sum EXACTLY to ``total`` (when
+    Σisqrt > 0), and replay bit-for-bit on any engine.
+
+    Scale: one map-side-combined count per source; every window runs
+    over the |sources| frame (a bounded vocabulary, thousands at most),
+    keyed on a constant non-foldable key so the plan carries a partition
+    spec (same discipline as `prefix._exclusive_prefix`). Returns
+    ``(source, n_docs, weight_isqrt, alloc)``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.withColumn("weight_isqrt", _exact_isqrt(F.col("n_docs")))
+    tot = w.agg(F.sum("weight_isqrt").alias("_t"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight_isqrt",
+        F.expr(f"({total} * weight_isqrt) DIV _t").alias("_base"),
+        F.expr(f"({total} * weight_isqrt) % _t").alias("_rem"),
+    )
+    leftover = q.agg(
+        (F.lit(total) - F.sum("_base")).cast("long").alias("_left")
+    )
+    key = F.pmod(F.xxhash64("source"), F.lit(1))
+    wr = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_rem").desc(), "source")
+    )
+    return (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_docs",
+            "weight_isqrt",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

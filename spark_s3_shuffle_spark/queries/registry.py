@@ -7330,6 +7330,120 @@ def q215(spark, sf_dir):
     )
 
 
+@_register(
+    "q216_sequence_packing_plan",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(length(text) - length(replace(text, ' ', '')) + 1
+                     AS BIGINT) AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id, toks,
+                SUM(toks) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - toks AS off
+         FROM t),
+       m AS (
+         SELECT doc_id, toks, off,
+                off // 2048 AS first_chunk,
+                (off + toks - 1) // 2048 AS last_chunk
+         FROM c)
+       SELECT COUNT(*) AS n_docs,
+              CAST(SUM(toks) AS BIGINT) AS total_tokens,
+              CAST(MAX(last_chunk) + 1 AS BIGINT) AS n_chunks,
+              CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END)
+                   AS BIGINT) AS crossing_docs,
+              CAST(MAX(last_chunk - first_chunk + 1) AS BIGINT) AS max_span
+       FROM m""",
+    "GPT-style concat-and-chunk SEQUENCE PACKING plan over the corpus:"
+    " docs concatenate in doc_id order and slice into 2048-token training"
+    " windows; each doc's window span is a pure function of its global"
+    " token offset — computed with the DISTRIBUTED two-phase prefix sum"
+    " (operators/prefix.py via pipeline.pack_sequences_global), the"
+    " scale-correct upgrade of pack_by_token_budget's documented"
+    " single-task global form. All integer arithmetic (word-proxy token"
+    " counts, DIV chunking), so the packing summary (chunks, boundary-"
+    " crossing docs, max span) replays exactly on both engines.",
+)
+def q216(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("toks"),
+    )
+    packed = PL.pack_sequences_global(d, "toks", 2048, ["doc_id"])
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (F.max("last_chunk") + 1).cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("last_chunk") > F.col("first_chunk"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("crossing_docs"),
+        F.max(F.col("last_chunk") - F.col("first_chunk") + 1)
+        .cast("long")
+        .alias("max_span"),
+    )
+
+
+@_register(
+    "q217_temperature_mixture",
+    """WITH c AS (
+         SELECT source, COUNT(*) AS n_docs
+         FROM documents GROUP BY source),
+       w AS (
+         SELECT source, n_docs,
+                CASE WHEN (CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) + 1)
+                          * (CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) + 1)
+                          <= n_docs
+                     THEN CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) + 1
+                     WHEN CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                          * CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                          > n_docs
+                     THEN CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) - 1
+                     ELSE CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                END AS weight_isqrt
+         FROM c),
+       q AS (
+         SELECT source, n_docs, weight_isqrt,
+                (10000 * weight_isqrt) // (SELECT SUM(weight_isqrt) FROM w)
+                  AS base,
+                (10000 * weight_isqrt) % (SELECT SUM(weight_isqrt) FROM w)
+                  AS rem
+         FROM w),
+       r AS (
+         SELECT q.*,
+                ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                10000 - (SELECT SUM(base) FROM q) AS leftover
+         FROM q)
+       SELECT source, n_docs,
+              CAST(weight_isqrt AS BIGINT) AS weight_isqrt,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+       FROM r ORDER BY source""",
+    "Temperature-flattened mixture allocation (weights ∝ sqrt(count), the"
+    " multilingual rebalancing standard) in EXACT integer arithmetic:"
+    " guarded integer sqrt (exact at any magnitude, unlike a raw double"
+    " floor above 2^52), largest-remainder apportionment of the 10k-doc"
+    " budget — allocations sum exactly to budget and replay bit-for-bit."
+    " One map-side-combined count per source; every window runs over the"
+    " bounded |sources| frame with a constant non-foldable partition key"
+    " (no unpartitioned WindowExec).",
+)
+def q217(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    d = _t(spark, sf_dir, "documents")
+    return PL.temperature_mixture_allocation(d, "source", 10_000).orderBy(
+        "source"
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite

@@ -468,3 +468,63 @@ def test_export_integrity_manifest_roundtrip_and_tamper(spark):
     # other shards still verify individually
     other = sorted(manifest)[1]
     assert MT.verify_export_integrity(spark, root, shard=other)
+
+
+def test_pack_sequences_global_matches_window_form(spark):
+    """The distributed global packing must reproduce the single-window
+    pack_by_token_budget assignment (first_chunk == batch_id) exactly,
+    plus span invariants: offsets are the exclusive prefix sum and chunk
+    spans cover each doc's tokens."""
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(700)) + 1).alias("toks"),
+    )
+    ctx = 1024
+    packed = PL.pack_sequences_global(df, "toks", ctx, ["doc_id"])
+    legacy = PL.pack_by_token_budget(df, "toks", ctx, ["doc_id"], out="batch_id")
+    joined = packed.join(legacy, ["doc_id", "toks"])
+    assert joined.filter("first_chunk != batch_id").count() == 0
+    rows = packed.orderBy("doc_id").collect()
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["first_chunk"] == off // ctx
+        assert r["last_chunk"] == (off + r["toks"] - 1) // ctx
+        off += r["toks"]
+
+
+def test_temperature_mixture_allocation_exact(spark):
+    """Allocations are deterministic, nonnegative, and sum EXACTLY to the
+    requested budget (largest-remainder invariant); the guarded integer
+    sqrt is exact at perfect-square boundaries far above 2^52 where the
+    raw double floor can misround."""
+    from spark_s3_shuffle_spark.operators import pipeline as PL
+    from spark_s3_shuffle_spark.operators.pipeline import _exact_isqrt
+
+    df = spark.createDataFrame(
+        [(f"s{i % 7}",) for i in range(3_000)], "source string"
+    )
+    total = 1234
+    alloc = PL.temperature_mixture_allocation(df, "source", total).collect()
+    assert sum(r["alloc"] for r in alloc) == total
+    assert all(r["alloc"] >= 0 for r in alloc)
+    # rerun identical
+    again = PL.temperature_mixture_allocation(df, "source", total).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, alloc))
+
+    # exact isqrt at boundaries: k^2-1, k^2, k^2+1 for k near 2^31
+    k = 2**31 - 5
+    cases = spark.createDataFrame(
+        [(k * k - 1,), (k * k,), (k * k + 1,), (0,), (1,), (2,), (3,), (4,)],
+        "v long",
+    )
+    got = {
+        r["v"]: r["s"]
+        for r in cases.select("v", _exact_isqrt(F.col("v")).alias("s")).collect()
+    }
+    import math
+
+    for v, s in got.items():
+        assert s == math.isqrt(v), (v, s)
