@@ -277,7 +277,14 @@ def verify_export_integrity(
         manifest = _json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
     finally:
         stream.close()
-    df = spark.read.parquet(root)
+    # Total loss — every shard's parquet gone, only the manifest left —
+    # makes the read itself raise rather than produce a digest mismatch;
+    # report False (verification failed) like every other corruption,
+    # mirroring exchange.verify_stage_checksum.
+    try:
+        df = spark.read.parquet(root)
+    except Exception:
+        return False
     if shard is not None:
         df = df.filter(F.col("shard") == shard)
         want = {shard: manifest.get(shard)}

@@ -469,6 +469,15 @@ def test_export_integrity_manifest_roundtrip_and_tamper(spark):
     other = sorted(manifest)[1]
     assert MT.verify_export_integrity(spark, root, shard=other)
 
+    # total loss: EVERY shard directory gone, only the manifest left —
+    # verification reports False rather than crashing on an
+    # unable-to-infer-schema read (mirrors verify_stage_checksum)
+    import shutil
+
+    for d in glob.glob(f"{root}/shard=*"):
+        shutil.rmtree(d)
+    assert not MT.verify_export_integrity(spark, root)
+
 
 def test_pack_sequences_global_matches_window_form(spark):
     """The distributed global packing must reproduce the single-window

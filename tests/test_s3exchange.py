@@ -274,3 +274,19 @@ def test_exchange_protocol_on_both_stores(spark, fs_mgr, s3_mgr, backend):
         assert s3_mgr.remove_stage("param") > 0
         with pytest.raises(FileNotFoundError):
             s3_mgr.stage_read("param")
+
+
+def test_empty_stage_roundtrip(spark, s3cfg):
+    """A zero-row frame commits a manifest with zero data objects and
+    reads back empty WITH its schema intact — the boundary every
+    incremental pipeline hits on a quiet day."""
+    df = spark.range(0).select(
+        F.col("id").alias("k"), F.lit("x").alias("payload")
+    )
+    man = S3X.stage_write(df, "stages/empty", s3cfg)
+    assert man["total_rows"] == 0 and man["objects"] == []
+    back = S3X.stage_read(spark, "stages/empty", s3cfg)
+    assert back.schema == df.schema
+    assert back.count() == 0
+    assert S3X.verify_stage(spark, "stages/empty", s3cfg)
+    S3X.remove_stage("stages/empty", s3cfg)
