@@ -7444,6 +7444,52 @@ def q217(spark, sf_dir):
     )
 
 
+@_register(
+    "q218_sliding_window_agg",
+    """WITH e AS (
+         SELECT CAST(FLOOR(EPOCH(ts) / 300) AS BIGINT) AS b, value
+         FROM events),
+       x AS (
+         SELECT b AS w, value FROM e
+         UNION ALL
+         SELECT b - 1 AS w, value FROM e)
+       SELECT w, COUNT(*) AS c,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                AS sum_value
+       FROM x GROUP BY w ORDER BY w""",
+    "B38 sliding window aggregation under a FULL oracle (upgraded from"
+    " bench-only): Spark's real F.window(ts, '10 minutes', '5 minutes')"
+    " operator — each event lands in exactly TWO epoch-aligned windows,"
+    " so the oracle replays it as a two-branch UNION ALL over integer"
+    " window ids (floor(epoch/300) and its predecessor). Values sum in"
+    " exact decimal. Scale: the fan-out is a fixed width/slide factor"
+    " (2x here) applied map-side before the partial agg — the window"
+    " explode never reshuffles more than 2x the events, at any corpus"
+    " size.",
+)
+def q218(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.floor(F.col("win.start").cast("double") / 300)
+            .cast("long")
+            .alias("w"),
+            "c",
+            "sum_value",
+        )
+        .orderBy("w")
+    )
+
+
 #: Explicit registry ordering. The driver's correctness harness samples the
 #: FIRST 50 entries of ``queries()`` in insertion order, so the window must
 #: hold one green row per SURVEY §2 operator plus the flagship composite
