@@ -47,6 +47,18 @@ NESTED_LOOP_OK = {
     "q141_resample_interpolate",  # |buckets|-row broadcast grid x distinct series (q118's sibling)
     "q158_hll_set_algebra",  # three 1-row sketch estimates cross-joined into one output row
     "q166_filtered_vector_search",  # 1-row probe broadcast, same as the q34 family
+    # round-6 prefix-aggregate tier: every nested-loop here is a 1-row
+    # broadcast (the global total n, the leftover count, the median/p90
+    # scalar rows) cross-joined into the data frame — a map-side scan,
+    # not a pair explosion
+    "q160_rfm_segmentation",  # 3x 1-row total-count broadcast (global_ntile)
+    "q173_abc_classification",  # 1-row grand-total broadcast
+    "q214_spend_percentile_bands",  # 1-row total-count broadcast
+    "q215_exact_median_selection",  # 1-row n / median / p90 scalar broadcasts
+    "q217_temperature_mixture",  # 1-row isqrt-total + leftover broadcasts
+    "q207_sql_text_ds88",  # verbatim DS88 text: scalar subqueries per time
+    # bucket plan as 1-row broadcasts (the DataFrame original q128 computes
+    # them as conditional aggs in one pass)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -69,6 +81,20 @@ MAX_EXCHANGES = {
     # plan text, so the textual count multiplies; the executed job materializes
     # the edge build once and pays ONE bounded contrib exchange per iteration
     # (rank + contrib frames broadcast — see operators/graph.py)
+    # Round-6 prefix-aggregate tier: each two-phase prefix primitive plans
+    # range exchange + pid hash exchange + P-row summary fold + broadcast;
+    # the pinned pid frame is an InMemoryRelation whose build lineage
+    # re-prints per reference, multiplying the TEXTUAL count (the executed
+    # job materializes it once — same caveat as q137). Data-sized
+    # exchanges per primitive: exactly two.
+    "q160_rfm_segmentation": 24,  # 3 independent global_ntile orderings + 2 joins
+    "q167_pareto_frontier": 8,
+    "q173_abc_classification": 10,
+    "q214_spend_percentile_bands": 12,
+    "q215_exact_median_selection": 16,  # median + p90 selection branches re-print the cached rank lineage
+    "q216_sequence_packing_plan": 8,
+    "q217_temperature_mixture": 10,  # |sources|-frame windows + two scalar broadcasts
+    "q207_sql_text_ds88": 8,  # verbatim text: one exchange per scalar subquery
 }
 
 
