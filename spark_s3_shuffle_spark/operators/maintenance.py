@@ -108,9 +108,18 @@ def compact_shards(
             continue
         dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{name}")
         aside = jvm.org.apache.hadoop.fs.Path(f"{root}/.old-{name}")
-        if fs.exists(dest):
-            fs.rename(dest, aside)
-        fs.rename(st.getPath(), dest)
+        # Hadoop FileSystem.rename signals failure by returning False, not
+        # raising. A swallowed False on the aside rename would leave dest
+        # in place and make the rename-in nest the compacted tree INSIDE
+        # the old shard directory (shard=k/shard=k) — a silent layout
+        # corruption. Abort loudly instead; recover_compaction repairs the
+        # half-swap on the next run.
+        if fs.exists(dest) and not fs.rename(dest, aside):
+            raise IOError(f"compact_shards: rename aside failed: {dest} -> {aside}")
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(
+                f"compact_shards: rename in failed: {st.getPath()} -> {dest}"
+            )
         if fs.exists(aside):
             fs.delete(aside, True)
     fs.delete(htmp, True)
@@ -138,7 +147,10 @@ def recover_compaction(spark: SparkSession, root: str) -> dict[str, str]:
         shard_name = name[len(".old-"):]
         dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{shard_name}")
         if not fs.exists(dest):
-            fs.rename(st.getPath(), dest)
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(
+                    f"recover_compaction: restore failed: {st.getPath()} -> {dest}"
+                )
             actions[shard_name] = "restored"
         else:
             fs.delete(st.getPath(), True)

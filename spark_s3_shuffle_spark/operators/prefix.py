@@ -49,18 +49,23 @@ def _with_range_pid(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
     Catalyst, so the projection cannot be pushed through the exchange —
     the pid observed is always the RANGE partition, by construction.
 
-    The pinned frame is persisted: every prefix primitive forks it (the
-    running-window branch AND the per-shard summary branch), and the
-    same non-determinism that pins the pid also blocks Catalyst's
-    ReuseExchange canonicalization, so without the cache each fork would
-    replay the range exchange. The frame is the narrow per-entity
-    aggregate (not the fact table); Spark LRU-evicts it under pressure
-    and spills it to disk, the same trade the PageRank edge frame makes
-    (`graph.py`)."""
+    The pinned frame is local-checkpointed (eager=False): every prefix
+    primitive forks it (the running-window branch AND the per-shard
+    summary branch), and the same non-determinism that pins the pid also
+    blocks Catalyst's ReuseExchange canonicalization, so without
+    materialization each fork would replay the range exchange — with
+    freshly-sampled (possibly different) range boundaries, corrupting the
+    pid↔offset correspondence. ``localCheckpoint`` truncates lineage so
+    both forks read the SAME materialized shards, and — unlike
+    ``persist()`` — registers nothing in Catalyst's CacheManager: the
+    blocks are released by the ContextCleaner as soon as the caller drops
+    the result DataFrame, so a bench sweep over dozens of prefix queries
+    accumulates nothing for the session lifetime. The frame is the
+    narrow per-entity aggregate (not the fact table)."""
     return (
         df.repartitionByRange(*order)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 

@@ -98,9 +98,17 @@ def _part_key(stage: str, shard: int, pid: int) -> str:
 
 
 def stage_write(
-    df: DataFrame, stage: str, cfg: S3Config, sort_within: bool = False
+    df: DataFrame,
+    stage: str,
+    cfg: S3Config,
+    sort_within: list[str] | None = None,
 ) -> dict:
     """Materialize ``df`` to the object store and PUBLISH it atomically.
+
+    ``sort_within`` (same contract as ``exchange.ExchangeManager.
+    stage_write``) sorts rows inside each task's partition before upload,
+    so each stage object is internally ordered — the property sorted
+    merge-readers and range probes rely on.
 
     One ``mapInArrow`` pass: each task streams its partition into an
     in-memory parquet file, uploads it (multipart above the threshold)
@@ -115,6 +123,8 @@ def stage_write(
     """
     import pyarrow as pa
 
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     schema_json = df.schema.json()
     shards = cfg.prefix_shards
 
@@ -394,8 +404,12 @@ class S3ExchangeManager:
         shard = self._crc(stage.encode("utf-8")) % self.cfg.prefix_shards
         return f"x{shard:02d}/{self.app_id}/{stage}"
 
-    def stage_write(self, df: DataFrame, stage: str) -> dict:
-        return stage_write(df, self.stage_key(stage), self.cfg)
+    def stage_write(
+        self, df: DataFrame, stage: str, sort_within: list[str] | None = None
+    ) -> dict:
+        return stage_write(
+            df, self.stage_key(stage), self.cfg, sort_within=sort_within
+        )
 
     def stage_read(self, stage: str, **kw) -> DataFrame:
         return stage_read(self.spark, self.stage_key(stage), self.cfg, **kw)
@@ -405,6 +419,33 @@ class S3ExchangeManager:
 
     def remove_stage(self, stage: str) -> int:
         return remove_stage(self.stage_key(stage), self.cfg)
+
+    def remove_all(self) -> int:
+        """Tear down every stage of this app across all prefix shards —
+        the applicationRemoved sweep. One paginated LIST per shard prefix
+        (`x{NN}/{app_id}/`) feeding bulk DeleteObjects. Returns keys
+        deleted."""
+        client = self.cfg.client()
+        deleted = 0
+        paginator = client.get_paginator("list_objects_v2")
+        for shard in range(self.cfg.prefix_shards):
+            keys = []
+            prefix = f"x{shard:02d}/{self.app_id}/"
+            for page in paginator.paginate(
+                Bucket=self.cfg.bucket, Prefix=prefix
+            ):
+                keys.extend(o["Key"] for o in page.get("Contents", []))
+            for i in range(0, len(keys), 1000):
+                batch = keys[i: i + 1000]
+                client.delete_objects(
+                    Bucket=self.cfg.bucket,
+                    Delete={
+                        "Objects": [{"Key": k} for k in batch],
+                        "Quiet": True,
+                    },
+                )
+                deleted += len(batch)
+        return deleted
 
 
 def remove_stage(stage: str, cfg: S3Config, delete_threads: int = 4) -> int:

@@ -1314,3 +1314,19 @@ def test_prefix_aggregates_avoid_single_task_funnel(spark):
                 spark.conf.set(k, v)
         sc.setJobGroup("", "")
         df.unpersist()
+
+
+def test_prefix_primitives_leave_no_cache_entry(spark):
+    """Round-7 leak fix: the pinned range frame uses localCheckpoint, not
+    persist(), so prefix primitives register NOTHING in Catalyst's
+    CacheManager — a bench sweep over dozens of prefix queries must not
+    accumulate session-lifetime cached frames. (localCheckpoint blocks
+    are ContextCleaner-released when the result frame is GC'd.)"""
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    df = _prefix_fixture(spark)
+    PX.global_ntile(df, 4, ["grp", "k"], out="b").count()
+    PX.running_sum(df, ["grp", "k"], "v").count()
+    assert cm.isEmpty(), "prefix primitives must not register cache entries"

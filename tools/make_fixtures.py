@@ -8,9 +8,13 @@ a new generator whose distributions would NOT match the driver's, this
 derives sf1 from sf0.1 by replicating every scaling table K times with
 key-space offsets:
 
-- keys (`*_key`, `*_id`) shift by `copy * stride` (stride = 10^ceil
-  above the max key), so PK uniqueness and every FK relationship hold
-  per copy by construction;
+- keys (`*_key`, `*_id`) shift by `copy * stride`, where the stride is
+  computed PER KEY SPACE (custkey, orderkey, partkey, suppkey, ...) as
+  10^ceil above the max of that key across EVERY table that carries it
+  — PK column and FK columns shift by the SAME offset, so PK uniqueness
+  and every FK relationship hold per copy by construction. (A per-table
+  stride would shift orders.o_custkey by a different offset than
+  customer.c_custkey, dangling every copy-i>0 FK — the round-6 bug.);
 - `region`/`nation` are fixed-cardinality dimensions and copy through
   unchanged (as in TPC-H at every SF);
 - `documents.text` gets a per-copy suffix token so replication does not
@@ -49,30 +53,46 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: Columns that live in each table's own key space or reference another
-#: scaling table's. region/nation keys are NOT offset anywhere.
-KEY_COLS: dict[str, list[str]] = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: Key SPACES: every (table, column) pair sharing a space gets the SAME
+#: per-copy offset, computed from the max of the key over ALL its
+#: carriers — the invariant that keeps FKs intact per copy.
+#: region/nation keys are fixed-cardinality and NOT offset anywhere.
+#: events.user_id is its own space (1..~1500, never joined to custkey).
+KEY_SPACES: dict[str, list[tuple[str, str]]] = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "eventid": [("events", "event_id")],
+    "userid": [("events", "user_id")],
+    "docid": [("documents", "doc_id")],
+    "vecid": [("embeddings", "vec_id")],
 }
 
+#: Derived view: table -> [(col, space), ...]
+KEY_COLS: dict[str, list[tuple[str, str]]] = {}
+for _space, _carriers in KEY_SPACES.items():
+    for _t, _c in _carriers:
+        KEY_COLS.setdefault(_t, []).append((_c, _space))
 
-def _stride(df: DataFrame, cols: list[str]) -> int:
-    mx = df.select(
-        F.greatest(*[F.max(c) for c in cols]).alias("m")
-        if len(cols) > 1
-        else F.max(cols[0]).alias("m")
-    ).first()["m"]
-    s = 10
-    while s <= int(mx):
-        s *= 10
-    return s
+
+def _space_strides(spark, src: str) -> dict[str, int]:
+    """One stride per key space: 10^ceil above the max of the key over
+    every table that carries it (PK and FK columns alike)."""
+    strides: dict[str, int] = {}
+    cache: dict[str, DataFrame] = {}
+    for space, carriers in KEY_SPACES.items():
+        mx = 0
+        for t, c in carriers:
+            if t not in cache:
+                cache[t] = spark.read.parquet(f"{src}/{t}.parquet")
+            v = cache[t].select(F.max(c).alias("m")).first()["m"]
+            mx = max(mx, int(v))
+        s = 10
+        while s <= mx:
+            s *= 10
+        strides[space] = s
+    return strides
 
 
 def _write_single_file(df: DataFrame, out: str, t: str) -> None:
@@ -93,6 +113,8 @@ def _write_single_file(df: DataFrame, out: str, t: str) -> None:
 
 def replicate(spark, src: str, out: str, copies: int) -> None:
     os.makedirs(out, exist_ok=True)
+    strides = _space_strides(spark, src)
+    print("space strides:", strides)
     for t in TABLES:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         keys = KEY_COLS.get(t)
@@ -100,14 +122,14 @@ def replicate(spark, src: str, out: str, copies: int) -> None:
             _write_single_file(df, out, t)
             print(f"{t}: copied unchanged")
             continue
-        stride = _stride(df, keys)
         orig_type = dict(df.dtypes)
         parts = []
         for i in range(copies):
             c = df
-            for k in keys:
+            for k, space in keys:
                 c = c.withColumn(
-                    k, (F.col(k) + F.lit(i * stride)).cast(orig_type[k])
+                    k,
+                    (F.col(k) + F.lit(i * strides[space])).cast(orig_type[k]),
                 )
             if t == "documents":
                 c = c.withColumn(
@@ -132,7 +154,24 @@ def replicate(spark, src: str, out: str, copies: int) -> None:
             u = u.unionByName(c)
         _write_single_file(u, out, t)
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
-        print(f"{t}: {copies} copies, stride {stride}, rows {n}")
+        print(f"{t}: {copies} copies, rows {n}")
+
+
+def verify_fks(spark, out: str) -> dict[str, int]:
+    """Count dangling FK rows per relationship — must all be 0."""
+    rels = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    bad = {}
+    for ft, fk, pt, pk in rels:
+        f = spark.read.parquet(f"{out}/{ft}.parquet").select(fk)
+        p = spark.read.parquet(f"{out}/{pt}.parquet").select(pk)
+        n = f.join(p, f[fk] == p[pk], "left_anti").count()
+        bad[f"{ft}.{fk}->{pt}.{pk}"] = n
+    return bad
 
 
 if __name__ == "__main__":
@@ -143,4 +182,7 @@ if __name__ == "__main__":
     spark = get_spark("make-fixtures", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     replicate(spark, SRC, out, copies)
+    dangling = verify_fks(spark, out)
+    print("dangling FK rows:", dangling)
+    assert all(v == 0 for v in dangling.values()), dangling
     print("done:", out)
