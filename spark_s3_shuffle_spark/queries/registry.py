@@ -7606,6 +7606,17 @@ for _twin_name, _src_name in {**_TPCH_TEXT_TWINS, **_TPCDS_TEXT_TWINS}.items():
     )(_sql_text_builder(_src_sql, _TPCH_ALL_TABLES))
 
 
+# ---------------------------------------------------------------------------
+# Round-7: verbatim TPC-DS texts over the derived snowflake (store_sales /
+# catalog_sales / web_sales + returns, date_dim, item, store) — see
+# queries/tpcds_text.py and sources/tpcds.py. 19 entries incl. the
+# reference's headline DS q5/q49/q75 (run_benchmarks.sh:29-34).
+# ---------------------------------------------------------------------------
+from spark_s3_shuffle_spark.queries import tpcds_text as _tpcds_text
+
+_tpcds_text.register_pack(_register, _sql_text_builder)
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

@@ -1,0 +1,726 @@
+"""Verbatim-text TPC-DS pack over the derived snowflake (round-7 tier).
+
+The reference's primary benchmark consumes TPC-DS SQL text end-to-end
+(`examples/sql/run_tpcds.sh`; headline q-list q5/q49/q67/q75 in
+`examples/run_benchmarks.sh:29-34`). Rounds 5-6 verified 12 DS *shapes*
+re-expressed on the TPC-H-ish schema; this pack runs 19 DS query texts
+against the real DS table/column names (`store_sales`, `date_dim`,
+`item`, `store`, the catalog/web channels and their returns), derived
+once in `sources/tpcds.py` and prepended as CTEs by `compose()` — so
+ONE self-contained string is executed verbatim by BOTH engines and the
+driver's DuckDB needs only the ten base views.
+
+Faithfulness contract (documented adaptations, applied uniformly):
+
+- Query bodies keep the official query's joins, filters, grouping and
+  output shape; parameters (years, months, categories, managers) are
+  bound to values that exist in the fixture's 1995-2001 calendar and
+  its part/brand/type domains.
+- Money follows the repo's oracle discipline: DECIMAL sums at the view
+  boundary, final ``CAST(ROUND(x, 2) AS DOUBLE)``, ratios as ONE IEEE
+  division of identically-derived doubles (`ROUND(x, 4)`).
+- Every ORDER BY carries a full tiebreak (a unique key column) so
+  LIMIT cuts deterministically — official texts allow boundary ties,
+  which no hash-checked harness can.
+- Sales↔returns joins run at the pre-aggregated (ticket, item) grain:
+  the fixture's (l_orderkey, l_linenumber) is not unique, so row-grain
+  fan-out would be ill-defined; the aggregate-then-join form is also
+  the plan that survives 100 TB (both sides shrink before the join).
+- RANK windows are partitioned (by channel / rollup level), never
+  unpartitioned over a data-sized frame — the repo-wide single-task
+  window sweep applies to this pack like any other query.
+
+Scale shapes: every query aggregates the fact channel(s) FIRST (partial
++ final hash agg on the shuffled grouping key), joins dimension tables
+that Catalyst broadcasts (item/store/date_dim are catalog-bounded), and
+any window runs over a post-aggregate frame bounded by |items| or
+|weeks| — never the fact table. ROLLUP adds one exchange over the
+aggregate only.
+"""
+
+from __future__ import annotations
+
+from spark_s3_shuffle_spark.sources import tpcds
+
+#: Categories / nations bound into the parameterized texts — values that
+#: exist in the fixture domains (p_type has six levels; s_state is the
+#: supplier's nation name).
+_CATS = "'STANDARD', 'ECONOMY', 'PROMO'"
+_STATES = (
+    "'NATION_0', 'NATION_3', 'NATION_5', 'NATION_8', 'NATION_11',"
+    " 'NATION_14', 'NATION_17', 'NATION_21'"
+)
+
+#: Per-channel weekday pivot column block for ds43/ds59.
+def _weekday_pivot(col: str, suffix: str = "") -> str:
+    days = [
+        ("sun", "Sunday"), ("mon", "Monday"), ("tue", "Tuesday"),
+        ("wed", "Wednesday"), ("thu", "Thursday"), ("fri", "Friday"),
+        ("sat", "Saturday"),
+    ]
+    return ",\n         ".join(
+        f"SUM(CASE WHEN d_day_name = '{name}' THEN {col} END)"
+        f" AS {d}_sales{suffix}"
+        for d, name in days
+    )
+
+
+#: (ticket, item) grain pre-aggregation for one channel; {sp}/{rp} are
+#: the sales/returns prefixes, {sales}/{rets} the table names.
+def _grain(sp: str, rp: str, sales: str, rets: str) -> str:
+    return f"""
+  {sp}_grain AS (
+    SELECT {sp}_sold_date_sk AS date_sk, {sp}_item_sk AS item_sk,
+           {sp}_ticket_number AS tkt,
+           SUM({sp}_quantity) AS qty, SUM({sp}_ext_sales_price) AS amt
+    FROM {sales}
+    GROUP BY {sp}_sold_date_sk, {sp}_item_sk, {sp}_ticket_number),
+  {rp}_grain AS (
+    SELECT {rp}_item_sk AS item_sk, {rp}_ticket_number AS tkt,
+           SUM({rp}_return_quantity) AS ret_qty,
+           SUM({rp}_return_amt) AS ret_amt
+    FROM {rets}
+    GROUP BY {rp}_item_sk, {rp}_ticket_number)"""
+
+
+DS_BODIES: dict[str, tuple[str, str]] = {}
+
+
+def _ds(name: str, doc: str, body: str) -> None:
+    DS_BODIES[name] = (body, doc)
+
+
+_ds(
+    "q219_sql_text_ds3",
+    "TPC-DS Q3 (brand revenue for one manufacturer in one month, by"
+    " year): fact filtered through the broadcast date_dim/item dims,"
+    " grouped on (year, brand). Map-side partial agg on a few hundred"
+    " groups; at 100 TB the only exchange is the |years|x|brands|"
+    " aggregate.",
+    """
+SELECT dt.d_year, item.i_brand AS brand,
+       CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id = 128
+  AND dt.d_moy = 11
+GROUP BY dt.d_year, item.i_brand
+ORDER BY dt.d_year, sum_agg DESC, brand
+LIMIT 100
+""",
+)
+
+_ds(
+    "q220_sql_text_ds42",
+    "TPC-DS Q42 (category revenue for one manager-month): same"
+    " broadcast-dims + small-group aggregate shape as Q3, grouped on"
+    " (year, category).",
+    """
+SELECT dt.d_year, item.i_category,
+       CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS sum_sales
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11 AND dt.d_year = 1998
+GROUP BY dt.d_year, item.i_category
+ORDER BY sum_sales DESC, dt.d_year, item.i_category
+LIMIT 100
+""",
+)
+
+_ds(
+    "q221_sql_text_ds52",
+    "TPC-DS Q52 (brand extended price for one manager-month).",
+    """
+SELECT dt.d_year, item.i_brand AS brand,
+       CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 12 AND dt.d_year = 1997
+GROUP BY dt.d_year, item.i_brand
+ORDER BY dt.d_year, ext_price DESC, brand
+LIMIT 100
+""",
+)
+
+_ds(
+    "q222_sql_text_ds55",
+    "TPC-DS Q55 (brand revenue for manager 28).",
+    """
+SELECT item.i_brand AS brand,
+       CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS ext_price
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+GROUP BY i_brand
+ORDER BY ext_price DESC, brand
+LIMIT 100
+""",
+)
+
+_ds(
+    "q223_sql_text_ds5",
+    "TPC-DS Q5 (reference headline, 9.6 GB shuffle at SF1000:"
+    " run_benchmarks.sh:30): per-channel sales+returns profit report"
+    " over a two-week window, ROLLUP(channel, id). Each channel unions"
+    " its sales (+) and returns rows BEFORE one aggregate on store_sk;"
+    " the rollup runs over |channels|x|stores| rows only. NULLS FIRST"
+    " pinned on the rollup output ordering.",
+    """
+WITH ssr AS (
+  SELECT s_store_sk AS store_sk,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT ss_store_sk AS u_store_sk, ss_sold_date_sk AS date_sk,
+           ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+           CAST(0 AS DECIMAL(18,6)) AS return_amt,
+           CAST(0 AS DECIMAL(18,6)) AS net_loss
+    FROM store_sales
+    UNION ALL
+    SELECT sr_store_sk, sr_returned_date_sk,
+           CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+           sr_return_amt, sr_net_loss
+    FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-01' AND DATE '1998-08-14'
+    AND u_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+csr AS (
+  SELECT s_store_sk AS store_sk,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT cs_store_sk AS u_store_sk, cs_sold_date_sk AS date_sk,
+           cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+           CAST(0 AS DECIMAL(18,6)) AS return_amt,
+           CAST(0 AS DECIMAL(18,6)) AS net_loss
+    FROM catalog_sales
+    UNION ALL
+    SELECT cr_store_sk, cr_returned_date_sk,
+           CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+           cr_return_amt, cr_net_loss
+    FROM catalog_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-01' AND DATE '1998-08-14'
+    AND u_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+wsr AS (
+  SELECT s_store_sk AS store_sk,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT ws_store_sk AS u_store_sk, ws_sold_date_sk AS date_sk,
+           ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+           CAST(0 AS DECIMAL(18,6)) AS return_amt,
+           CAST(0 AS DECIMAL(18,6)) AS net_loss
+    FROM web_sales
+    UNION ALL
+    SELECT wr_store_sk, wr_returned_date_sk,
+           CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+           wr_return_amt, wr_net_loss
+    FROM web_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-01' AND DATE '1998-08-14'
+    AND u_store_sk = s_store_sk
+  GROUP BY s_store_sk)
+SELECT channel, id,
+       CAST(ROUND(SUM(sales), 2) AS DOUBLE) AS sales,
+       CAST(ROUND(SUM(returns_amt), 2) AS DOUBLE) AS returns_amt,
+       CAST(ROUND(SUM(profit - profit_loss), 2) AS DOUBLE) AS profit
+FROM (
+  SELECT 'store channel' AS channel, store_sk AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM ssr
+  UNION ALL
+  SELECT 'catalog channel' AS channel, store_sk AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM csr
+  UNION ALL
+  SELECT 'web channel' AS channel, store_sk AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""",
+)
+
+
+def _share_body(p: str, table: str, lo: str, hi: str, limit: str) -> str:
+    return f"""
+SELECT i_item_sk, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(ROUND(SUM({p}_ext_sales_price), 2) AS DOUBLE) AS itemrevenue,
+       CAST(ROUND(CAST(SUM({p}_ext_sales_price) AS DOUBLE) * 100 /
+            CAST(SUM(SUM({p}_ext_sales_price))
+                 OVER (PARTITION BY i_class) AS DOUBLE), 4)
+            AS DOUBLE) AS revenueratio
+FROM {table}, item, date_dim
+WHERE {p}_item_sk = i_item_sk
+  AND i_category IN ({_CATS})
+  AND {p}_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '{lo}' AND DATE '{hi}'
+GROUP BY i_item_sk, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_sk, i_item_desc, revenueratio
+{limit}
+"""
+
+
+_ds(
+    "q224_sql_text_ds12",
+    "TPC-DS Q12 (web items' revenue share within class over a 30-day"
+    " window): the class total rides a window PARTITIONED by i_class"
+    " over the per-item aggregate (catalog-bounded frame, never fact"
+    " rows). Ratio = one double division of exact decimal sums.",
+    _share_body("ws", "web_sales", "1999-02-22", "1999-03-24", "LIMIT 100"),
+)
+
+_ds(
+    "q225_sql_text_ds20",
+    "TPC-DS Q20 (catalog variant of the class revenue share).",
+    _share_body("cs", "catalog_sales", "1998-01-01", "1998-01-30",
+                "LIMIT 100"),
+)
+
+_ds(
+    "q226_sql_text_ds98",
+    "TPC-DS Q98 (store variant of the class revenue share, unlimited"
+    " output).",
+    _share_body("ss", "store_sales", "1998-05-01", "1998-05-30", ""),
+)
+
+_ds(
+    "q227_sql_text_ds25",
+    "TPC-DS Q25 (bought in store, returned, re-bought via catalog:"
+    " profit chain by item x store): the official three-fact join with"
+    " per-leg date_dim filters. Sales/returns legs meet on (customer,"
+    " item, ticket); the catalog leg on (customer, item) — the"
+    " official many-to-many semantics, aggregated to item x store.",
+    """
+SELECT i_item_sk, i_item_desc, s_store_sk, s_store_name,
+       CAST(ROUND(SUM(ss_net_profit), 2) AS DOUBLE) AS store_sales_profit,
+       CAST(ROUND(SUM(sr_net_loss), 2) AS DOUBLE) AS store_returns_loss,
+       CAST(ROUND(SUM(cs_net_profit), 2) AS DOUBLE) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_year = 1999 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 1999
+  AND sr_customer_sk = cs_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk AND d3.d_year = 1999
+GROUP BY i_item_sk, i_item_desc, s_store_sk, s_store_name
+ORDER BY i_item_sk, i_item_desc, s_store_sk, s_store_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q228_sql_text_ds29",
+    "TPC-DS Q29 (quantity variant of the Q25 chain, catalog window"
+    " spanning three years).",
+    """
+SELECT i_item_sk, i_item_desc, s_store_sk, s_store_name,
+       CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(SUM(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_year = 1998 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 1998
+  AND sr_customer_sk = cs_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (1998, 1999, 2000)
+GROUP BY i_item_sk, i_item_desc, s_store_sk, s_store_name
+ORDER BY i_item_sk, i_item_desc, s_store_sk, s_store_name
+LIMIT 100
+""",
+)
+
+
+def _three_channel_by(group_col: str, moy: int, year: int,
+                      order: str) -> str:
+    chans = []
+    for p, table in (("ss", "store_sales"), ("cs", "catalog_sales"),
+                     ("ws", "web_sales")):
+        chans.append(f"""
+  {p} AS (
+    SELECT {group_col}, SUM({p}_ext_sales_price) AS total_sales
+    FROM {table}, date_dim, item
+    WHERE {p}_item_sk = i_item_sk AND {p}_sold_date_sk = d_date_sk
+      AND d_year = {year} AND d_moy = {moy}
+      AND i_manufact_id IN
+          (SELECT i_manufact_id FROM item WHERE i_category = 'ECONOMY')
+    GROUP BY {group_col})""")
+    return f"""
+WITH {','.join(chans)}
+SELECT {group_col},
+       CAST(ROUND(SUM(total_sales), 2) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY {group_col}
+ORDER BY {order}
+LIMIT 100
+"""
+
+
+_ds(
+    "q229_sql_text_ds33",
+    "TPC-DS Q33 (one category's manufacturers summed across all three"
+    " channels): per-channel aggregate CTEs unioned then re-aggregated;"
+    " the manufact filter is an uncorrelated IN-subquery Catalyst plans"
+    " as a broadcast semi join.",
+    _three_channel_by("i_manufact_id", 5, 1998,
+                      "total_sales, i_manufact_id"),
+)
+
+_ds(
+    "q230_sql_text_ds60",
+    "TPC-DS Q60 (item-level variant of the three-channel union).",
+    _three_channel_by("i_item_sk", 9, 1998, "i_item_sk, total_sales"),
+)
+
+_ds(
+    "q231_sql_text_ds36",
+    "TPC-DS Q36 (gross margin ROLLUP over category/class with rank"
+    " within rollup parent): margins from exact decimal sums, ONE"
+    " double division per row; RANK partitioned by (lochierarchy,"
+    " parent category) over the rollup output (bounded by"
+    " |categories|x|classes|), tiebroken on i_class for a deterministic"
+    " total order.",
+    f"""
+WITH results AS (
+  SELECT SUM(ss_net_profit) AS np, SUM(ss_ext_sales_price) AS sp,
+         i_category, i_class,
+         CAST(GROUPING(i_category) + GROUPING(i_class) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(i_class) AS INT) AS gclass
+  FROM store_sales, date_dim, item, store
+  WHERE d_date_sk = ss_sold_date_sk AND d_year = 1998
+    AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+    AND s_state IN ({_STATES})
+  GROUP BY ROLLUP (i_category, i_class))
+SELECT CAST(ROUND(CAST(np AS DOUBLE) / CAST(sp AS DOUBLE), 4) AS DOUBLE)
+         AS gross_margin,
+       i_category, i_class, lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN gclass = 0 THEN i_category END
+         ORDER BY CAST(np AS DOUBLE) / CAST(sp AS DOUBLE) ASC,
+                  i_class NULLS FIRST) AS INT) AS rank_within_parent
+FROM results
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent,
+         i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100
+""",
+)
+
+_ds(
+    "q232_sql_text_ds43",
+    "TPC-DS Q43 (store sales pivoted by weekday): d_day_name comes from"
+    " the Zeller-derived weekday (EXTRACT(dow) is not engine-portable);"
+    " seven conditional decimal sums per store.",
+    f"""
+SELECT s_store_name, s_store_sk,
+       {",       ".join(
+           f"CAST(ROUND(SUM(CASE WHEN d_day_name = '{nm}'"
+           f" THEN ss_ext_sales_price END), 2) AS DOUBLE) AS {d}_sales"
+           + chr(10)
+           for d, nm in [
+               ("sun", "Sunday"), ("mon", "Monday"), ("tue", "Tuesday"),
+               ("wed", "Wednesday"), ("thu", "Thursday"),
+               ("fri", "Friday"), ("sat", "Saturday")])}
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND d_year = 1998
+GROUP BY s_store_name, s_store_sk
+ORDER BY s_store_name, s_store_sk
+LIMIT 100
+""",
+)
+
+_ds(
+    "q233_sql_text_ds49",
+    "TPC-DS Q49 (reference headline, 1.1 GB shuffle at SF1000:"
+    " run_benchmarks.sh:31 — worst return ratios per channel):"
+    " sales and returns pre-aggregated to (ticket, item) grain, LEFT"
+    " JOIN 1:1 by construction, per-item ratios ranked with RANK"
+    " PARTITIONED BY channel over the |items| aggregate and tiebroken"
+    " on item. Ratios are double divisions of exact integer/decimal"
+    " sums, so both engines rank identically.",
+    f"""
+WITH {_grain('ss', 'sr', 'store_sales', 'store_returns')},
+{_grain('cs', 'cr', 'catalog_sales', 'catalog_returns')},
+{_grain('ws', 'wr', 'web_sales', 'web_returns')},
+per_item AS (
+  SELECT 'store' AS channel, s.item_sk AS item,
+         SUM(COALESCE(r.ret_qty, 0)) AS return_qty,
+         SUM(s.qty) AS sales_qty,
+         SUM(COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6)))) AS return_amt,
+         SUM(s.amt) AS sales_amt
+  FROM ss_grain s LEFT JOIN sr_grain r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt
+  JOIN date_dim ON s.date_sk = d_date_sk
+  WHERE d_year = 1998 AND d_moy = 12
+  GROUP BY s.item_sk
+  UNION ALL
+  SELECT 'catalog' AS channel, s.item_sk AS item,
+         SUM(COALESCE(r.ret_qty, 0)), SUM(s.qty),
+         SUM(COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6)))), SUM(s.amt)
+  FROM cs_grain s LEFT JOIN cr_grain r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt
+  JOIN date_dim ON s.date_sk = d_date_sk
+  WHERE d_year = 1998 AND d_moy = 12
+  GROUP BY s.item_sk
+  UNION ALL
+  SELECT 'web' AS channel, s.item_sk AS item,
+         SUM(COALESCE(r.ret_qty, 0)), SUM(s.qty),
+         SUM(COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6)))), SUM(s.amt)
+  FROM ws_grain s LEFT JOIN wr_grain r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt
+  JOIN date_dim ON s.date_sk = d_date_sk
+  WHERE d_year = 1998 AND d_moy = 12
+  GROUP BY s.item_sk),
+ranked AS (
+  SELECT channel, item,
+         CAST(return_qty AS DOUBLE) / CAST(sales_qty AS DOUBLE)
+           AS return_ratio,
+         CAST(return_amt AS DOUBLE) / CAST(sales_amt AS DOUBLE)
+           AS currency_ratio,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(return_qty AS DOUBLE)
+                               / CAST(sales_qty AS DOUBLE) DESC, item)
+           AS return_rank,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(return_amt AS DOUBLE)
+                               / CAST(sales_amt AS DOUBLE) DESC, item)
+           AS currency_rank
+  FROM per_item)
+SELECT channel, item,
+       CAST(ROUND(return_ratio, 4) AS DOUBLE) AS return_ratio,
+       CAST(return_rank AS INT) AS return_rank,
+       CAST(currency_rank AS INT) AS currency_rank
+FROM ranked
+WHERE return_rank <= 10 OR currency_rank <= 10
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100
+""",
+)
+
+_ds(
+    "q234_sql_text_ds59",
+    "TPC-DS Q59 (week-over-week sales by store and weekday): weekly"
+    " weekday pivot per store, self-joined to the SAME week one year"
+    " earlier. Under the fixture's year*100+week encoding the"
+    " prior-year week is d_week_seq - 100 (the official text's"
+    " wweek_seq2 - 53 under dbgen's dense numbering). Ratios are"
+    " double divisions of identically-derived decimal sums; NULL"
+    " weekday cells propagate NULL identically.",
+    f"""
+WITH wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         {_weekday_pivot('ss_ext_sales_price')}
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)
+SELECT y.s_store_name1, y.store_sk1, y.d_week_seq1,
+       CAST(ROUND(CAST(y.sun_sales AS DOUBLE)
+                  / CAST(x.sun_sales AS DOUBLE), 4) AS DOUBLE) AS sun_r,
+       CAST(ROUND(CAST(y.mon_sales AS DOUBLE)
+                  / CAST(x.mon_sales AS DOUBLE), 4) AS DOUBLE) AS mon_r,
+       CAST(ROUND(CAST(y.tue_sales AS DOUBLE)
+                  / CAST(x.tue_sales AS DOUBLE), 4) AS DOUBLE) AS tue_r,
+       CAST(ROUND(CAST(y.wed_sales AS DOUBLE)
+                  / CAST(x.wed_sales AS DOUBLE), 4) AS DOUBLE) AS wed_r,
+       CAST(ROUND(CAST(y.thu_sales AS DOUBLE)
+                  / CAST(x.thu_sales AS DOUBLE), 4) AS DOUBLE) AS thu_r,
+       CAST(ROUND(CAST(y.fri_sales AS DOUBLE)
+                  / CAST(x.fri_sales AS DOUBLE), 4) AS DOUBLE) AS fri_r,
+       CAST(ROUND(CAST(y.sat_sales AS DOUBLE)
+                  / CAST(x.sat_sales AS DOUBLE), 4) AS DOUBLE) AS sat_r
+FROM
+  (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+          s_store_sk AS store_sk1, sun_sales, mon_sales, tue_sales,
+          wed_sales, thu_sales, fri_sales, sat_sales
+   FROM wss, store
+   WHERE ss_store_sk = s_store_sk
+     AND CAST(FLOOR(d_week_seq / 100.0) AS INT) = 1998) y
+JOIN
+  (SELECT wss.d_week_seq AS d_week_seq2, s_store_sk AS store_sk2,
+          sun_sales, mon_sales, tue_sales, wed_sales, thu_sales,
+          fri_sales, sat_sales
+   FROM wss, store
+   WHERE ss_store_sk = s_store_sk
+     AND CAST(FLOOR(d_week_seq / 100.0) AS INT) = 1997) x
+  ON y.store_sk1 = x.store_sk2 AND y.d_week_seq1 = x.d_week_seq2 + 100
+ORDER BY y.s_store_name1, y.store_sk1, y.d_week_seq1
+LIMIT 100
+""",
+)
+
+_ds(
+    "q235_sql_text_ds65",
+    "TPC-DS Q65 (items underperforming their store's average revenue):"
+    " the avg comparison is re-expressed store-locally as revenue *"
+    " cnt * 10 <= total in DOUBLE (identical operands both engines; a"
+    " decimal cross-multiply would overflow 38 digits and the engines"
+    " demote differently). One fact aggregate on (store, item), a"
+    " |stores|-row summary joined back, dims broadcast.",
+    """
+WITH sa AS (
+  SELECT ss_store_sk, ss_item_sk, SUM(ss_net_paid) AS revenue
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 96 AND 107
+  GROUP BY ss_store_sk, ss_item_sk),
+sb AS (
+  SELECT ss_store_sk, SUM(revenue) AS tot, COUNT(*) AS cnt
+  FROM sa GROUP BY ss_store_sk)
+SELECT s_store_name, i_item_sk, i_item_desc,
+       CAST(ROUND(sa.revenue, 2) AS DOUBLE) AS revenue,
+       CAST(i_current_price AS DOUBLE) AS i_current_price
+FROM sa, sb, store, item
+WHERE sa.ss_store_sk = sb.ss_store_sk
+  AND CAST(sa.revenue AS DOUBLE) * sb.cnt * 10 <= CAST(sb.tot AS DOUBLE)
+  AND s_store_sk = sa.ss_store_sk
+  AND i_item_sk = sa.ss_item_sk
+ORDER BY s_store_name, i_item_sk, i_item_desc
+LIMIT 100
+""",
+)
+
+_ds(
+    "q236_sql_text_ds75",
+    "TPC-DS Q75 (reference headline, 20 GB shuffle at SF1000:"
+    " run_benchmarks.sh:32 — brands whose net sales count dropped >10%"
+    " year over year, all three channels, returns netted out):"
+    " channels pre-aggregate to (ticket, item) grain, net out their"
+    " returns 1:1, union, aggregate to (year, brand, category), then a"
+    " |brands|-row self-join compares consecutive years with the"
+    " decline test cross-multiplied in exact integers (cnt*10 <"
+    " prev*9).",
+    """
+WITH chan AS (
+  SELECT s.date_sk, s.item_sk,
+         s.qty - COALESCE(r.ret_qty, 0) AS qty,
+         s.amt - COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6))) AS amt
+  FROM (SELECT cs_sold_date_sk AS date_sk, cs_item_sk AS item_sk,
+               cs_ticket_number AS tkt, SUM(cs_quantity) AS qty,
+               SUM(cs_ext_sales_price) AS amt
+        FROM catalog_sales
+        GROUP BY cs_sold_date_sk, cs_item_sk, cs_ticket_number) s
+  LEFT JOIN (SELECT cr_item_sk AS item_sk, cr_ticket_number AS tkt,
+                    SUM(cr_return_quantity) AS ret_qty,
+                    SUM(cr_return_amt) AS ret_amt
+             FROM catalog_returns
+             GROUP BY cr_item_sk, cr_ticket_number) r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt
+  UNION ALL
+  SELECT s.date_sk, s.item_sk,
+         s.qty - COALESCE(r.ret_qty, 0) AS qty,
+         s.amt - COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6))) AS amt
+  FROM (SELECT ss_sold_date_sk AS date_sk, ss_item_sk AS item_sk,
+               ss_ticket_number AS tkt, SUM(ss_quantity) AS qty,
+               SUM(ss_ext_sales_price) AS amt
+        FROM store_sales
+        GROUP BY ss_sold_date_sk, ss_item_sk, ss_ticket_number) s
+  LEFT JOIN (SELECT sr_item_sk AS item_sk, sr_ticket_number AS tkt,
+                    SUM(sr_return_quantity) AS ret_qty,
+                    SUM(sr_return_amt) AS ret_amt
+             FROM store_returns
+             GROUP BY sr_item_sk, sr_ticket_number) r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt
+  UNION ALL
+  SELECT s.date_sk, s.item_sk,
+         s.qty - COALESCE(r.ret_qty, 0) AS qty,
+         s.amt - COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6))) AS amt
+  FROM (SELECT ws_sold_date_sk AS date_sk, ws_item_sk AS item_sk,
+               ws_ticket_number AS tkt, SUM(ws_quantity) AS qty,
+               SUM(ws_ext_sales_price) AS amt
+        FROM web_sales
+        GROUP BY ws_sold_date_sk, ws_item_sk, ws_ticket_number) s
+  LEFT JOIN (SELECT wr_item_sk AS item_sk, wr_ticket_number AS tkt,
+                    SUM(wr_return_quantity) AS ret_qty,
+                    SUM(wr_return_amt) AS ret_amt
+             FROM web_returns
+             GROUP BY wr_item_sk, wr_ticket_number) r
+    ON s.item_sk = r.item_sk AND s.tkt = r.tkt),
+all_sales AS (
+  SELECT d_year, i_brand, i_category,
+         CAST(SUM(qty) AS BIGINT) AS sales_cnt, SUM(amt) AS sales_amt
+  FROM chan, item, date_dim
+  WHERE item_sk = i_item_sk AND date_sk = d_date_sk
+    AND i_category = 'STANDARD'
+  GROUP BY d_year, i_brand, i_category)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS curr_year,
+       curr_yr.i_brand, curr_yr.i_category,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT)
+         AS sales_cnt_diff,
+       CAST(ROUND(CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE),
+                  2) AS DOUBLE) AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand = prev_yr.i_brand
+  AND curr_yr.i_category = prev_yr.i_category
+  AND curr_yr.d_year = 1999 AND prev_yr.d_year = 1998
+  AND curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand
+LIMIT 100
+""",
+)
+
+_ds(
+    "q237_sql_text_ds93",
+    "TPC-DS Q93 (customer net spend after netting returned sales):"
+    " (ticket, item) grain on both sides, 1:1 LEFT JOIN, exact decimal"
+    " subtraction (the fixture's returns are full-quantity, so the"
+    " official per-unit proration reduces to amount netting).",
+    """
+WITH sales AS (
+  SELECT ss_customer_sk AS cust, ss_item_sk AS item_sk,
+         ss_ticket_number AS tkt, SUM(ss_net_paid) AS net_paid
+  FROM store_sales
+  GROUP BY ss_customer_sk, ss_item_sk, ss_ticket_number),
+rets AS (
+  SELECT sr_item_sk AS item_sk, sr_ticket_number AS tkt,
+         SUM(sr_return_amt) AS ret_amt
+  FROM store_returns
+  GROUP BY sr_item_sk, sr_ticket_number)
+SELECT cust AS ss_customer_sk,
+       CAST(ROUND(SUM(act_sales), 2) AS DOUBLE) AS sumsales
+FROM (SELECT s.cust,
+             s.net_paid - COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,6)))
+               AS act_sales
+      FROM sales s LEFT JOIN rets r
+        ON s.item_sk = r.item_sk AND s.tkt = r.tkt) t
+GROUP BY cust
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+""",
+)
+
+
+def register_pack(register, sql_text_builder) -> None:
+    """Register every DS body as a `*_sql_text_ds*` query: compose() the
+    snowflake CTEs once, run the identical string through spark.sql and
+    as the DuckDB oracle."""
+    for name, (body, doc) in DS_BODIES.items():
+        composed = tpcds.compose(body)
+        register(
+            name,
+            composed,
+            doc
+            + " Runs VERBATIM (one composed string, snowflake CTEs +"
+            " query body) in both engines; see sources/tpcds.py for the"
+            " derived-table semantics.",
+        )(sql_text_builder(composed, tpcds.BASE_TABLES))

@@ -1,0 +1,242 @@
+"""Derived TPC-DS snowflake over the base fixture tables (round-7 tier).
+
+The reference's primary benchmark is the TPC-DS suite consumed as SQL
+TEXT (`examples/sql/run_tpcds.sh`, `examples/run_benchmarks.sh:29-34` —
+its headline queries are DS q5/q49/q67/q75). Rounds 5-6 verified 12 DS
+*shapes* re-expressed over the TPC-H-ish schema; this module closes the
+remaining gap by deriving the DS snowflake ITSELF — `store_sales` /
+`catalog_sales` / `web_sales` (+ the three returns tables), `date_dim`,
+`item`, `store` — so DS query texts run against real DS table and
+column names.
+
+Every DS table is defined ONCE as a portable ANSI SQL text over the ten
+base views, written in the dialect subset both Spark and DuckDB parse
+and evaluate IDENTICALLY (the repo's established oracle discipline:
+exact DECIMAL money arithmetic, `EXTRACT` date fields verified
+engine-equal, integer-only sequence math). The same text serves three
+consumers:
+
+1. `compose(body)` — prepend the (transitively needed) table
+   definitions as CTEs to a DS query body, producing ONE self-contained
+   SQL string. The registry's `*_sql_text_ds*` entries run that string
+   verbatim through `spark.sql` AND hand it to DuckDB as the oracle —
+   both engines literally execute the identical text, and the driver's
+   DuckDB needs only the ten pre-registered base views.
+2. `register_ds_views(spark, sf_dir)` — CREATE TEMP VIEW per DS table,
+   for DataFrame-side callers and plan inspection.
+3. `materialize(spark, sf_dir, out)` — write each DS table as parquet
+   (the snowflake fixture set; `tools/make_fixtures.py --tpcds`). A test
+   asserts the materialized parquet replays the view derivation
+   row-for-row.
+
+Deterministic mapping (documented fixture semantics, not TPC-DS dbgen):
+
+- The three sales channels partition `lineitem` by `l_linenumber % 3`
+  (0=store, 1=catalog, 2=web) joined to `orders` for customer/date
+  context — disjoint channels with identical per-copy distributions,
+  which is what the cross-channel DS queries exercise.
+- Returns are the `l_returnflag = 'R'` subset of each channel (a sale
+  that was later returned), so every return joins back to its sale on
+  (item, ticket) by construction.
+- `date_dim` enumerates the distinct order/ship dates. `d_date_sk` is
+  the yyyymmdd integer; `d_dow` comes from Zeller's congruence in pure
+  integer arithmetic because `EXTRACT(dow)` is NOT engine-portable
+  (Spark 1..7 Sun-based vs DuckDB 0..6 — measured). `d_week_seq` is
+  `year*100 + iso_week`; at ISO year boundaries (Dec 29-31 landing in
+  week 1) the encoding is non-monotone but IDENTICAL in both engines —
+  the ds59 text joins `prev.d_week_seq + 100`, i.e. same week, prior
+  year, under this encoding.
+- `item` maps part with hierarchy proxies (category=p_type,
+  class/brand=p_brand) and arithmetic manager/manufact ids; `store`
+  maps supplier with its nation as `s_state`.
+
+Money columns are DECIMAL(18,6) at the view boundary so every SUM stays
+exact; query texts follow the repo's rounding discipline (final
+`CAST(ROUND(x, 2) AS DOUBLE)`, one IEEE division per ratio).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+#: Zeller's congruence on (yr, mo, dm) integer expressions -> 0=Sunday.
+#: Pure CASE/FLOOR/MOD arithmetic: identical in Spark and DuckDB, unlike
+#: EXTRACT(dow). h = (q + 13(m+1)/5 + K + K/4 + J/4 + 5J) mod 7 gives
+#: 0=Saturday; the +6 rotation yields the DS convention 0=Sunday.
+_ZELLER = (
+    "CAST(MOD(dm + CAST(FLOOR(13 * (CASE WHEN mo <= 2 THEN mo + 13 ELSE mo + 1 END) / 5.0) AS INT)"
+    " + MOD(CASE WHEN mo <= 2 THEN yr - 1 ELSE yr END, 100)"
+    " + CAST(FLOOR(MOD(CASE WHEN mo <= 2 THEN yr - 1 ELSE yr END, 100) / 4.0) AS INT)"
+    " + CAST(FLOOR(CAST(FLOOR((CASE WHEN mo <= 2 THEN yr - 1 ELSE yr END) / 100.0) AS INT) / 4.0) AS INT)"
+    " + 5 * CAST(FLOOR((CASE WHEN mo <= 2 THEN yr - 1 ELSE yr END) / 100.0) AS INT)"
+    " + 6, 7) AS INT)"
+)
+
+_DATE_DIM = f"""
+  SELECT d_date,
+         CAST(yr * 10000 + mo * 100 + dm AS INT) AS d_date_sk,
+         CAST(yr AS INT) AS d_year,
+         CAST(mo AS INT) AS d_moy,
+         CAST(dm AS INT) AS d_dom,
+         CAST(qt AS INT) AS d_qoy,
+         CAST((yr - 1990) * 12 + mo - 1 AS INT) AS d_month_seq,
+         CAST(iso_yrwk AS INT) AS d_week_seq,
+         {_ZELLER} AS d_dow,
+         CASE {_ZELLER}
+           WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+           WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+           WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name
+  FROM (
+    SELECT d_date,
+           CAST(EXTRACT(year FROM d_date) AS INT) AS yr,
+           CAST(EXTRACT(month FROM d_date) AS INT) AS mo,
+           CAST(EXTRACT(day FROM d_date) AS INT) AS dm,
+           CAST(EXTRACT(quarter FROM d_date) AS INT) AS qt,
+           CAST(EXTRACT(year FROM d_date) AS INT) * 100
+             + CAST(EXTRACT(week FROM d_date) AS INT) AS iso_yrwk
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS d_date FROM orders
+      UNION
+      SELECT CAST(l_shipdate AS DATE) AS d_date FROM lineitem
+    ) dts
+  ) flds
+"""
+
+_ITEM = """
+  SELECT p_partkey AS i_item_sk,
+         p_name AS i_item_desc,
+         p_brand AS i_brand,
+         p_brand AS i_class,
+         p_type AS i_category,
+         CAST(MOD(p_partkey, 1000) AS INT) AS i_manufact_id,
+         CAST(MOD(p_partkey, 100) AS INT) AS i_manager_id,
+         CAST(p_retailprice AS DECIMAL(18,6)) AS i_current_price
+  FROM part
+"""
+
+_STORE = """
+  SELECT s_suppkey AS s_store_sk,
+         s_name AS s_store_name,
+         n_name AS s_state
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+#: One sales-channel body; {mod} selects the channel partition and {p}
+#: prefixes the DS column names (ss_/cs_/ws_).
+_SALES_TMPL = """
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 10000
+              + EXTRACT(month FROM CAST(l_shipdate AS DATE)) * 100
+              + EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS {p}_sold_date_sk,
+         l_partkey AS {p}_item_sk,
+         l_suppkey AS {p}_store_sk,
+         o_custkey AS {p}_customer_sk,
+         l_orderkey AS {p}_ticket_number,
+         CAST(l_quantity AS INT) AS {p}_quantity,
+         CAST(l_extendedprice AS DECIMAL(18,6)) AS {p}_ext_sales_price,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_discount AS DECIMAL(18,6)) AS {p}_ext_discount_amt,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_net_paid,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(0.9 AS DECIMAL(18,6)) AS {p}_ext_wholesale_cost,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(0.1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS {p}_net_profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE MOD(l_linenumber, 3) = {mod}
+"""
+
+#: One returns-channel body: the returned subset of the channel's sales.
+_RETURNS_TMPL = """
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 10000
+              + EXTRACT(month FROM CAST(l_shipdate AS DATE)) * 100
+              + EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS {p}_returned_date_sk,
+         l_partkey AS {p}_item_sk,
+         l_suppkey AS {p}_store_sk,
+         o_custkey AS {p}_customer_sk,
+         l_orderkey AS {p}_ticket_number,
+         CAST(l_quantity AS INT) AS {p}_return_quantity,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_return_amt,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_tax AS DECIMAL(18,6)) AS {p}_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE MOD(l_linenumber, 3) = {mod} AND l_returnflag = 'R'
+"""
+
+#: DS table -> (portable defining SQL over the base views).
+DS_VIEWS: dict[str, str] = {
+    "date_dim": _DATE_DIM,
+    "item": _ITEM,
+    "store": _STORE,
+    "store_sales": _SALES_TMPL.format(p="ss", mod=0),
+    "catalog_sales": _SALES_TMPL.format(p="cs", mod=1),
+    "web_sales": _SALES_TMPL.format(p="ws", mod=2),
+    "store_returns": _RETURNS_TMPL.format(p="sr", mod=0),
+    "catalog_returns": _RETURNS_TMPL.format(p="cr", mod=1),
+    "web_returns": _RETURNS_TMPL.format(p="wr", mod=2),
+}
+
+#: Base views the DS derivations read.
+BASE_TABLES = ["nation", "supplier", "part", "orders", "lineitem"]
+
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def needed_views(body: str) -> list[str]:
+    """DS views referenced by ``body`` (word match), in DS_VIEWS order —
+    definitions have no inter-view dependencies, so any order parses."""
+    words = set(_WORD.findall(body))
+    return [v for v in DS_VIEWS if v in words]
+
+
+def compose(body: str) -> str:
+    """Prepend the needed DS table definitions as CTEs to a DS query
+    body, yielding ONE self-contained string both engines execute
+    verbatim against the ten base views. A body that itself starts with
+    WITH is merged (its leading ``WITH`` folds into the prologue's)."""
+    views = needed_views(body)
+    if not views:
+        return body
+    ctes = ",\n".join(f"{v} AS ({DS_VIEWS[v]})" for v in views)
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH"):
+        rest = stripped[4:].lstrip()
+        return f"WITH {ctes},\n{rest}"
+    return f"WITH {ctes}\n{stripped}"
+
+
+def register_ds_views(spark: SparkSession, sf_dir: str) -> None:
+    """CREATE TEMP VIEW per DS table over the registered base views
+    (registers those first)."""
+    from spark_s3_shuffle_spark.sources.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir, BASE_TABLES)
+    for name, sql in DS_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+
+def materialize(spark: SparkSession, sf_dir: str, out: str) -> dict[str, int]:
+    """Write every DS table as a single parquet file under ``out`` (the
+    snowflake fixture layout, same single-file convention the base
+    fixtures use). Returns per-table row counts."""
+    import glob
+    import os
+    import shutil
+
+    register_ds_views(spark, sf_dir)
+    os.makedirs(out, exist_ok=True)
+    counts: dict[str, int] = {}
+    for name in DS_VIEWS:
+        df = spark.table(name)
+        tmp = f"{out}/.tmp-{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{out}/{name}.parquet"
+        if os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        counts[name] = spark.read.parquet(dest).count()
+    return counts

@@ -1,0 +1,113 @@
+"""Derived TPC-DS snowflake (sources/tpcds.py) + verbatim-text pack.
+
+The snowflake is a deterministic portable-SQL mapping over the base
+fixture tables; these tests pin the properties the DS pack's oracle
+parity relies on: the Zeller weekday (the one non-EXTRACT-portable
+field), the CTE composition contract, the materialized-parquet ==
+view-derivation equivalence, and the returns ⊂ sales channel invariant.
+"""
+
+import datetime
+
+import pytest
+
+from spark_s3_shuffle_spark.sources import tpcds
+
+
+def test_zeller_dow_matches_calendar(spark, sf_dir):
+    """d_dow comes from Zeller's congruence because EXTRACT(dow) is not
+    engine-portable (Spark 1..7 Sunday-based vs DuckDB 0..6). Every
+    date_dim row must agree with the real calendar (0=Sunday)."""
+    tpcds.register_ds_views(spark, sf_dir)
+    rows = spark.table("date_dim").select("d_date", "d_dow", "d_day_name").collect()
+    assert rows
+    names = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday"]
+    for r in rows:
+        d = r["d_date"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        want = (d.weekday() + 1) % 7  # python Mon=0 -> 0=Sunday
+        assert r["d_dow"] == want, (d, r["d_dow"], want)
+        assert r["d_day_name"] == names[want]
+
+
+def test_compose_merges_with_bodies():
+    """compose() folds a body's leading WITH into the prologue's, and
+    only prepends the views the body references."""
+    plain = tpcds.compose("SELECT COUNT(*) AS n FROM item")
+    assert plain.lstrip().upper().startswith("WITH ITEM AS")
+    assert "store_sales" not in plain
+
+    withy = tpcds.compose(
+        "WITH t AS (SELECT i_item_sk FROM item) SELECT COUNT(*) AS n FROM t"
+    )
+    # exactly ONE top-level WITH keyword
+    assert withy.upper().count("WITH ") == 1
+    assert "t AS (" in withy
+
+    # no DS reference -> untouched
+    assert tpcds.compose("SELECT 1 AS x") == "SELECT 1 AS x"
+
+
+def test_materialized_parquet_replays_view_derivation(spark, sf_dir, tmp_path):
+    """make_fixtures.py --tpcds writes each DS table as parquet; the
+    files must replay the live view derivation row-for-row (both
+    directions of exceptAll empty) — the fixture and the CTE prologue
+    are the same relation."""
+    out = str(tmp_path / "ds")
+    counts = tpcds.materialize(spark, sf_dir, out)
+    assert set(counts) == set(tpcds.DS_VIEWS)
+    for name in ("date_dim", "item", "store_sales", "store_returns"):
+        view = spark.table(name)
+        pq = spark.read.parquet(f"{out}/{name}.parquet")
+        assert pq.count() == counts[name] > 0
+        assert view.exceptAll(pq).count() == 0, name
+        assert pq.exceptAll(view).count() == 0, name
+
+
+def test_returns_are_subset_of_sales(spark, sf_dir):
+    """Channel invariant the (ticket, item)-grain joins rely on: every
+    returns row is a sales row (the l_returnflag='R' subset), so the
+    grain aggregate of returns never exceeds the sales aggregate."""
+    tpcds.register_ds_views(spark, sf_dir)
+    for sp, rp, sales, rets in (
+        ("ss", "sr", "store_sales", "store_returns"),
+        ("cs", "cr", "catalog_sales", "catalog_returns"),
+        ("ws", "wr", "web_sales", "web_returns"),
+    ):
+        s = spark.table(sales).groupBy(
+            f"{sp}_ticket_number", f"{sp}_item_sk"
+        ).count().withColumnRenamed("count", "n_s")
+        r = spark.table(rets).groupBy(
+            f"{rp}_ticket_number", f"{rp}_item_sk"
+        ).count().withColumnRenamed("count", "n_r")
+        joined = r.join(
+            s,
+            (r[f"{rp}_ticket_number"] == s[f"{sp}_ticket_number"])
+            & (r[f"{rp}_item_sk"] == s[f"{sp}_item_sk"]),
+            "left_outer",
+        )
+        assert joined.filter("n_s IS NULL OR n_r > n_s").count() == 0, sales
+
+
+def test_ds_pack_registered_with_oracles():
+    """All 19 DS text entries exist, each with a composed oracle equal
+    to the Spark-side text (the same-string contract)."""
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+    from spark_s3_shuffle_spark.queries.tpcds_text import DS_BODIES
+
+    assert len(DS_BODIES) == 19
+    for name, (body, _doc) in DS_BODIES.items():
+        assert name in QUERIES, name
+        assert QUERIES[name].oracle == tpcds.compose(body), name
+
+
+@pytest.mark.parametrize("q", ["q223_sql_text_ds5", "q233_sql_text_ds49"])
+def test_headline_ds_smoke(spark, sf_dir, q):
+    """The reference's headline DS queries (q5, q49) run end-to-end on
+    the smoke fixture."""
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+
+    df = QUERIES[q].builder(spark, sf_dir)
+    assert df.count() >= 0

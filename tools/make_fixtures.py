@@ -175,12 +175,24 @@ def verify_fks(spark, out: str) -> dict[str, int]:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     from spark_s3_shuffle_spark.session import get_spark
 
     spark = get_spark("make-fixtures", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if len(sys.argv) > 1 and sys.argv[1] == "--tpcds":
+        # Materialize the derived TPC-DS snowflake (sources/tpcds.py) as
+        # parquet: make_fixtures.py --tpcds [src_sf_dir] [out_dir]
+        from spark_s3_shuffle_spark.sources.tpcds import materialize
+
+        src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.tpcds"
+        counts = materialize(spark, src, out)
+        for t, n in counts.items():
+            print(f"{t}: {n} rows")
+        print("done:", out)
+        sys.exit(0)
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     replicate(spark, SRC, out, copies)
     dangling = verify_fks(spark, out)
     print("dangling FK rows:", dangling)
