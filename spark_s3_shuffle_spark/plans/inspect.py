@@ -107,3 +107,147 @@ def codegen_stage_count(df: DataFrame) -> int:
     if spans:
         return len(spans)
     return 1 if re.search(r"^\s*(?:[+:]-\s*)?\* ", plan, re.MULTILINE) else 0
+
+
+def executed_shuffle_metrics(spark, run, tag: str) -> dict:
+    """PHYSICAL shuffle facts of everything ``run()`` executes, from the
+    AppStatusStore's per-stage listener metrics (round-7: replaces
+    textual exchange counts, which re-print the lineage — a multi-job
+    query like the prefix machinery shows the same exchange once per
+    re-print, and AQE-reused or skipped stages never execute at all).
+
+    Tags the work with a job group, runs it, then aggregates the stages
+    of exactly those jobs: shuffle write/read bytes+records actually
+    moved, the number of stages that wrote shuffle output (= executed
+    exchanges), and spill. Stages with status SKIPPED (reused exchange)
+    contribute zero — precisely the difference between the plan text
+    and what ran. Mirrors the reference's write-side metering
+    (S3MeasureOutputStream.scala:8-65) at stage granularity."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    sc.setJobGroup(tag, tag)
+    try:
+        result = run()
+    finally:
+        sc.setJobGroup("", "")
+    sids = set()
+    for jid in sc.statusTracker().getJobIdsForGroup(tag):
+        info = sc.statusTracker().getJobInfo(jid)
+        if info:
+            sids.update(int(s) for s in info.stageIds)
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    agg = {
+        "shuffle_write_bytes": 0,
+        "shuffle_write_records": 0,
+        "shuffle_read_bytes": 0,
+        "shuffle_read_records": 0,
+        "exchanges_executed": 0,
+        "stages_run": 0,
+        "stages_skipped": 0,
+        "disk_bytes_spilled": 0,
+        "memory_bytes_spilled": 0,
+    }
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        if int(s.stageId()) not in sids:
+            continue
+        status = str(s.status())
+        if status == "SKIPPED":
+            agg["stages_skipped"] += 1
+            continue
+        agg["stages_run"] += 1
+        wb = int(s.shuffleWriteBytes())
+        agg["shuffle_write_bytes"] += wb
+        agg["shuffle_write_records"] += int(s.shuffleWriteRecords())
+        agg["shuffle_read_bytes"] += int(s.shuffleReadBytes())
+        agg["shuffle_read_records"] += int(s.shuffleReadRecords())
+        agg["disk_bytes_spilled"] += int(s.diskBytesSpilled())
+        agg["memory_bytes_spilled"] += int(s.memoryBytesSpilled())
+        if wb > 0:
+            agg["exchanges_executed"] += 1
+    agg["result"] = result
+    return agg
+
+
+def _plan_children(node):
+    """Children of an executed-plan node, descending through the adaptive
+    wrappers (AdaptiveSparkPlan -> final plan, QueryStage -> inner plan,
+    ReusedExchange -> original)."""
+    name = node.nodeName()
+    kids = []
+    ch = node.children()
+    for i in range(ch.size()):
+        kids.append(ch.apply(i))
+    try:
+        if "QueryStage" in name:
+            kids.append(node.plan())
+    except Exception:
+        pass
+    try:
+        if name == "AdaptiveSparkPlan":
+            kids = [node.executedPlan()]
+    except Exception:
+        pass
+    try:
+        if name == "ReusedExchange":
+            kids.append(node.child())
+    except Exception:
+        pass
+    return kids
+
+
+def _metric(node, key: str):
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == key:
+            return int(kv._2().value())
+    return None
+
+
+def nested_loop_build_rows(df: DataFrame) -> list[int]:
+    """numOutputRows of every BroadcastExchange feeding a nested-loop
+    join in the EXECUTED plan (run an action first) — the measured size
+    of each declared "small" broadcast. Round-7: turns the plan-audit
+    nested-loop allowlist from name-keyed to bound-checked: a 1-row
+    scalar broadcast that silently grows data-sized fails the audit
+    instead of hiding behind its name. Each nested-loop node's build
+    side is found by DFS that prunes at any OTHER join/shuffle subtree,
+    so nested equi-join broadcasts are not misattributed."""
+    root = df._jdf.queryExecution().executedPlan()
+    all_nodes = []
+
+    def walk(n):
+        all_nodes.append(n)
+        for k in _plan_children(n):
+            walk(k)
+
+    walk(root)
+    out: list[int] = []
+    for n in all_nodes:
+        nm = n.nodeName()
+        if "NestedLoop" not in nm and "Cartesian" not in nm:
+            continue
+        for c in _plan_children(n):
+            cm = c.nodeName()
+            if "Join" in cm or "Cartesian" in cm:
+                continue  # streamed side rooted at another join
+            stack = [c]
+            while stack:
+                x = stack.pop()
+                xm = x.nodeName()
+                if "BroadcastExchange" in xm:
+                    v = _metric(x, "numOutputRows")
+                    if v is not None:
+                        out.append(v)
+                    continue
+                if x is not c and (
+                    "Join" in xm or "Cartesian" in xm or "ShuffleExchange" in xm
+                ):
+                    continue
+                stack.extend(_plan_children(x))
+    return out

@@ -381,3 +381,45 @@ def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
             flagged[name] = bad[0]
     rogue = {k: v for k, v in flagged.items() if k not in allowed}
     assert not rogue, rogue
+
+
+def test_q160_physical_exchange_count_pinned(spark, sf_dir):
+    """Round-7: the SHUFFLE artifact reports EXECUTED exchanges from
+    per-stage task metrics, not lineage re-prints (a multi-job prefix
+    query re-prints the same exchange once per job — the old textual
+    count claimed 53 for q160). Pin q160's true physical count: 3
+    distributed NTILEs (range exchange + per-shard count + P-row summary
+    fold + total) over the per-customer aggregate, plus the base
+    aggregate and final order — 20 shuffle-writing stages at the test
+    partitioning, every one over the narrow per-entity frame. AQE-reused
+    stages (localCheckpoint forks) show as skipped, not executed."""
+    from spark_s3_shuffle_spark.plans.inspect import executed_shuffle_metrics
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+
+    m = executed_shuffle_metrics(
+        spark,
+        lambda: QUERIES["q160_rfm_segmentation"].builder(spark, sf_dir).collect(),
+        "pin-q160-physical",
+    )
+    assert m["exchanges_executed"] == 20, m
+    assert m["stages_skipped"] > 0  # checkpoint/AQE reuse is real and visible
+    assert m["shuffle_write_records"] < 60_000  # narrow frames, never fact-sized
+
+
+def test_nested_loop_bound_detector_sees_data_sized_broadcast(spark, sf_dir):
+    """Guard against a vacuous bound-checker: a deliberately data-sized
+    nested-loop broadcast (every customer row cross-joined) must be
+    measured at its true row count by nested_loop_build_rows — the
+    plan-audit allowlist bound check relies on this measurement."""
+    from spark_s3_shuffle_spark.plans.inspect import nested_loop_build_rows
+
+    c = load_table(spark, sf_dir, "customer")
+    n = c.count()
+    bad = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(50).crossJoin(
+        F.broadcast(c.select("c_custkey"))
+    )
+    # collect() the SAME DataFrame: the metric lives on its own
+    # queryExecution (a derived action like count() builds a new plan)
+    bad.collect()
+    rows = nested_loop_build_rows(bad)
+    assert rows and max(rows) == n, (rows, n)

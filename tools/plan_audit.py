@@ -23,42 +23,41 @@ from spark_s3_shuffle_spark.plans import inspect as I
 from spark_s3_shuffle_spark.queries.registry import QUERIES
 from spark_s3_shuffle_spark.session import get_spark
 
-#: Queries that legitimately plan a nested-loop/cartesian shape: the
-#: declared theta cross join, and similarity probes that broadcast a
-#: single-row probe (a 1×n "cross join" is a map-side scan, not a hazard).
-NESTED_LOOP_OK = {
-    "q09_cross_join",
-    "q34_cosine_topk",
-    "q34b_ivf_topk",
-    "q34c_lsh_topk",
-    "q97_quantized_topk",  # same 1-row probe broadcast as the q34 family
-    "q63_quality_percentile_filter",  # 1-row percentile-bounds broadcast
-    "q79_tfidf_topterms",  # 1-row corpus-count (N) broadcast into the idf expr
-    "q103_tpch_q11",  # 1-row global-total broadcast (HAVING scalar)
-    "q105_tpch_q15",  # 1-row max-revenue broadcast (scalar-max join-back)
-    "q110_tpch_q22",  # 1-row avg-balance broadcast (scalar-avg filter)
-    "q118_resample_locf",  # |buckets|-row broadcast grid x distinct series
-    "q120_batch_ann_join",  # probe-TABLE broadcast against the int8 scan
-    "q120b_batch_ivf_join",  # probe-table x broadcast centroid cell ranking
-    "q130_mixture_sample",  # 1-row corpus-total broadcast into the quota expr
-    "q131_corpus_export_pipeline",  # same 1-row survivor-total broadcast
-    "q132_ds23_frequent_best",  # 1-row mean-spend broadcast (scalar filter)
-    "q137_pagerank_trade_graph",  # 1-row |nodes| broadcast seeding the rank frame
-    "q141_resample_interpolate",  # |buckets|-row broadcast grid x distinct series (q118's sibling)
-    "q158_hll_set_algebra",  # three 1-row sketch estimates cross-joined into one output row
-    "q166_filtered_vector_search",  # 1-row probe broadcast, same as the q34 family
-    # round-6 prefix-aggregate tier: every nested-loop here is a 1-row
-    # broadcast (the global total n, the leftover count, the median/p90
-    # scalar rows) cross-joined into the data frame — a map-side scan,
-    # not a pair explosion
-    "q160_rfm_segmentation",  # 3x 1-row total-count broadcast (global_ntile)
-    "q173_abc_classification",  # 1-row grand-total broadcast
-    "q214_spend_percentile_bands",  # 1-row total-count broadcast
-    "q215_exact_median_selection",  # 1-row n / median / p90 scalar broadcasts
-    "q217_temperature_mixture",  # 1-row isqrt-total + leftover broadcasts
-    "q207_sql_text_ds88",  # verbatim DS88 text: scalar subqueries per time
-    # bucket plan as 1-row broadcasts (the DataFrame original q128 computes
-    # them as conditional aggs in one pass)
+#: Queries that legitimately plan a nested-loop/cartesian shape, each
+#: with the MEASURED BOUND its broadcast build side must stay under
+#: (round-7: name-keyed -> bound-checked; the audit EXECUTES these and
+#: reads every nested-loop BroadcastExchange's numOutputRows, so a
+#: declared 1-row scalar that silently grows data-sized fails loudly).
+#: Bound rationale per entry; measured values at sf0.01 in parens.
+NESTED_LOOP_OK: dict[str, int] = {
+    "q09_cross_join": 25,  # declared cross with the fixed-card dim (5)
+    "q34_cosine_topk": 1,  # 1-row probe broadcast (1)
+    "q34b_ivf_topk": 16,  # probe + cell ranking; BNLJ may fold away under AQE
+    "q34c_lsh_topk": 16,  # same family
+    "q97_quantized_topk": 1,  # 1-row probe broadcast (1)
+    "q63_quality_percentile_filter": 1,  # 1-row percentile bounds (1)
+    "q79_tfidf_topterms": 1,  # 1-row corpus count N (1)
+    "q103_tpch_q11": 1,  # 1-row global-total scalar (1)
+    "q105_tpch_q15": 1,  # 1-row max-revenue scalar (BNLJ folds under AQE)
+    "q110_tpch_q22": 1,  # 1-row avg-balance scalar (1)
+    "q118_resample_locf": 10_000,  # |buckets| time grid, fixed by range (720)
+    "q120_batch_ann_join": 64,  # probe TABLE broadcast (5)
+    "q120b_batch_ivf_join": 256,  # probe table x centroid cells (8)
+    "q130_mixture_sample": 1,  # 1-row corpus total (1)
+    "q131_corpus_export_pipeline": 1,  # 1-row survivor total (1)
+    "q132_ds23_frequent_best": 1,  # 1-row mean-spend scalar (1)
+    "q137_pagerank_trade_graph": 1,  # 1-row |nodes| seed (1)
+    "q141_resample_interpolate": 10_000,  # |buckets| grid (720)
+    "q158_hll_set_algebra": 1,  # three 1-row sketch estimates (1)
+    "q166_filtered_vector_search": 1,  # 1-row probe (1)
+    # round-6 prefix-aggregate tier: 1-row scalars (total n, leftover,
+    # median/p90 rows) cross-joined into the data frame
+    "q160_rfm_segmentation": 1,  # (1)
+    "q173_abc_classification": 1,  # (1)
+    "q214_spend_percentile_bands": 1,  # (1)
+    "q215_exact_median_selection": 1,  # (1)
+    "q217_temperature_mixture": 1,  # (1)
+    "q207_sql_text_ds88": 1,  # verbatim DS88 scalar subqueries (1)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -95,6 +94,15 @@ MAX_EXCHANGES = {
     "q216_sequence_packing_plan": 8,
     "q217_temperature_mixture": 10,  # |sources|-frame windows + two scalar broadcasts
     "q207_sql_text_ds88": 8,  # verbatim text: one exchange per scalar subquery
+    # Round-7 verbatim TPC-DS pack: the multi-channel texts union three
+    # fact channels, each pre-aggregated (sales grain + returns grain +
+    # join + re-aggregate) — 2-4 bounded-key exchanges per channel, and
+    # every one runs over a shrinking aggregate, never a second fact scan.
+    "q223_sql_text_ds5": 10,  # 3 channels x (union agg) + rollup + sort
+    "q227_sql_text_ds25": 10,  # 3-fact chain joins + final agg/sort
+    "q228_sql_text_ds29": 10,  # same chain, quantity variant
+    "q233_sql_text_ds49": 20,  # 3 channels x (2 grain aggs + per-item agg) + rank
+    "q236_sql_text_ds75": 28,  # 3 channels x (2 grain aggs + join) + yoy self-join
 }
 
 
@@ -102,6 +110,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    from spark_s3_shuffle_spark.queries.registry import prepare_map
+
+    prep = prepare_map()
     problems = []
     for name, spec in QUERIES.items():
         try:
@@ -110,9 +121,30 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems.append(f"{name}: build error {e}")
             continue
-        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in NESTED_LOOP_OK:
+        has_nlj = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if has_nlj and name not in NESTED_LOOP_OK:
             problems.append(f"{name}: unexpected nested-loop join")
-        nex = I.count_exchanges(df)
+        elif has_nlj:
+            # bound check: EXECUTE and measure every nested-loop build side
+            try:
+                if name in prep:
+                    prep[name](spark, sf_dir)
+                df.collect()
+                rows = I.nested_loop_build_rows(df)
+                bound = NESTED_LOOP_OK[name]
+                over = [r for r in rows if r > bound]
+                if over:
+                    problems.append(
+                        f"{name}: nested-loop broadcast grew to {max(over)}"
+                        f" rows (declared bound {bound})"
+                    )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"{name}: bound-check error {e}")
+        # count from the PRE-execution plan text: after an action, AQE
+        # re-prints materialized stages and inflates the textual count
+        import re as _re
+
+        nex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.MULTILINE))
         cap = MAX_EXCHANGES.get(name, MAX_EXCHANGES_DEFAULT)
         if nex > cap:
             problems.append(f"{name}: {nex} exchanges (cap {cap})")

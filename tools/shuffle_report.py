@@ -1,12 +1,19 @@
-"""Per-query shuffle-volume report — the engine's analogue of the
+"""Per-query PHYSICAL shuffle report — the engine's analogue of the
 reference's published shuffle-data volumes (BASELINE.md: TPC-DS q5 9.6 GB /
 q49 1.1 GB / q75 20 GB / q67 66 GB at SF1000).
 
-Runs every registry query at the given sf_dir, executes it, and reports the
-materialized exchange sizes AQE observed. Use this to spot queries whose
-shuffle volume grows with the input (fact-side shuffles) versus ones
-bounded by cardinality (pre-aggregated / broadcast plans) — the difference
-is exactly what decides 100 TB viability.
+Round-7: metrics come from the AppStatusStore's per-stage task metrics for
+exactly the jobs each query executed (job-group tagged), NOT from the
+explain text — a multi-job query (prefix machinery, PageRank iterations)
+re-prints its lineage per job, so textual exchange counts overstated
+(q160 "53 exchanges"), and AQE-skipped stages never run at all. Reported
+per query: exchanges actually executed (stages that wrote shuffle
+output), shuffle bytes/records written, and spill.
+
+Use this to spot queries whose shuffle volume grows with the input
+(fact-side shuffles) versus ones bounded by cardinality (pre-aggregated /
+broadcast plans) — the difference is exactly what decides 100 TB
+viability.
 
 Usage: python tools/shuffle_report.py [--json OUT.json] [sf_dir] [query ...]
 """
@@ -19,7 +26,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from spark_s3_shuffle_spark.plans.inspect import shuffle_volumes
+from spark_s3_shuffle_spark.plans.inspect import executed_shuffle_metrics
 from spark_s3_shuffle_spark.queries.registry import QUERIES, prepare_map
 from spark_s3_shuffle_spark.session import get_spark
 
@@ -42,21 +49,34 @@ def main() -> int:
             continue
         if name in prep:
             prep[name](spark, sf_dir)
-        df = spec.builder(spark, sf_dir)
-        df.collect()
-        vols = shuffle_volumes(df)
-        total = sum(v["bytes"] for v in vols)
-        rows.append((name, len(vols), total))
-        print(f"{name:32s} exchanges={len(vols):2d} shuffle_bytes={total:>12,}")
-    rows.sort(key=lambda r: -r[2])
-    print("\ntop shuffle volumes:")
-    for name, n, total in rows[:10]:
-        print(f"  {name:32s} {total:>12,} bytes across {n} exchanges")
+
+        def run(spec=spec):
+            return spec.builder(spark, sf_dir).collect()
+
+        m = executed_shuffle_metrics(spark, run, f"shuffle-{name}")
+        m.pop("result")
+        rows.append((name, m))
+        print(
+            f"{name:32s} exchanges={m['exchanges_executed']:2d}"
+            f" write_bytes={m['shuffle_write_bytes']:>12,}"
+            f" records={m['shuffle_write_records']:>10,}"
+            f" spill={m['disk_bytes_spilled']:,}"
+        )
+    rows.sort(key=lambda r: -r[1]["shuffle_write_bytes"])
+    print("\ntop physical shuffle volumes:")
+    for name, m in rows[:10]:
+        print(
+            f"  {name:32s} {m['shuffle_write_bytes']:>12,} bytes across"
+            f" {m['exchanges_executed']} executed exchanges"
+        )
     if json_out:
         payload = {
             "sf_dir": sf_dir,
-            "queries": {name: {"exchanges": n, "shuffle_bytes": total} for name, n, total in rows},
-            "total_shuffle_bytes": sum(t for _, _, t in rows),
+            "source": "AppStatusStore per-stage task metrics (job-group scoped)",
+            "queries": {name: m for name, m in rows},
+            "total_shuffle_write_bytes": sum(
+                m["shuffle_write_bytes"] for _, m in rows
+            ),
         }
         with open(json_out, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
