@@ -54,6 +54,7 @@ import hashlib
 import io
 import json
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -93,8 +94,19 @@ class S3Config:
         )
 
 
-def _part_key(stage: str, shard: int, pid: int) -> str:
-    return f"{stage}/p{shard:02d}/part-{pid:05d}.parquet"
+def _part_key(stage: str, shard: int, pid: int, attempt: str) -> str:
+    """Data keys carry a per-write ATTEMPT token between the prefix shard
+    and the part number. Round-7 hardening: without it, two writers
+    racing one stage name overwrite each other's same-named objects, so
+    the surviving manifest could point at a TORN mix of both writes.
+    With disjoint attempt prefixes each writer's object set is private;
+    whichever manifest PUT lands last wins and points at ONE complete,
+    self-consistent set (the reference's commit discipline —
+    S3ShuffleMapOutputWriter.scala:91-118 publishes per-attempt blocks
+    and commits via the index). The loser's orphans stay invisible
+    (readers only follow the manifest) until remove_stage's paginated
+    sweep deletes everything under the stage prefix."""
+    return f"{stage}/p{shard:02d}/a{attempt}/part-{pid:05d}.parquet"
 
 
 def stage_write(
@@ -127,6 +139,7 @@ def stage_write(
         df = df.sortWithinPartitions(*sort_within)
     schema_json = df.schema.json()
     shards = cfg.prefix_shards
+    attempt = uuid.uuid4().hex[:12]
 
     def write_partition(batches):
         import pyarrow as pa2
@@ -149,7 +162,7 @@ def stage_write(
         data = sink.getvalue().to_pybytes()
         sha = hashlib.sha256(data).hexdigest()
         shard = pid % shards
-        key = _part_key(stage, shard, pid)
+        key = _part_key(stage, shard, pid, attempt)
         client = cfg.client()
         if len(data) >= cfg.multipart_threshold:
             from boto3.s3.transfer import TransferConfig
@@ -479,3 +492,29 @@ def remove_stage(stage: str, cfg: S3Config, delete_threads: int = 4) -> int:
         return 0
     with ThreadPoolExecutor(max_workers=delete_threads) as pool:
         return sum(pool.map(delete_batch, batches))
+
+
+def sweep_incomplete_uploads(stage: str, cfg: S3Config) -> int:
+    """Abort every in-progress multipart upload under the stage prefix —
+    the crash-mid-multipart janitor. A writer that died between
+    CreateMultipartUpload and Complete leaves invisible billed part
+    fragments (no object exists until Complete, so readers are never
+    affected); production S3 handles this with an
+    AbortIncompleteMultipartUpload lifecycle rule, and this sweep is the
+    explicit equivalent for stores without lifecycle support. Returns the
+    number of uploads aborted. Mirrors the reference's cleanup duty on
+    failed writes (S3ShuffleMapOutputWriter.scala:156-163 abort path)."""
+    client = cfg.client()
+    aborted = 0
+    kwargs = {"Bucket": cfg.bucket, "Prefix": f"{stage}/"}
+    while True:
+        resp = client.list_multipart_uploads(**kwargs)
+        for up in resp.get("Uploads", []):
+            client.abort_multipart_upload(
+                Bucket=cfg.bucket, Key=up["Key"], UploadId=up["UploadId"]
+            )
+            aborted += 1
+        if not resp.get("IsTruncated"):
+            return aborted
+        kwargs["KeyMarker"] = resp.get("NextKeyMarker")
+        kwargs["UploadIdMarker"] = resp.get("NextUploadIdMarker")

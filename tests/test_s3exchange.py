@@ -290,3 +290,113 @@ def test_empty_stage_roundtrip(spark, s3cfg):
     assert back.count() == 0
     assert S3X.verify_stage(spark, "stages/empty", s3cfg)
     S3X.remove_stage("stages/empty", s3cfg)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 failure injection: the commit discipline under crashes + races
+# (VERDICT r6 #4 — mirrors S3ShuffleMapOutputWriter.scala:91-118 and
+# S3ShuffleManager.scala:156-186)
+# ---------------------------------------------------------------------------
+
+
+def test_racing_writers_yield_one_consistent_stage(spark, s3cfg):
+    """Two writers racing one stage name: per-attempt key prefixes keep
+    their object sets disjoint, and the manifest PUT that lands LAST
+    wins with a complete, self-consistent object list — never a torn mix.
+    Simulated worst-case interleaving: A uploads data, B publishes fully,
+    then A's manifest PUT lands last."""
+    df_a = _frame(spark, n=5_000, parts=4).withColumn("writer", F.lit("A"))
+    df_b = _frame(spark, n=3_000, parts=4).withColumn("writer", F.lit("B"))
+
+    man_a = S3X.stage_write(df_a, "stages/race", s3cfg)  # A commits first...
+    man_b = S3X.stage_write(df_b, "stages/race", s3cfg)  # ...B lands second
+    # attempt tokens keep the data objects disjoint
+    keys_a = {o["key"] for o in man_a["objects"]}
+    keys_b = {o["key"] for o in man_b["objects"]}
+    assert not (keys_a & keys_b)
+
+    # stage now reads as EXACTLY B (the last manifest)
+    back = S3X.stage_read(spark, "stages/race", s3cfg)
+    assert back.count() == 3_000
+    assert back.select("writer").distinct().collect()[0][0] == "B"
+    assert S3X.verify_stage(spark, "stages/race", s3cfg)
+
+    # now A's manifest PUT lands last (delayed writer): stage flips to
+    # EXACTLY A — still consistent, because A's objects were never
+    # overwritten by B
+    s3cfg.client().put_object(
+        Bucket=s3cfg.bucket,
+        Key="stages/race/_manifest.json",
+        Body=__import__("json").dumps(man_a, sort_keys=True).encode(),
+    )
+    back = S3X.stage_read(spark, "stages/race", s3cfg)
+    assert back.count() == 5_000
+    assert back.select("writer").distinct().collect()[0][0] == "A"
+    assert S3X.verify_stage(spark, "stages/race", s3cfg)
+
+    # teardown sweeps BOTH attempts' objects (loser's orphans included)
+    deleted = S3X.remove_stage("stages/race", s3cfg)
+    assert deleted >= len(keys_a) + len(keys_b)
+    listed = s3cfg.client().list_objects_v2(
+        Bucket=s3cfg.bucket, Prefix="stages/race/"
+    )
+    assert listed.get("KeyCount", 0) == 0
+
+
+def test_crash_mid_multipart_is_invisible_and_sweepable(spark, s3cfg):
+    """A writer that dies between CreateMultipartUpload and Complete
+    leaves NO visible object (readers and verify are unaffected) — only
+    an in-progress upload that sweep_incomplete_uploads aborts."""
+    df = _frame(spark, n=2_000, parts=2)
+    S3X.stage_write(df, "stages/mpcrash", s3cfg)
+
+    client = s3cfg.client()
+    up = client.create_multipart_upload(
+        Bucket=s3cfg.bucket, Key="stages/mpcrash/p00/aDEAD/part-99999.parquet"
+    )
+    client.upload_part(
+        Bucket=s3cfg.bucket,
+        Key="stages/mpcrash/p00/aDEAD/part-99999.parquet",
+        UploadId=up["UploadId"],
+        PartNumber=1,
+        Body=b"x" * (5 * 1024 * 1024),
+    )  # ...and the writer dies here: no Complete
+
+    # reader + integrity: unaffected (no object was ever completed)
+    back = S3X.stage_read(spark, "stages/mpcrash", s3cfg)
+    assert back.count() == 2_000
+    assert S3X.verify_stage(spark, "stages/mpcrash", s3cfg)
+    listed = client.list_objects_v2(
+        Bucket=s3cfg.bucket, Prefix="stages/mpcrash/p00/aDEAD/"
+    )
+    assert listed.get("KeyCount", 0) == 0
+
+    # janitor aborts exactly the orphaned upload
+    assert S3X.sweep_incomplete_uploads("stages/mpcrash", s3cfg) == 1
+    assert not client.list_multipart_uploads(
+        Bucket=s3cfg.bucket, Prefix="stages/mpcrash/"
+    ).get("Uploads")
+    S3X.remove_stage("stages/mpcrash", s3cfg)
+
+
+def test_republish_does_not_tear_pinned_reader_keys(spark, s3cfg):
+    """Version isolation for re-published stages: a reader that pinned
+    the OLD manifest keeps reading the OLD attempt's objects even after
+    a new write commits, because attempts never share keys. (The
+    filesystem twin is vacuum_versions' keep_last>=2 contract.)"""
+    df1 = _frame(spark, n=4_000, parts=4)
+    man1 = S3X.stage_write(df1, "stages/repub", s3cfg)
+    pinned = S3X.stage_read(spark, "stages/repub", s3cfg)  # plans against man1
+
+    df2 = _frame(spark, n=1_000, parts=4)
+    S3X.stage_write(df2, "stages/repub", s3cfg)  # re-publish
+
+    # the pinned reader still resolves man1's keys — all still present
+    assert pinned.count() == 4_000
+    client = s3cfg.client()
+    for o in man1["objects"]:
+        client.head_object(Bucket=s3cfg.bucket, Key=o["key"])
+
+    # a fresh reader follows the new manifest
+    assert S3X.stage_read(spark, "stages/repub", s3cfg).count() == 1_000
+    S3X.remove_stage("stages/repub", s3cfg)
