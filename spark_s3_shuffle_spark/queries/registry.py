@@ -6458,28 +6458,37 @@ def q169(spark, sf_dir):
 
 @_register(
     "q170_ds46_cross_nation_orders",
-    """WITH xborder AS (
-         SELECT DISTINCT l.l_orderkey
-         FROM lineitem l
-         JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """WITH onat AS (
+         SELECT l.l_orderkey, MIN(s.s_nationkey) AS mn_nat,
+                MAX(s.s_nationkey) AS mx_nat
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY l.l_orderkey),
+       xborder AS (
+         SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+         FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         WHERE s.s_nationkey <> c.c_nationkey)
-       SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS mon,
+         JOIN onat ON onat.l_orderkey = o.o_orderkey
+         WHERE onat.mn_nat <> c.c_nationkey OR onat.mx_nat <> c.c_nationkey)
+       SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
               COUNT(*) AS n_orders,
-              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
                    AS DOUBLE) AS total_price
-       FROM orders o JOIN xborder x ON o.o_orderkey = x.l_orderkey
-       GROUP BY DATE_TRUNC('month', o.o_orderdate)
+       FROM xborder
+       GROUP BY DATE_TRUNC('month', o_orderdate)
        ORDER BY mon""",
     "TPC-DS q46/q68 shape (cross-location fulfilment): orders with at"
     " least one line shipped from a supplier in a DIFFERENT nation than"
     " the customer, rolled up monthly. The qualification pass joins the"
     " fact once against two BROADCAST dims (customer via orders,"
-    " supplier direct) and semi-joins back onto orders — the"
-    " mismatch predicate evaluates map-side inside the broadcast joins,"
-    " so the only fact-sized exchanges are the orderkey-keyed"
-    " qualification distinct and the semi join.",
+    " supplier direct) and semi-joins back onto orders. Round-7: the"
+    " oracle text (also q213's verbatim front-door text) is ALL-equi-"
+    " join — per-order supplier-nation min/max then a residual filter"
+    " against the customer nation. The prior s<>c form left an"
+    " inequality join surface the optimizer could pick as a"
+    " |supplier|x|customer| pair explosion: once the sf1 fixture's FKs"
+    " were fixed (10x real join volume), DuckDB chose exactly that and"
+    " spilled 50+ GB. min<>cn OR max<>cn is equivalent to 'some line's"
+    " nation differs' and leaves no inequality between base tables.",
 )
 def q170(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
