@@ -551,7 +551,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_cells: int = 16,
+    num_cells: int | None = 16,
     iterations: int = 2,
     probes: int = 2,
     max_cell_size: int | None = 50_000,
@@ -581,14 +581,29 @@ def semantic_dedup_pairs(
     cap). Centroid fitting is an offline O(num_cells · dim) build step —
     amortized per corpus version like the IVF index build.
 
+    ``num_cells=None`` sizes the clustering to the corpus via
+    ``similarity.auto_dedup_cells`` (cells = N / 256, i.e. FIXED average
+    membership) — the scale-safe default. A fixed cell count makes the
+    within-cell candidate set O(N²/cells): the round-7 sf10 tail check
+    measured 16 cells over 200k vectors concentrating ~5e9 candidate
+    pairs into 16 join keys (one task burned 40+ CPU-minutes in the
+    candidate distinct before being killed). With membership fixed, the
+    candidate count is O(N·256) — linear — and the cell key fan-out grows
+    with the data so every executor gets work.
+
     Returns (a, b, cos) with a < b and cos ≥ threshold, cosines rounded
     to 4 decimals.
     """
     from pyspark.sql.functions import pandas_udf
 
     if centroids is None:
-        from spark_s3_shuffle_spark.operators.similarity import kmeans_like_centroids
+        from spark_s3_shuffle_spark.operators.similarity import (
+            auto_dedup_cells,
+            kmeans_like_centroids,
+        )
 
+        if num_cells is None:
+            num_cells = auto_dedup_cells(df.count())
         cents = kmeans_like_centroids(
             df, num_cells=num_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
         )
@@ -658,15 +673,21 @@ def fit_semantic_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
+    num_cells: int | None = 16,
     iterations: int = 2,
 ) -> list[tuple[int, list[float]]]:
     """Offline half of the SemDeDup split: fit the coarse-quantizer
     centroids once per corpus version and feed them to
     ``semantic_dedup_pairs(..., centroids=...)`` — identical amortization
-    contract as the IVF index build (similarity.build_ivf_index)."""
-    from spark_s3_shuffle_spark.operators.similarity import kmeans_like_centroids
+    contract as the IVF index build (similarity.build_ivf_index).
+    ``num_cells=None`` auto-sizes to the corpus (auto_dedup_cells)."""
+    from spark_s3_shuffle_spark.operators.similarity import (
+        auto_dedup_cells,
+        kmeans_like_centroids,
+    )
 
+    if num_cells is None:
+        num_cells = auto_dedup_cells(df.count())
     cents = kmeans_like_centroids(
         df, num_cells=num_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
     )

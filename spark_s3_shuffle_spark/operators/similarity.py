@@ -95,6 +95,29 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def auto_ivf_cells(n_vectors: int, floor: int = 8) -> int:
+    """Cell count for an IVF coarse quantizer sized to the corpus: ~sqrt(N)
+    (the FAISS rule of thumb), floored for tiny corpora. A FIXED cell count
+    does not survive scale-up: per-cell membership grows O(N), so per-probe
+    scan cost grows O(N) instead of O(sqrt(N)) — the round-7 sf10 tail
+    check caught exactly this (16 cells over 200k vectors => 25k-member
+    cells). With cells ~ sqrt(N), membership and the centroid table both
+    grow O(sqrt(N)); the driver-side quantizer stays tiny (1M cells x 64
+    dims = 512 MB at 1e12 vectors — shard the quantizer before that)."""
+    import math
+
+    return max(floor, math.isqrt(max(0, int(n_vectors))))
+
+
+def auto_dedup_cells(n_vectors: int, target_cell_size: int = 256, floor: int = 16) -> int:
+    """Cell count for SemDeDup-style within-cell pairwise verification:
+    FIXED average membership (N / target), so the within-cell candidate
+    count stays O(N * target) — linear in corpus size — instead of the
+    O(N^2 / cells) blow-up a fixed cell count produces. target=256 keeps
+    ~(probes*256)^2/2 ~ 1.3e5 pairs per cell regardless of N."""
+    return max(floor, int(n_vectors) // max(1, target_cell_size))
+
+
 def kmeans_like_centroids(
     vectors: DataFrame,
     num_cells: int = 16,
@@ -161,7 +184,7 @@ class IVFIndex:
 
 def build_ivf_index(
     vectors: DataFrame,
-    num_cells: int = 16,
+    num_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 1,
@@ -170,9 +193,15 @@ def build_ivf_index(
     """Offline index build: fit centroids, assign every vector to its
     nearest cell, repartition by cell, and pin the result. This is the
     expensive part (two full scans + the Lloyd iterations) — it runs once
-    per corpus version, amortized over every subsequent probe."""
+    per corpus version, amortized over every subsequent probe.
+
+    ``num_cells=None`` sizes the quantizer to the corpus via
+    ``auto_ivf_cells`` (~sqrt(N)) — the scale-safe default; a fixed count
+    is only appropriate when the corpus size is known and bounded."""
     import numpy as np
 
+    if num_cells is None:
+        num_cells = auto_ivf_cells(vectors.count())
     centroids = kmeans_like_centroids(vectors, num_cells, id_col, vec_col, iterations)
     crows = centroids.collect()  # O(num_cells) — offline build step
     cells = [r["cell"] for r in crows]

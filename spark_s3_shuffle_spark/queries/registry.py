@@ -628,10 +628,21 @@ _IVF_CACHE: dict[tuple[str, str], SIM.IVFIndex] = {}
 
 
 def get_ivf_index(spark: SparkSession, sf_dir: str) -> SIM.IVFIndex:
+    # num_cells=None => auto ~sqrt(N) (similarity.auto_ivf_cells): the cell
+    # count must grow with the corpus or per-probe scan cost degrades from
+    # O(sqrt(N)) to O(N) — caught by the round-7 sf10 tail check.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = SIM.build_ivf_index(_t(spark, sf_dir, "embeddings"), num_cells=8)
+        _IVF_CACHE[key] = SIM.build_ivf_index(_t(spark, sf_dir, "embeddings"), num_cells=None)
     return _IVF_CACHE[key]
+
+
+def _ivf_nprobe(index: SIM.IVFIndex, floor: int = 3) -> int:
+    """nprobe sized to the auto-scaled quantizer: ~1/8 of the cells, floored.
+    Keeps the scanned fraction roughly constant as cells grow ~sqrt(N)
+    (scan cost per probe ~ nprobe * N/cells ~ N/8... of sqrt(N)-sized
+    cells => O(sqrt(N)) work per probe at any corpus size)."""
+    return max(floor, index.num_cells // 8)
 
 
 _PROBE_CACHE: dict[tuple[str, str], list] = {}
@@ -658,7 +669,8 @@ def get_probe_vector(spark: SparkSession, sf_dir: str) -> list:
 )
 def q34b(spark, sf_dir):
     vec = get_probe_vector(spark, sf_dir)
-    return SIM.ivf_probe_vector(get_ivf_index(spark, sf_dir), vec, k=10, nprobe=3)
+    idx = get_ivf_index(spark, sf_dir)
+    return SIM.ivf_probe_vector(idx, vec, k=10, nprobe=_ivf_nprobe(idx))
 
 
 @_register(
@@ -2057,8 +2069,16 @@ _SEMDEDUP_CACHE: dict[tuple[str, str], list] = {}
 def get_semdedup_centroids(spark: SparkSession, sf_dir: str) -> list:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SEMDEDUP_CACHE:
+        # num_cells=None => auto N/256 (similarity.auto_dedup_cells): fixed
+        # membership per cell keeps the within-cell candidate count linear
+        # in N. With the old fixed 16 cells, the sf10 corpus (200k vectors)
+        # packed ~25k members per cell => ~5e9 candidate pairs through 16
+        # join keys — one task burned 40+ CPU-minutes in the candidate
+        # distinct (round-7 sf10 tail check). At the oracle scale factors
+        # (sf0.01/sf0.1) the auto size floors at the same 16 cells, so
+        # oracle results are unchanged.
         _SEMDEDUP_CACHE[key] = D.fit_semantic_centroids(
-            _q81_corpus(spark, sf_dir), "vec_id", "embedding", num_cells=16
+            _q81_corpus(spark, sf_dir), "vec_id", "embedding", num_cells=None
         )
     return _SEMDEDUP_CACHE[key]
 
@@ -2083,7 +2103,7 @@ def q81(spark, sf_dir):
         "vec_id",
         "embedding",
         threshold=0.99,
-        num_cells=16,
+        num_cells=None,  # unused when centroids are supplied; auto-sized in the fit
         centroids=get_semdedup_centroids(spark, sf_dir),
     ).orderBy("a", "b")
 
@@ -3869,7 +3889,7 @@ def q120b(spark, sf_dir):
         .select(F.col("vec_id").alias("probe_id"), "embedding")
     )
     return SIM.ivf_batch_topk_join(
-        idx, probes, k=5, nprobe=4, probe_id_col="probe_id"
+        idx, probes, k=5, nprobe=_ivf_nprobe(idx, floor=4), probe_id_col="probe_id"
     ).orderBy("probe_id", "rank")
 
 

@@ -114,6 +114,51 @@ def test_semantic_dedup_finds_boundary_twins(spark):
     assert len(found) == len(pairs)
 
 
+def test_auto_cell_sizing_scales_with_corpus():
+    """Round-7 sf10 finding: fixed cell counts go quadratic (SemDeDup) or
+    linear-per-probe (IVF) as N grows. The auto sizers must grow with N and
+    floor at the historical small-corpus defaults."""
+    from spark_s3_shuffle_spark.operators.similarity import (
+        auto_dedup_cells,
+        auto_ivf_cells,
+    )
+
+    # floors preserve the oracle-scale behavior (sf0.01/sf0.1 unchanged)
+    assert auto_dedup_cells(500) == 16 and auto_dedup_cells(2000) == 16
+    assert auto_ivf_cells(50) == 8
+    # growth: fixed average membership (SemDeDup) and ~sqrt(N) (IVF)
+    assert auto_dedup_cells(200_000) == 200_000 // 256
+    assert auto_ivf_cells(200_000) == 447
+    assert auto_dedup_cells(2_000_000) == 2_000_000 // 256
+
+
+def test_semantic_dedup_auto_cells_keeps_planted_twins(spark):
+    """num_cells=None (auto) on a corpus big enough to leave the floor:
+    planted twins must still co-cluster and be found — granularity growth
+    must not cost recall on near-identical pairs."""
+    vecs = [
+        Row(
+            vec_id=i,
+            embedding=[
+                ((i * 2654435761 + d * 40503 + i * d * 97) % 2003) / 1001.5 - 1.0
+                for d in range(8)
+            ],
+        )
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(vecs)
+    twins = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x + 0.0001 * (i % 3)).alias("embedding"),
+    )
+    corpus = df.unionByName(twins)
+    pairs = D.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9999, num_cells=None, probes=2
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 100_000) for i in range(5)} <= found
+
+
 def test_semantic_dedup_cell_cap_drops_megacell(spark):
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(50)]
