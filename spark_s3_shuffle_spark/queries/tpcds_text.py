@@ -3,7 +3,7 @@
 The reference's primary benchmark consumes TPC-DS SQL text end-to-end
 (`examples/sql/run_tpcds.sh`; headline q-list q5/q49/q67/q75 in
 `examples/run_benchmarks.sh:29-34`). Rounds 5-6 verified 12 DS *shapes*
-re-expressed on the TPC-H-ish schema; this pack runs 19 DS query texts
+re-expressed on the TPC-H-ish schema; this pack runs 20 DS query texts
 against the real DS table/column names (`store_sales`, `date_dim`,
 `item`, `store`, the catalog/web channels and their returns), derived
 once in `sources/tpcds.py` and prepended as CTEs by `compose()` — so
@@ -705,6 +705,52 @@ FROM (SELECT s.cust,
         ON s.item_sk = r.item_sk AND s.tkt = r.tkt) t
 GROUP BY cust
 ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+""",
+)
+
+
+_ds(
+    "q238_sql_text_ds67",
+    "TPC-DS Q67 (reference headline, its HEAVIEST at 66 GB shuffle for"
+    " SF1000 — run_benchmarks.sh:33, run_single_query.sh's named"
+    " example): 8-level ROLLUP over category/class/brand/product/"
+    " year/quarter/month/store, then RANK within category, top-100."
+    " sumsales is the exact-decimal net paid (documented money-column"
+    " adaptation; the fixture has no per-unit ss_sales_price). The"
+    " rollup exchange carries PARTIAL aggregates (map-side combine on"
+    " every level), the window frame is the rollup OUTPUT (bounded by"
+    " items x months x stores, never the fact table), and all group"
+    " columns are non-NULL in the data so each rollup row's NULL"
+    " pattern uniquely keys its level — LIMIT under the full-column"
+    " ORDER BY (explicit NULLS FIRST; engines default differently) is"
+    " deterministic.",
+    """
+WITH results AS (
+  SELECT i_category, i_class, i_brand, i_product_name,
+         d_year, d_qoy, d_moy, s_store_id,
+         SUM(COALESCE(ss_net_paid, CAST(0 AS DECIMAL(18,6)))) AS sumsales
+  FROM store_sales, date_dim, store, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq BETWEEN 84 AND 84 + 11
+  GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+                   d_year, d_qoy, d_moy, s_store_id)),
+ranked AS (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_id, sumsales,
+         CAST(RANK() OVER (PARTITION BY i_category
+                           ORDER BY sumsales DESC) AS INT) AS rk
+  FROM results)
+SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+       d_moy, s_store_id,
+       CAST(ROUND(sumsales, 2) AS DOUBLE) AS sumsales, rk
+FROM ranked
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+         i_brand NULLS FIRST, i_product_name NULLS FIRST,
+         d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+         s_store_id NULLS FIRST, sumsales, rk
 LIMIT 100
 """,
 )

@@ -107,6 +107,7 @@ _DATE_DIM = f"""
 _ITEM = """
   SELECT p_partkey AS i_item_sk,
          p_name AS i_item_desc,
+         p_name AS i_product_name,
          p_brand AS i_brand,
          p_brand AS i_class,
          p_type AS i_category,
@@ -119,6 +120,7 @@ _ITEM = """
 _STORE = """
   SELECT s_suppkey AS s_store_sk,
          s_name AS s_store_name,
+         s_name AS s_store_id,
          n_name AS s_state
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """

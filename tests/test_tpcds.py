@@ -92,21 +92,23 @@ def test_returns_are_subset_of_sales(spark, sf_dir):
 
 
 def test_ds_pack_registered_with_oracles():
-    """All 19 DS text entries exist, each with a composed oracle equal
+    """All 20 DS text entries exist, each with a composed oracle equal
     to the Spark-side text (the same-string contract)."""
     from spark_s3_shuffle_spark.queries.registry import QUERIES
     from spark_s3_shuffle_spark.queries.tpcds_text import DS_BODIES
 
-    assert len(DS_BODIES) == 19
+    assert len(DS_BODIES) == 20
     for name, (body, _doc) in DS_BODIES.items():
         assert name in QUERIES, name
         assert QUERIES[name].oracle == tpcds.compose(body), name
 
 
-@pytest.mark.parametrize("q", ["q223_sql_text_ds5", "q233_sql_text_ds49"])
+@pytest.mark.parametrize(
+    "q", ["q223_sql_text_ds5", "q233_sql_text_ds49", "q238_sql_text_ds67"]
+)
 def test_headline_ds_smoke(spark, sf_dir, q):
-    """The reference's headline DS queries (q5, q49) run end-to-end on
-    the smoke fixture."""
+    """The reference's headline DS queries (q5, q49, q67) run
+    end-to-end on the smoke fixture."""
     from spark_s3_shuffle_spark.queries.registry import QUERIES
 
     df = QUERIES[q].builder(spark, sf_dir)

@@ -1,0 +1,103 @@
+"""sf1 -> sf10 tail bench: time the documented explode-heavy queries at
+both scales IN ONE JVM and report the wall-clock scale ratio per query.
+
+The full-suite oracle sweeps (sf0.01 / sf0.1 / sf1) catch correctness;
+this harness catches the NEXT decade of super-linearity in the queries
+whose cost is dominated by pair/candidate explosion rather than scan
+volume (the reference's analogous concern is shuffle-volume growth,
+BASELINE.md). Paired-in-one-JVM for the same reason bench.py pairs
+engine/vanilla: separate launches drift 15%+ on this host.
+
+Per query it reports min-of-N seconds at each scale, the output row
+counts at each scale, and ``time_ratio`` = t_sf10 / t_sf1. With a 10x
+input and 32 local cores, a scan-linear query lands well under 10x
+(more parallelism headroom at the larger scale); candidate-explosion
+queries are judged against their OUTPUT growth (``rows_ratio``) — a
+time_ratio far above both 10x and the rows_ratio is the super-linearity
+signal this exists to catch.
+
+    python tools/tail_bench.py                       # default tails
+    python tools/tail_bench.py q93_duplicated_spans  # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+from spark_s3_shuffle_spark.queries.registry import QUERIES, prepare_map
+from spark_s3_shuffle_spark.session import get_spark
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(os.path.dirname(_HERE), ".sf1"))
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", os.path.join(os.path.dirname(_HERE), ".sf10"))
+OUT_JSON = os.environ.get(
+    "SPARK_GRAFT_TAIL_OUT", os.path.join(os.path.dirname(_HERE), "BENCH_SF10_TAIL.json")
+)
+
+#: The documented explode-heavy tails (VERDICT r6 directive 7) plus the
+#: auto-cell-sized ANN family the sf10 check forced a redesign of.
+DEFAULT_TAILS = [
+    "q93_duplicated_spans",
+    "q161_basket_cooccurrence",
+    "q42_minhash_dedup",
+    "q43_simhash_dedup",
+    "q59_minhash_dedup_cc",
+    "q81_semantic_dedup",
+    "q34b_ivf_topk",
+    "q120b_batch_ivf_join",
+    "q218_sliding_window_agg",
+]
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
+    fn = QUERIES[name].builder
+    rows = len(fn(spark, sf_dir).collect())  # warmup (codegen + page cache)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.monotonic() - t0)
+    return best, rows
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_TAILS
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    spark = get_spark("tail-bench")
+    report: dict[str, dict] = {}
+    for sf_dir in (SF1_DIR, SF10_DIR):
+        for prep in prepare_map().values():
+            prep(spark, sf_dir)
+    for name in names:
+        t1, r1 = time_query(spark, name, SF1_DIR, runs)
+        t10, r10 = time_query(spark, name, SF10_DIR, runs)
+        report[name] = {
+            "sf1_s": round(t1, 3),
+            "sf10_s": round(t10, 3),
+            "time_ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "sf1_rows": r1,
+            "sf10_rows": r10,
+            "rows_ratio": round(r10 / r1, 2) if r1 else None,
+        }
+        print(json.dumps({name: report[name]}))
+    out = {
+        "metric": "sf10_tail_scale_ratio",
+        "sf1_dir": SF1_DIR,
+        "sf10_dir": SF10_DIR,
+        "runs_per_scale": runs,
+        "queries": report,
+        "time_ratio_max": max(v["time_ratio"] for v in report.values()),
+    }
+    with open(OUT_JSON, "w") as fh:
+        json.dump(out, fh, indent=2, sort_keys=True)
+    print(f"wrote {OUT_JSON}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
