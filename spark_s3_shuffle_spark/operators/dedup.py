@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators.text import shingles
@@ -118,21 +119,37 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 5,
     max_bucket_size: int | None = 10_000,
+    dense_bucket_limit: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
-    bands × (num_hashes/bands rows) → band hash → self-equi-join on
-    (band_id, band_hash). Returns distinct (a, b) id pairs with a < b.
+    bands × (num_hashes/bands rows) → band hash → per-bucket pairing.
+    Returns distinct (a, b) id pairs with a < b.
 
-    Scale: the banded frame is ``bands×`` the corpus in rows but each row is
-    (id, band, hash) ≈ 24 bytes; the self-join shuffles on the band hash, so
-    co-bucket skew (a viral duplicate cluster) is the one hazard — AQE
-    skew-join handles moderate skew, and ``max_bucket_size`` drops
-    pathological buckets outright (a bucket of B ids yields B²/2 pairs; a
-    million-way boilerplate cluster would otherwise emit 5·10¹¹ pairs from
-    one key). Members of a capped bucket still pair up via their other
-    bands, and a cluster that saturates *every* band is exact-dup-shaped —
-    the cheap digest pass should absorb it first.
+    Pair generation is HYBRID, keyed on bucket size — the round-7 sf10
+    tail bench is why. A dup-saturated corpus (500k docs of which ~4.8k
+    survive dedup) grows its co-bucket membership with N, so all-pairs
+    within buckets is quadratic: measured 173M candidate pairs at sf10 —
+    220M shuffled records, 97 GB spilled, 21.9× wall time for 10× data —
+    with 171M of those pairs coming from the 36k buckets over 64 members.
+
+    - Buckets ≤ ``dense_bucket_limit``: all-pairs self-equi-join on
+      (band, band_hash) — exact, and the measured distribution keeps every
+      bucket in this regime below sf10 scale (max bucket: 4 at sf0.1,
+      40 at sf1), so small-scale results are bit-identical to the
+      all-pairs form.
+    - Buckets > ``dense_bucket_limit``: STAR edges to the bucket's min id
+      (B−1 pairs instead of B²/2). A star has the same connected
+      components as the clique, so downstream component clustering
+      (minhash_dedup_cc) keeps identical connectivity per bucket, and
+      every member still gets a direct verification edge against the
+      cluster representative; what's given up is only the redundant
+      member↔member edges of an already-agreeing cluster — each doc has
+      ``bands`` independent chances to link via other buckets.
+
+    ``max_bucket_size`` still drops pathological buckets outright (a
+    cluster that saturates a full band at that size is exact-dup-shaped —
+    the cheap digest pass should absorb it first).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -144,17 +161,20 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ])
     banded = sig.select("_id", F.explode(band_structs).alias("bb")).select("_id", "bb.band", "bb.bhash")
+    # ONE window pass over the bucket key annotates each row with its
+    # bucket's size and min id — no size/min joins, one exchange.
+    bucket = Window.partitionBy("band", "bhash")
+    banded = banded.select(
+        "_id", "band", "bhash",
+        F.count(F.lit(1)).over(bucket).alias("_bsz"),
+        F.min("_id").over(bucket).alias("_m"),
+    )
     if max_bucket_size:
-        ok = (
-            banded.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .select("band", "bhash")
-        )
-        banded = banded.join(ok, ["band", "bhash"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
+        banded = banded.filter(F.col("_bsz") <= max_bucket_size)
+    small = banded.filter(F.col("_bsz") <= dense_bucket_limit)
+    left = small.alias("l")
+    right = small.alias("r")
+    dense = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -162,8 +182,14 @@ def minhash_lsh_candidates(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
     )
+    star = (
+        banded.filter(
+            (F.col("_bsz") > dense_bucket_limit) & (F.col("_id") != F.col("_m"))
+        )
+        .select(F.col("_m").alias("a"), F.col("_id").alias("b"))
+    )
+    return dense.unionByName(star).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -567,19 +593,22 @@ def semantic_dedup_pairs(
     construction, near-equal cosine to both adjacent centroids, so the two
     vectors share their top-2 cell sets and the pair is still found —
     single-assignment SemDeDup measurably loses boundary twins (one of the
-    five planted q81 pairs at sf0.1). Candidates are distinct'd before the
-    exact-cosine verify, so overlap never double-counts a pair.
+    five planted q81 pairs at sf0.1). A pair both probe cells verify is
+    collapsed on (a, b) after the verify, so overlap never double-counts.
 
     Complements the sign-LSH route (``embedding_near_dup_pairs``): LSH
     bounds pair work by random-hyperplane buckets (recall controlled by
     the plane budget), this bounds it by learned k-means cells (recall
     controlled by cluster granularity vs dup distance). At 100 TB the
     cluster assignment is one scan + numpy-matmul pandas_udf against a
-    broadcast (num_cells × dim) centroid matrix; the within-cell self-join
-    shuffles on the cell key only, and ``max_cell_size`` drops degenerate
-    mega-cells (quadratic blow-up guard, same policy as the LSH bucket
-    cap). Centroid fitting is an offline O(num_cells · dim) build step —
-    amortized per corpus version like the IVF index build.
+    broadcast (num_cells × dim) centroid matrix; verification shuffles the
+    VECTORS once (keyed by cell) and each cell checks its pairs in one
+    blocked BLAS matmul inside applyInPandas — candidate pairs never
+    materialize as rows, so shuffle volume stays O(N·probes) vectors.
+    ``max_cell_size`` drops degenerate mega-cells (quadratic-FLOP guard,
+    same policy as the LSH bucket cap). Centroid fitting is an offline
+    O(num_cells · dim) build step — amortized per corpus version like the
+    IVF index build.
 
     ``num_cells=None`` sizes the clustering to the corpus via
     ``similarity.auto_dedup_cells`` (cells = N / 256, i.e. FIXED average
@@ -633,8 +662,8 @@ def semantic_dedup_pairs(
         # vector lands in up to ``probes`` cells, so a raw row count would be
         # up to probes x the true membership and the quadratic guard would
         # bite probes x earlier than the parameter name implies; the cap is
-        # meant to bound the within-cell self-join, whose size is exactly
-        # (distinct members choose 2).
+        # meant to bound the within-cell pairwise verify, whose FLOP count
+        # is exactly (distinct members choose 2) cosines.
         ok = (
             assigned.groupBy("cell")
             .agg(F.countDistinct("_id").alias("_csz"))
@@ -642,29 +671,58 @@ def semantic_dedup_pairs(
             .select("cell")
         )
         assigned = assigned.join(ok, "cell", "left_semi")
-    left, right = assigned.alias("l"), assigned.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.cell") == F.col("r.cell")) & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
-    )
-    va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
-    # Arrow-batched verification: the candidate set is the dominant cost of
-    # SemDeDup (dense clusters pair quadratically within their cell); the
-    # numpy batch cosine measured ~4x over the HOF Column form on the sf0.1
-    # pair set (~1M pairs).
-    from spark_s3_shuffle_spark.functions.vector import cosine_batch
+    # Verification happens WHERE the vectors already are: one join keys the
+    # vectors by cell (shuffle = |assigned| vector rows, linear in N), then
+    # each cell verifies all its pairs in a single Arrow batch via a blocked
+    # BLAS matmul — no candidate-pair rows ever shuffle. The round-7 sf10
+    # tail bench measured the previous shape (materialize (a,b) pairs,
+    # distinct, join the 64-dim vectors onto BOTH sides) at 410M shuffled
+    # pair records / 190 GB spilled for a 200k corpus — the pair SHUFFLE was
+    # 26x superlinear while the pair FLOPs (linear, ~6.5 GFLOP of dgemm)
+    # were never the problem.
+    withv = assigned.join(base, "_id")
+    thr = float(threshold)
 
-    pair_cos = cosine_batch()
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "_c": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        out = []
+        bs = max(1, min(n, 8_388_608 // n))  # sim block <= 64 MB of float64
+        for i0 in range(0, n, bs):
+            i1 = min(n, i0 + bs)
+            sims = X[i0:i1] @ X.T
+            den = norms[i0:i1, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, np.nan, sims / den)
+            rows, cols = np.nonzero(np.round(cos, 4) >= thr)
+            keep = cols > rows + i0  # strict upper triangle: a < b
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {"a": ids[rows + i0], "b": ids[cols], "_c": cos[rows, cols]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = withv.groupBy("cell").applyInPandas(
+        _cell_pairs, "a long, b long, _c double"
+    )
+    # A boundary pair found by BOTH its probe cells emits twice (possibly
+    # ulp-apart under different dgemm block shapes); collapse on (a, b) and
+    # round once — the grouped rows are SURVIVORS only, a tiny shuffle.
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("cos", F.round(pair_cos(F.col("_va"), F.col("_vb")), 4))
-        .filter(F.col("cos") >= threshold)
+        pairs.groupBy("a", "b")
+        .agg(F.round(F.max("_c"), 4).alias("cos"))
         .select("a", "b", "cos")
     )
 

@@ -16,8 +16,15 @@ queries are judged against their OUTPUT growth (``rows_ratio``) — a
 time_ratio far above both 10x and the rows_ratio is the super-linearity
 signal this exists to catch.
 
-    python tools/tail_bench.py                       # default tails
-    python tools/tail_bench.py q93_duplicated_spans  # subset
+    SPARK_GRAFT_DRIVER_MEM=24g python tools/tail_bench.py  # default tails
+    python tools/tail_bench.py q93_duplicated_spans        # subset
+
+Heap sizing: this sweep holds BOTH scales' pinned state in ONE JVM (the
+IVF index and SemDeDup centroids at sf1 AND sf10, plus checkpoint blocks
+from every prior query until the ContextCleaner reaps them) — state a
+real cluster spreads over executors. The default 8g heap OOMs partway
+through the list (measured: q59's component join, after 4 queries x 2
+scales of accumulated blocks); run with SPARK_GRAFT_DRIVER_MEM=24g.
 """
 
 from __future__ import annotations
@@ -51,6 +58,11 @@ DEFAULT_TAILS = [
     "q34b_ivf_topk",
     "q120b_batch_ivf_join",
     "q218_sliding_window_agg",
+    # The reference's DS headline queries (run_benchmarks.sh:29-34):
+    # shuffle-heaviest of the verbatim pack, scale-checked like any tail.
+    "q223_sql_text_ds5",
+    "q236_sql_text_ds75",
+    "q238_sql_text_ds67",
 ]
 
 
@@ -70,9 +82,11 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark = get_spark("tail-bench")
     report: dict[str, dict] = {}
+    preps = prepare_map()
     for sf_dir in (SF1_DIR, SF10_DIR):
-        for prep in prepare_map().values():
-            prep(spark, sf_dir)
+        for name in names:  # only the preps the tail set actually uses
+            if name in preps:
+                preps[name](spark, sf_dir)
     for name in names:
         t1, r1 = time_query(spark, name, SF1_DIR, runs)
         t10, r10 = time_query(spark, name, SF10_DIR, runs)
@@ -84,7 +98,7 @@ def main() -> None:
             "sf10_rows": r10,
             "rows_ratio": round(r10 / r1, 2) if r1 else None,
         }
-        print(json.dumps({name: report[name]}))
+        print(json.dumps({name: report[name]}), flush=True)
     out = {
         "metric": "sf10_tail_scale_ratio",
         "sf1_dir": SF1_DIR,
