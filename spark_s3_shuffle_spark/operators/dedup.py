@@ -36,7 +36,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_s3_shuffle_spark.functions.vector import cosine
 from spark_s3_shuffle_spark.operators.text import shingles
 
 
@@ -479,6 +478,67 @@ def _plane_signs(dim: int, plane: int, seed: int) -> list[float]:
     return out
 
 
+def _verify_pairs_within_groups(
+    withvec: DataFrame, group_cols: list[str], threshold: float
+) -> DataFrame:
+    """Exact-cosine pair verification executed WHERE the vectors already
+    are: ``withvec`` is (group_cols..., _id, _v) with each group's members
+    co-located by the group key, and each group verifies ALL its pairs in
+    one blocked BLAS matmul inside applyInPandas. Candidate (a, b) rows
+    never shuffle — the round-7 sf10 tail bench measured the
+    materialize-pairs-then-join-vectors shape at 410M shuffled records /
+    190 GB spilled for work whose actual FLOPs are linear-in-N dgemm.
+
+    A pair that co-occurs in several groups (soft assignment, multiple
+    bands) emits once per group, possibly ulp-apart under different dgemm
+    block shapes; the survivors-only groupBy(a, b) collapses duplicates
+    and rounds once. Requires integral ids (emitted as ``long``).
+
+    Returns (a, b, cos) with a < b and round(cos, 4) ≥ threshold.
+    """
+    thr = float(threshold)
+
+    def _group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "_c": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        out = []
+        bs = max(1, min(n, 8_388_608 // n))  # sim block <= 64 MB of float64
+        for i0 in range(0, n, bs):
+            i1 = min(n, i0 + bs)
+            sims = X[i0:i1] @ X.T
+            den = norms[i0:i1, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, np.nan, sims / den)
+            rows, cols = np.nonzero(np.round(cos, 4) >= thr)
+            keep = cols > rows + i0  # strict upper triangle: a < b
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {"a": ids[rows + i0], "b": ids[cols], "_c": cos[rows, cols]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = withvec.groupBy(*group_cols).applyInPandas(
+        _group_pairs, "a long, b long, _c double"
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.round(F.max("_c"), 4).alias("cos"))
+        .select("a", "b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -503,9 +563,10 @@ def embedding_near_dup_pairs(
     explodes pairs for small p). ``max_bucket_size`` additionally drops
     degenerate buckets (e.g. a mass of zero vectors).
 
-    Verification is exact cosine ≥ threshold. The banded frame carries only
-    (id, band, key) ≈ 24-byte rows; vectors are joined back for the bounded
-    candidate set only.
+    Verification is exact cosine ≥ threshold, executed in place per bucket
+    (``_verify_pairs_within_groups``): the banded frame carries only
+    (id, band, key) ≈ 24-byte rows, ONE join keys the vectors by bucket,
+    and candidate pairs never materialize as shuffled rows.
 
     ``dim`` is the embedding dimensionality and must be supplied (array
     columns carry no length in the schema; peeking a row would put a
@@ -551,25 +612,8 @@ def embedding_near_dup_pairs(
             .select("band", "bkey")
         )
         banded = banded.join(ok, ["band", "bkey"], "left_semi")
-    left, right = banded.alias("l"), banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
-    )
-    va = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
-    return (
-        cand.join(va, "a").join(vb, "b")
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
-    )
+    withv = banded.join(base, "_id")
+    return _verify_pairs_within_groups(withv, ["band", "bkey"], threshold)
 
 
 def semantic_dedup_pairs(
@@ -681,50 +725,7 @@ def semantic_dedup_pairs(
     # 26x superlinear while the pair FLOPs (linear, ~6.5 GFLOP of dgemm)
     # were never the problem.
     withv = assigned.join(base, "_id")
-    thr = float(threshold)
-
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_id")
-        ids = pdf["_id"].to_numpy()
-        n = len(ids)
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "_c": pd.Series(dtype="float64")}
-        )
-        if n < 2:
-            return empty
-        X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1)
-        out = []
-        bs = max(1, min(n, 8_388_608 // n))  # sim block <= 64 MB of float64
-        for i0 in range(0, n, bs):
-            i1 = min(n, i0 + bs)
-            sims = X[i0:i1] @ X.T
-            den = norms[i0:i1, None] * norms[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(den == 0, np.nan, sims / den)
-            rows, cols = np.nonzero(np.round(cos, 4) >= thr)
-            keep = cols > rows + i0  # strict upper triangle: a < b
-            rows, cols = rows[keep], cols[keep]
-            if len(rows):
-                out.append(
-                    pd.DataFrame(
-                        {"a": ids[rows + i0], "b": ids[cols], "_c": cos[rows, cols]}
-                    )
-                )
-        return pd.concat(out, ignore_index=True) if out else empty
-
-    pairs = withv.groupBy("cell").applyInPandas(
-        _cell_pairs, "a long, b long, _c double"
-    )
-    # A boundary pair found by BOTH its probe cells emits twice (possibly
-    # ulp-apart under different dgemm block shapes); collapse on (a, b) and
-    # round once — the grouped rows are SURVIVORS only, a tiny shuffle.
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.round(F.max("_c"), 4).alias("cos"))
-        .select("a", "b", "cos")
-    )
+    return _verify_pairs_within_groups(withv, ["cell"], threshold)
 
 
 def fit_semantic_centroids(

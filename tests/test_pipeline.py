@@ -159,6 +159,21 @@ def test_semantic_dedup_auto_cells_keeps_planted_twins(spark):
     assert {(i, i + 100_000) for i in range(5)} <= found
 
 
+def test_minhash_star_edges_collapse_megabucket(spark):
+    """Buckets over dense_bucket_limit emit star edges to the bucket min
+    (B-1 per bucket, not B^2/2): 200 identical docs saturate one bucket
+    per band, candidates are exactly the 199 star pairs (0, i) after the
+    cross-band distinct, and dedup keeps only doc 0."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([Row(doc_id=i, text=base) for i in range(200)])
+    cand = D.minhash_lsh_candidates(df, "doc_id", "text")
+    rows = cand.collect()
+    assert len(rows) == 199
+    assert {(r["a"], r["b"]) for r in rows} == {(0, i) for i in range(1, 200)}
+    surv = D.minhash_dedup(df, "doc_id", "text")
+    assert [r["doc_id"] for r in surv.collect()] == [0]
+
+
 def test_semantic_dedup_cell_cap_drops_megacell(spark):
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(50)]
