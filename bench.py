@@ -55,6 +55,22 @@ BASELINE_JSON = os.path.join(_HERE, "BASELINE_BENCH.json")
 #: path with $SPARK_GRAFT_BENCH_OUT; round-close copies it to BENCH_FULL_rNN).
 PAIRED_JSON = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(_HERE, "BENCH_FULL.json"))
 
+#: Headline queries echoed in the final stdout JSON line. The full suite is
+#: 249 queries, whose per-query dict alone is ~12 kB of JSON — r7's driver
+#: artifact recorded ``"parsed": null`` because the one line overflowed the
+#: driver's tail-capture window. The stdout line therefore carries summary
+#: stats + this curated flagship subset (one per operator family) and points
+#: at the on-disk artifact for the complete per-query data.
+HEADLINE = [
+    "q12_tpch_q1_agg", "q42_minhash_dedup", "q43_simhash_dedup",
+    "q59_minhash_dedup_cc", "q81_semantic_dedup", "q34_cosine_topk",
+    "q34b_ivf_topk", "q120_batch_ann_join", "q120b_batch_ivf_join",
+    "q93_duplicated_spans", "q95_quality_ensemble", "q137_pagerank",
+    "q160_rfm_segmentation", "q216_sequence_packing_plan",
+    "q218_sliding_window_agg", "q223_sql_text_ds5", "q233_sql_text_ds49",
+    "q236_sql_text_ds75", "q238_sql_text_ds67", "q192_sql_text_tpch_q9",
+]
+
 
 def bench_only_queries():
     """B20/B38/B39: approximate & window ops with no deterministic oracle."""
@@ -232,6 +248,22 @@ def main() -> None:
         }
         with open(PAIRED_JSON, "w") as f:
             json.dump(out, f, indent=1)
+        # Compact stdout line: summary stats + the flagship subset only, so
+        # the driver's tail window can parse it (the full 249-query dict is
+        # in PAIRED_JSON / BENCH_FULL_rNN.json).
+        out = {
+            "metric": "bench_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": {q: timings[q] for q in HEADLINE if q in timings},
+            "sf": sf,
+            "n_queries": len(timings),
+            "ratio_overall": round(total / sum(vanilla_t.values()), 3),
+            "ratio_max": out["ratio_max"],
+            "baseline_total": out["baseline_total"],
+            "protocol": "paired-in-process",
+            "full_results": os.path.basename(PAIRED_JSON),
+        }
 
     print(json.dumps(out))
 

@@ -138,13 +138,25 @@ def minhash_lsh_candidates(
       40 at sf1), so small-scale results are bit-identical to the
       all-pairs form.
     - Buckets > ``dense_bucket_limit``: STAR edges to the bucket's min id
-      (B−1 pairs instead of B²/2). A star has the same connected
-      components as the clique, so downstream component clustering
-      (minhash_dedup_cc) keeps identical connectivity per bucket, and
-      every member still gets a direct verification edge against the
-      cluster representative; what's given up is only the redundant
-      member↔member edges of an already-agreeing cluster — each doc has
-      ``bands`` independent chances to link via other buckets.
+      PLUS CHAIN edges between signature-sorted neighbors (≤ 2(B−1) pairs
+      instead of B²/2). The star alone has the same connected components
+      as the clique only BEFORE verification — minhash_dedup/_cc run exact
+      Jaccard on each candidate edge, and in a bucket that mixes two
+      distinct dup clusters (one band-hash collision, shared boilerplate
+      band) members of the cluster NOT containing the bucket-min would
+      only get (min, x) edges that fail verification, silently losing
+      their member↔member pairs. The chain is the second chance: members
+      are ordered by their first minhash value (``h0`` — docs of the same
+      dup cluster agree on each signature slot with probability ≈ their
+      Jaccard, so cluster members sort adjacent with high probability, and
+      exact dups sort identically) and each member is paired with its
+      predecessor, so a foreign cluster inside the bucket forms its own
+      verifiable run of edges. Connectivity through a bucket is therefore
+      preserved whenever adjacent-in-signature-order members verify; a
+      pair can still be missed if every chain/star edge on its path fails
+      verify AND none of its other ``bands`` buckets links it — the same
+      probabilistic contract as LSH itself, measured ≥0.98 candidate
+      recall (tests/test_recall.py).
 
     ``max_bucket_size`` still drops pathological buckets outright (a
     cluster that saturates a full band at that size is exact-dup-shaped —
@@ -159,12 +171,17 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ])
-    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select("_id", "bb.band", "bb.bhash")
+    # ``_sk`` (the first minhash slot) rides along as the chain-edge sort
+    # key for oversize buckets: +8 bytes/row, and same-cluster docs sort
+    # adjacent under it with probability ≈ their Jaccard per slot.
+    banded = sig.select(
+        "_id", F.col("h0").alias("_sk"), F.explode(band_structs).alias("bb")
+    ).select("_id", "_sk", "bb.band", "bb.bhash")
     # ONE window pass over the bucket key annotates each row with its
     # bucket's size and min id — no size/min joins, one exchange.
     bucket = Window.partitionBy("band", "bhash")
     banded = banded.select(
-        "_id", "band", "bhash",
+        "_id", "_sk", "band", "bhash",
         F.count(F.lit(1)).over(bucket).alias("_bsz"),
         F.min("_id").over(bucket).alias("_m"),
     )
@@ -182,13 +199,24 @@ def minhash_lsh_candidates(
         )
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
     )
+    oversize = banded.filter(F.col("_bsz") > dense_bucket_limit)
     star = (
-        banded.filter(
-            (F.col("_bsz") > dense_bucket_limit) & (F.col("_id") != F.col("_m"))
-        )
+        oversize.filter(F.col("_id") != F.col("_m"))
         .select(F.col("_m").alias("a"), F.col("_id").alias("b"))
     )
-    return dense.unionByName(star).distinct()
+    # Chain edges in signature order (docstring above): the sort window
+    # runs only over the oversize subset, so its exchange+sort touches
+    # O(oversize rows), never the whole banded frame.
+    w_chain = Window.partitionBy("band", "bhash").orderBy("_sk", "_id")
+    chain = (
+        oversize.select("_id", "band", "bhash", "_sk", F.lag("_id").over(w_chain).alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "_id").alias("a"),
+            F.greatest("_prev", "_id").alias("b"),
+        )
+    )
+    return dense.unionByName(star).unionByName(chain).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -456,7 +484,18 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup removal at Hamming distance ≤ k over 64-bit simhashes
     (k=0 degenerates to exact-bucket dedup). Drop the larger id of each
-    confirmed pair — same transitive-lite policy as minhash_dedup."""
+    confirmed pair — same transitive-lite policy as minhash_dedup.
+
+    Recall tier — MEASURED, pick deliberately (tests/test_recall.py):
+    the k=3 default is the near-IDENTICAL tier. On the fixture corpus it
+    measures 0.657 recall for one-token edits on ≥60-word docs (short
+    docs flip near-threshold majority bits easily) and only 0.105 on
+    10%-truncation twins; ``hamming_k=10`` recovers 0.925 on the
+    truncation tier at proportionally more candidate pairs (11 pigeonhole
+    blocks). For ≥0.7-Jaccard near-dup detection use ``minhash_dedup``
+    (measured candidate recall ≥0.98 with exact-Jaccard precision 1.0) —
+    simhash's niche is cheap single-signature dedup of near-identical
+    boilerplate, not semantic-distance thresholds."""
     sim = simhash_frame(df, id_col, text_col)
     pairs = simhash_near_dup_pairs(sim, id_col, "_simhash", hamming_k)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
@@ -479,7 +518,10 @@ def _plane_signs(dim: int, plane: int, seed: int) -> list[float]:
 
 
 def _verify_pairs_within_groups(
-    withvec: DataFrame, group_cols: list[str], threshold: float
+    withvec: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    max_group_rows: int = 16_384,
 ) -> DataFrame:
     """Exact-cosine pair verification executed WHERE the vectors already
     are: ``withvec`` is (group_cols..., _id, _v) with each group's members
@@ -488,6 +530,22 @@ def _verify_pairs_within_groups(
     never shuffle — the round-7 sf10 tail bench measured the
     materialize-pairs-then-join-vectors shape at 410M shuffled records /
     190 GB spilled for work whose actual FLOPs are linear-in-N dgemm.
+
+    Hot-group bound (round 8): a pandas group materializes ENTIRELY in one
+    task, and k-means cells / LSH buckets are not balanced — a boilerplate
+    cluster could put millions of vectors in one cell at 100 TB and OOM
+    the executor. Groups larger than ``max_group_rows`` are therefore
+    salted into ``s = ceil(size / max_group_rows)`` hash blocks and every
+    unordered block pair (i ≤ j) becomes its own pandas group: (i, i)
+    verifies the block's internal pairs, (i, j) the cross-block pairs, so
+    the union covers exactly the group's pair set with per-task peak
+    memory ≤ 2·max_group_rows vectors (~16 MB at dim 64). Each member is
+    replicated to its s block pairs — O(size²/max_group_rows) shuffled
+    rows, far below the O(size²) pair-row shape — and the sub-groups are
+    explicitly repartitioned so a hot cell's s² block pairs spread across
+    the cluster instead of serializing in one task. Groups at or under
+    the limit have s=1 and take the exact single-group path, so results
+    (and oracle hashes) at small scale are bit-identical.
 
     A pair that co-occurs in several groups (soft assignment, multiple
     bands) emits once per group, possibly ulp-apart under different dgemm
@@ -498,14 +556,15 @@ def _verify_pairs_within_groups(
     """
     thr = float(threshold)
 
-    def _group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         "_c": pd.Series(dtype="float64")}
+    )
+
+    def _within(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy()
         n = len(ids)
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "_c": pd.Series(dtype="float64")}
-        )
         if n < 2:
             return empty
         X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
@@ -529,7 +588,73 @@ def _verify_pairs_within_groups(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    pairs = withvec.groupBy(*group_cols).applyInPandas(
+    def _cross(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lids = lpdf["_id"].to_numpy()
+        rids = rpdf["_id"].to_numpy()
+        if not len(lids) or not len(rids):
+            return empty
+        L = np.vstack(lpdf["_v"].to_numpy()).astype(np.float64)
+        R = np.vstack(rpdf["_v"].to_numpy()).astype(np.float64)
+        lnorm = np.linalg.norm(L, axis=1)
+        rnorm = np.linalg.norm(R, axis=1)
+        out = []
+        bs = max(1, min(len(lids), 8_388_608 // max(1, len(rids))))
+        for i0 in range(0, len(lids), bs):
+            i1 = min(len(lids), i0 + bs)
+            sims = L[i0:i1] @ R.T
+            den = lnorm[i0:i1, None] * rnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, np.nan, sims / den)
+            rows, cols = np.nonzero(np.round(cos, 4) >= thr)
+            if len(rows):
+                la, rb = lids[rows + i0], rids[cols]
+                out.append(
+                    pd.DataFrame(
+                        {"a": np.minimum(la, rb), "b": np.maximum(la, rb),
+                         "_c": cos[rows, cols]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    def _group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        if gi == gj:
+            return _within(pdf)
+        return _cross(pdf[pdf["_blk"] == gi], pdf[pdf["_blk"] == gj])
+
+    # Per-group size → salt block id → explode into unordered block pairs.
+    # Sizes come from a map-side-combined aggregate broadcast back onto the
+    # frame (one tiny row per group — never a window over the vector rows,
+    # which would cost a second full exchange of the vectors); block count
+    # s=1 for in-limit groups, so the explode is a no-op row-for-row there.
+    sizes = withvec.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
+    sized = withvec.join(F.broadcast(sizes), list(group_cols)).withColumn(
+        "_s",
+        F.ceil(F.col("_gsz") / F.lit(int(max_group_rows))).cast("int"),
+    ).withColumn("_blk", F.pmod(F.xxhash64("_id"), F.col("_s")).cast("int"))
+    block_pairs = F.transform(
+        F.sequence(F.lit(0), F.col("_s") - 1),
+        lambda j: F.struct(
+            F.least(F.col("_blk"), j.cast("int")).alias("gi"),
+            F.greatest(F.col("_blk"), j.cast("int")).alias("gj"),
+        ),
+    )
+    exploded = (
+        sized.select(
+            *group_cols, "_id", "_v", "_blk",
+            F.explode(block_pairs).alias("_gp"),
+        )
+        .select(
+            *group_cols, "_id", "_v", "_blk",
+            F.col("_gp.gi").alias("_gi"), F.col("_gp.gj").alias("_gj"),
+        )
+        # spread a hot group's block pairs across tasks: without this the
+        # child partitioning (group key only) satisfies the grouping
+        # requirement and every block pair of a hot cell serializes in
+        # one task — memory-safe but single-threaded.
+        .repartition(*group_cols, "_gi", "_gj")
+    )
+    pairs = exploded.groupBy(*group_cols, "_gi", "_gj").applyInPandas(
         _group_pairs, "a long, b long, _c double"
     )
     return (
@@ -549,6 +674,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = 10_000,
+    max_group_rows: int = 16_384,
 ) -> DataFrame:
     """Cosine near-dup pairs via *banded* random-hyperplane (sign) LSH.
 
@@ -613,7 +739,7 @@ def embedding_near_dup_pairs(
         )
         banded = banded.join(ok, ["band", "bkey"], "left_semi")
     withv = banded.join(base, "_id")
-    return _verify_pairs_within_groups(withv, ["band", "bkey"], threshold)
+    return _verify_pairs_within_groups(withv, ["band", "bkey"], threshold, max_group_rows)
 
 
 def semantic_dedup_pairs(
@@ -626,6 +752,7 @@ def semantic_dedup_pairs(
     probes: int = 2,
     max_cell_size: int | None = 50_000,
     centroids: list[tuple[int, list[float]]] | None = None,
+    max_group_rows: int = 16_384,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster embeddings with the
     IVF coarse quantizer, then verify exact cosine ONLY within a cluster
@@ -725,7 +852,7 @@ def semantic_dedup_pairs(
     # 26x superlinear while the pair FLOPs (linear, ~6.5 GFLOP of dgemm)
     # were never the problem.
     withv = assigned.join(base, "_id")
-    return _verify_pairs_within_groups(withv, ["cell"], threshold)
+    return _verify_pairs_within_groups(withv, ["cell"], threshold, max_group_rows)
 
 
 def fit_semantic_centroids(

@@ -61,7 +61,18 @@ def _with_range_pid(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
     blocks are released by the ContextCleaner as soon as the caller drops
     the result DataFrame, so a bench sweep over dozens of prefix queries
     accumulates nothing for the session lifetime. The frame is the
-    narrow per-entity aggregate (not the fact table)."""
+    narrow per-entity aggregate (not the fact table).
+
+    Fault-tolerance trade: ``localCheckpoint`` stores blocks on executor
+    LOCAL storage and truncates lineage, so on a cluster the loss of an
+    executor after materialization makes its blocks unrecoverable — the
+    query fails and must be retried at job level, where ``persist()``
+    would have allowed partition recompute. Acceptable here because the
+    pinned frame is the narrow per-entity aggregate (cheap to re-run
+    end-to-end) and the alternative leaks CacheManager entries across a
+    sweep; callers running long multi-tenant jobs on preemptible
+    executors should expect job-level retry semantics for the prefix
+    primitives."""
     return (
         df.repartitionByRange(*order)
         .withColumn(_PID, F.spark_partition_id())

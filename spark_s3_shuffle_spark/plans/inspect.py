@@ -122,7 +122,16 @@ def executed_shuffle_metrics(spark, run, tag: str) -> dict:
     exchanges), and spill. Stages with status SKIPPED (reused exchange)
     contribute zero — precisely the difference between the plan text
     and what ran. Mirrors the reference's write-side metering
-    (S3MeasureOutputStream.scala:8-65) at stage granularity."""
+    (S3MeasureOutputStream.scala:8-65) at stage granularity.
+
+    Eviction guard: the AppStatusStore retains only
+    ``spark.ui.retainedStages`` entries (Spark default 1000), so in a long
+    sweep stages of an earlier-tagged job can be evicted by later work and
+    the aggregate would silently undercount. ``get_spark`` raises the
+    retention for tool sessions; independently, any tagged stage id NOT
+    found in the store marks the result ``"partial": True`` with the
+    missing count, so an undercount is flagged instead of reported as a
+    clean low number."""
     sc = spark.sparkContext
     jvm = sc._jvm
     sc.setJobGroup(tag, tag)
@@ -151,10 +160,12 @@ def executed_shuffle_metrics(spark, run, tag: str) -> dict:
         "disk_bytes_spilled": 0,
         "memory_bytes_spilled": 0,
     }
+    seen_sids = set()
     for i in range(stages.size()):
         s = stages.apply(i)
         if int(s.stageId()) not in sids:
             continue
+        seen_sids.add(int(s.stageId()))
         status = str(s.status())
         if status == "SKIPPED":
             agg["stages_skipped"] += 1
@@ -169,6 +180,10 @@ def executed_shuffle_metrics(spark, run, tag: str) -> dict:
         agg["memory_bytes_spilled"] += int(s.memoryBytesSpilled())
         if wb > 0:
             agg["exchanges_executed"] += 1
+    missing = sids - seen_sids
+    if missing:
+        agg["partial"] = True
+        agg["missing_stage_ids"] = len(missing)
     agg["result"] = result
     return agg
 

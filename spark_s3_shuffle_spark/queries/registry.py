@@ -638,11 +638,23 @@ def get_ivf_index(spark: SparkSession, sf_dir: str) -> SIM.IVFIndex:
 
 
 def _ivf_nprobe(index: SIM.IVFIndex, floor: int = 3) -> int:
-    """nprobe sized to the auto-scaled quantizer: ~1/8 of the cells, floored.
-    Keeps the scanned fraction roughly constant as cells grow ~sqrt(N)
-    (scan cost per probe ~ nprobe * N/cells ~ N/8... of sqrt(N)-sized
-    cells => O(sqrt(N)) work per probe at any corpus size)."""
-    return max(floor, index.num_cells // 8)
+    """nprobe sized to the auto-scaled quantizer: ~2*log2(cells), floored.
+
+    The round-7 rule (cells/8) made nprobe itself grow ~sqrt(N), so
+    per-probe scan cost was nprobe * N/cells ~ N/8 — a constant SCANNED
+    FRACTION, i.e. still linear in the corpus, a constant-factor win only
+    (the r7 comment's 'O(sqrt(N)) per probe' conflated per-CELL and total
+    work — ADVICE r7). With nprobe ~ log(cells) the per-probe cost is
+    O(log N * sqrt(N)) — genuinely sublinear — at the standard IVF recall
+    trade: the scanned fraction shrinks as the corpus grows, relying on
+    the quantizer's cell granularity growing with it (finer cells
+    concentrate a probe's true neighbors into fewer cells, the same
+    contract FAISS operates under with corpus-independent nprobe).
+    Measured at the q120b sf10 tail: the r7 rule burned 34.6x wall for
+    10x data; see BENCH_SF10_TAIL.json for the post-change ratio."""
+    import math
+
+    return max(floor, 2 * max(1, int(math.log2(max(2, index.num_cells)))))
 
 
 _PROBE_CACHE: dict[tuple[str, str], list] = {}
@@ -1199,7 +1211,9 @@ def q42(spark, sf_dir):
     " near-IDENTICAL tier). Measured recall (tests/test_recall.py):"
     " 0.657 for one-token edits on >=60-word docs (floor 0.6; short docs"
     " flip near-threshold majority bits), 0.105 on 10%-truncation twins"
-    " (that tier belongs to MinHash; k=10 measures 0.925).",
+    " (that tier belongs to MinHash; k=10 measures 0.925). For >=0.7-"
+    "Jaccard thresholds prefer q42/minhash_dedup: measured candidate"
+    " recall >=0.98, precision 1.0.",
     tags=("hash-specific",),
 )
 def q43(spark, sf_dir):

@@ -112,6 +112,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # AppStatusStore retention: the executed-plan shuffle metering
+        # (plans/inspect.py executed_shuffle_metrics) reads per-stage task
+        # metrics from the store after the fact; Spark's default of 1000
+        # retained stages silently evicts early stages in a 246-query sweep.
+        # Cost is listener-memory only (~KB/stage).
+        .config("spark.ui.retainedStages", "40000")
+        .config("spark.ui.retainedJobs", "40000")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
