@@ -648,11 +648,11 @@ def _verify_pairs_within_groups(
             *group_cols, "_id", "_v", "_blk",
             F.col("_gp.gi").alias("_gi"), F.col("_gp.gj").alias("_gj"),
         )
-        # spread a hot group's block pairs across tasks: without this the
-        # child partitioning (group key only) satisfies the grouping
-        # requirement and every block pair of a hot cell serializes in
-        # one task — memory-safe but single-threaded.
-        .repartition(*group_cols, "_gi", "_gj")
+        # No explicit repartition: the frame is partitioned by _id (the
+        # vector join key), which does NOT satisfy the grouping
+        # requirement, so groupBy inserts exactly one exchange on
+        # (group, _gi, _gj) — a hot group's block pairs land in distinct
+        # partitions and run in parallel for free.
     )
     pairs = exploded.groupBy(*group_cols, "_gi", "_gj").applyInPandas(
         _group_pairs, "a long, b long, _c double"

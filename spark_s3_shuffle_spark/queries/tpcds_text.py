@@ -756,6 +756,466 @@ LIMIT 100
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-8 pack: the demographic/address/promotion/time dims (sources/tpcds.py
+# round-8 derivations) unlock these 16 further official texts. Adaptations
+# follow the pack contract above, plus three new ones applied uniformly:
+#
+# - AVG is rewritten as CAST(ROUND(CAST(SUM(x) AS DOUBLE)/COUNT(*), 4) AS
+#   DOUBLE) - exact DECIMAL/INT accumulation, ONE IEEE division at the end
+#   (engine AVG-over-DECIMAL result types differ: Spark DECIMAL(p+4,s+4),
+#   DuckDB DOUBLE - measured).
+# - "x > 1.3 * avg(y)" correlated predicates are cross-multiplied against a
+#   pre-aggregated (SUM, COUNT) pair so the comparison is a fixed-shape
+#   double expression, never a decimal-vs-double boundary.
+# - Every ORDER BY lists ALL output columns: rows tying on the full output
+#   row are indistinguishable, so a LIMIT cut yields the same multiset in
+#   both engines.
+# - The single-role customer mapping (ws_customer_sk standing in for
+#   ws_bill_/ws_ship_customer_sk etc.) follows the fixture's
+#   one-customer-per-order semantics, documented in sources/tpcds.py.
+
+
+_ds(
+    "q239_sql_text_ds6",
+    "TPC-DS Q6 (states where customers bought items priced >=1.2x their category average, one month): the category average is a 6-row broadcast aggregate; the fact joins customer/address dims on the customer key. avg rewritten cross-multiplied (pack contract).",
+    """
+WITH cat_avg AS (
+  SELECT i_category AS cat, SUM(i_current_price) AS sp, COUNT(*) AS np
+  FROM item GROUP BY i_category)
+SELECT ca_state AS state, COUNT(*) AS cnt
+FROM customer_address a, customer c, store_sales s, date_dim d, item i, cat_avg j
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_year = 2000 AND d.d_moy = 5
+  AND i.i_category = j.cat
+  AND CAST(i.i_current_price AS DOUBLE) * CAST(j.np AS DOUBLE)
+      > 1.01 * CAST(j.sp AS DOUBLE)
+GROUP BY ca_state
+HAVING COUNT(*) >= 10
+ORDER BY cnt, state
+LIMIT 100
+""",
+)
+
+_ds(
+    "q240_sql_text_ds7",
+    "TPC-DS Q7 (item averages for one demographic slice under promotion filters): fact x broadcast cd (2800 rows) x broadcast promotion (100 rows) x date/item dims, grouped on i_item_id. AVGs are the rewritten exact SUM/COUNT form.",
+    """
+SELECT i_item_id,
+       CAST(ROUND(CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg1,
+       CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg2,
+       CAST(ROUND(CAST(SUM(ss_coupon_amt) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg3,
+       CAST(ROUND(CAST(SUM(ss_sales_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q241_sql_text_ds10",
+    "TPC-DS Q10 (demographic counts for customers active in-store AND on web-or-catalog, by county): three correlated EXISTS over the channels - planned as semi joins on the customer key, each channel aggregated before the join at scale.",
+    """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2, cd_credit_rating, COUNT(*) AS cnt3,
+       cd_dep_count, COUNT(*) AS cnt4, cd_dep_employed_count, COUNT(*) AS cnt5,
+       cd_dep_college_count, COUNT(*) AS cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('COUNTY_1', 'COUNTY_5', 'COUNTY_9', 'COUNTY_13', 'COUNTY_17')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""",
+)
+
+_ds(
+    "q242_sql_text_ds13",
+    "TPC-DS Q13 (store-sales averages under OR-of-ANDs demographic and address bands): the classic multi-band OR join - each branch carries its own demo-key equality plus a money band. One output row; AVGs in the rewritten exact form.",
+    """
+SELECT CAST(ROUND(CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_esp,
+       CAST(ROUND(CAST(SUM(ss_ext_wholesale_cost) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_ewc,
+       CAST(ROUND(SUM(ss_ext_wholesale_cost), 2) AS DOUBLE) AS sum_ewc
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 10000.00 AND 50000.00 AND hd_dep_count = 3)
+       OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'S' AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 5000.00 AND 30000.00 AND hd_dep_count = 1)
+       OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 15000.00 AND 60000.00 AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'UNITED STATES'
+        AND ca_state IN ('STATE_1', 'STATE_4', 'STATE_7')
+        AND ss_net_profit BETWEEN 100 AND 2000)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'UNITED STATES'
+           AND ca_state IN ('STATE_2', 'STATE_5', 'STATE_8')
+           AND ss_net_profit BETWEEN 150 AND 3000)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'UNITED STATES'
+           AND ca_state IN ('STATE_0', 'STATE_3', 'STATE_9')
+           AND ss_net_profit BETWEEN 50 AND 2500))
+""",
+)
+
+_ds(
+    "q243_sql_text_ds19",
+    "TPC-DS Q19 (brand revenue where the customer home zip differs from the store zip, one manager-month): customer/address join on the customer key, zip-mismatch residual on the broadcast store dim.",
+    """
+SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id, i_manufact,
+       CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS ext_price
+FROM date_dim, store_sales, item, customer, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+  AND SUBSTR(ca_zip, 1, 5) <> SUBSTR(s_zip, 1, 5) AND ss_store_sk = s_store_sk
+GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, brand_id, brand, i_manufact_id, i_manufact
+LIMIT 100
+""",
+)
+
+_ds(
+    "q244_sql_text_ds26",
+    "TPC-DS Q26 (catalog twin of Q7): catalog channel x broadcast cd and promotion dims, grouped on i_item_id, exact-form AVGs.",
+    """
+SELECT i_item_id,
+       CAST(ROUND(CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg1,
+       CAST(ROUND(CAST(SUM(cs_list_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg2,
+       CAST(ROUND(CAST(SUM(cs_coupon_amt) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg3,
+       CAST(ROUND(CAST(SUM(cs_sales_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'F' AND cd_marital_status = 'D'
+  AND cd_education_status = '4 yr Degree'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q245_sql_text_ds27",
+    "TPC-DS Q27 (item/state ROLLUP of demographic-sliced store sales): 2-level rollup over the post-join aggregate, GROUPING() level marker, NULLS FIRST pinned ordering.",
+    """
+SELECT i_item_id, s_state, CAST(GROUPING(s_state) AS INT) AS g_state,
+       CAST(ROUND(CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg1,
+       CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg2,
+       CAST(ROUND(CAST(SUM(ss_coupon_amt) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg3,
+       CAST(ROUND(CAST(SUM(ss_sales_price) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'F' AND cd_marital_status = 'M'
+  AND cd_education_status = 'Primary'
+  AND d_year = 1999
+  AND s_state IN ('NATION_0', 'NATION_3', 'NATION_5', 'NATION_8',
+                  'NATION_11', 'NATION_14', 'NATION_17', 'NATION_21')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST, g_state, agg1, agg2, agg3, agg4
+LIMIT 100
+""",
+)
+
+_ds(
+    "q246_sql_text_ds32",
+    "TPC-DS Q32 (catalog excess discount: discounts more than 1.3x the item 90-day average): the per-item average is a pre-aggregated (SUM, COUNT) join, compared cross-multiplied in doubles - no correlated re-scan, no decimal-vs-double boundary.",
+    """
+WITH window_sales AS (
+  SELECT cs_item_sk AS wsk, SUM(cs_ext_discount_amt) AS wsum, COUNT(*) AS wcnt
+  FROM catalog_sales, date_dim
+  WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+    AND d_date_sk = cs_sold_date_sk
+  GROUP BY cs_item_sk)
+SELECT CAST(ROUND(SUM(cs_ext_discount_amt), 2) AS DOUBLE) AS excess_discount_amount
+FROM catalog_sales, item, date_dim, window_sales
+WHERE i_manufact_id = 77 AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = cs_sold_date_sk AND cs_item_sk = wsk
+  AND CAST(cs_ext_discount_amt AS DOUBLE) * CAST(wcnt AS DOUBLE)
+      > 1.3 * CAST(wsum AS DOUBLE)
+""",
+)
+
+_ds(
+    "q247_sql_text_ds35",
+    "TPC-DS Q35 (demographic profile of multi-channel-active customers, by state): EXISTS over the store channel AND (web OR catalog), integer MAX/SUM/COUNT per dependent-count column (the official avg/max/sum triple with avg replaced by exact SUM+COUNT).",
+    """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       COUNT(*) AS cnt1,
+       MAX(cd_dep_count) AS max_dep, SUM(cd_dep_count) AS sum_dep,
+       cd_dep_employed_count,
+       MAX(cd_dep_employed_count) AS max_emp, SUM(cd_dep_employed_count) AS sum_emp,
+       cd_dep_college_count,
+       MAX(cd_dep_college_count) AS max_col, SUM(cd_dep_college_count) AS sum_col
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_qoy < 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""",
+)
+
+_ds(
+    "q248_sql_text_ds45",
+    "TPC-DS Q45 (web revenue by customer zip/city for a zip list OR a primes item list): the item IN-subquery is a broadcast semi join; address resolves through the customer current address.",
+    """
+SELECT ca_zip, ca_city, CAST(ROUND(SUM(ws_sales_price), 2) AS DOUBLE) AS sum_ws
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+  AND (ca_zip IN ('10005', '10010', '10015', '10020', '10025')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND d_qoy = 2 AND d_year = 2000
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city, sum_ws
+LIMIT 100
+""",
+)
+
+_ds(
+    "q249_sql_text_ds56",
+    "TPC-DS Q56 (color-filtered item revenue summed across all three channels, one month, one gmt offset): per-channel aggregates UNION ALL then re-aggregated - each channel shrinks before the union, the cross-channel key is the bounded item id.",
+    """
+WITH ssales AS (
+  SELECT i_item_id AS item_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('COLOR_1', 'COLOR_13', 'COLOR_29'))
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+csales AS (
+  SELECT i_item_id AS item_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('COLOR_1', 'COLOR_13', 'COLOR_29'))
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND cs_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+wsales AS (
+  SELECT i_item_id AS item_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('COLOR_1', 'COLOR_13', 'COLOR_29'))
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND ws_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id)
+SELECT item_id, CAST(ROUND(SUM(total_sales), 2) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ssales UNION ALL SELECT * FROM csales
+      UNION ALL SELECT * FROM wsales) tmp1
+GROUP BY item_id
+ORDER BY total_sales, item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q250_sql_text_ds61",
+    "TPC-DS Q61 (promotional share of revenue for one category/month/ timezone): two single-row aggregate CTEs cross-joined; the ratio is ONE IEEE division of identically-derived doubles.",
+    """
+WITH promotional_sales AS (
+  SELECT SUM(ss_ext_sales_price) AS promotions
+  FROM store_sales, store, promotion, date_dim, customer, customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+    AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5 AND i_category = 'PROMO'
+    AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+    AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11),
+all_sales AS (
+  SELECT SUM(ss_ext_sales_price) AS total
+  FROM store_sales, store, date_dim, customer, customer_address, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+    AND ca_gmt_offset = -5 AND i_category = 'PROMO'
+    AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11)
+SELECT CAST(ROUND(promotions, 2) AS DOUBLE) AS promotions,
+       CAST(ROUND(total, 2) AS DOUBLE) AS total,
+       CAST(ROUND(CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100, 4) AS DOUBLE) AS ratio
+FROM promotional_sales, all_sales
+""",
+)
+
+_ds(
+    "q251_sql_text_ds69",
+    "TPC-DS Q69 (demographics of store-only customers in given states: bought in-store but NOT on web or catalog in the window): one EXISTS plus two NOT EXISTS anti joins on the customer key.",
+    """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2, cd_credit_rating, COUNT(*) AS cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('STATE_1', 'STATE_4', 'STATE_8')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 1 AND 3)
+  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+                  WHERE c.c_customer_sk = ws_customer_sk
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 1 AND 3)
+  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 1 AND 3)
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100
+""",
+)
+
+_ds(
+    "q252_sql_text_ds73",
+    "TPC-DS Q73 (customers with 1-5 items per ticket on month-start shopping days, by household profile): ticket-grain count then a customer join; the official dep/vehicle ratio predicate is rewritten as exact integer comparison (engines disagree on division-by-zero).",
+    """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND d_dom BETWEEN 1 AND 2
+        AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+        AND hd_vehicle_count > 0 AND hd_dep_count > hd_vehicle_count
+        AND d_year IN (1999, 2000, 2001)
+        AND s_county IN ('COUNTY_1', 'COUNTY_4', 'COUNTY_8', 'COUNTY_12')
+      GROUP BY ss_ticket_number, ss_customer_sk) dj, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name, c_first_name, c_salutation,
+         c_preferred_cust_flag, ss_ticket_number
+LIMIT 100
+""",
+)
+
+_ds(
+    "q253_sql_text_ds79",
+    "TPC-DS Q79 (per-ticket coupon amount and profit on Mondays at mid-size stores for high-dependency households): ticket-grain aggregate then customer join; ORDER BY covers every output column so the LIMIT cut is multiset-deterministic.",
+    """
+SELECT c_last_name, c_first_name, SUBSTR(s_city, 1, 30) AS city,
+       ss_ticket_number,
+       CAST(ROUND(amt, 2) AS DOUBLE) AS amt,
+       CAST(ROUND(profit, 2) AS DOUBLE) AS profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, s_city,
+             SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+        AND d_dow = 1 AND d_year IN (1999, 2000, 2001)
+        AND s_number_employees BETWEEN 20 AND 60
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_store_sk, s_city) ms, customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city, profit, amt, ss_ticket_number
+LIMIT 100
+""",
+)
+
+_ds(
+    "q254_sql_text_ds84",
+    "TPC-DS Q84 (customers in one city within an income-band range whose demographics appear on a store return): the income_band / household / customer-demographics snowflake chain ends in a returns-fact join; duplicate rows per matching return are the official semantics (multiset-deterministic).",
+    """
+SELECT c_customer_id AS customer_id,
+       c_last_name || ', ' || c_first_name AS customername
+FROM customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'CITY_23' AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000 AND ib_upper_bound <= 80000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY customer_id, customername
+LIMIT 100
+""",
+)
+
+_ds(
+    "q255_sql_text_ds92",
+    "TPC-DS Q92 (web excess discount - the web twin of Q32): same pre-aggregated (SUM, COUNT) window join and cross-multiplied comparison, over the web channel.",
+    """
+WITH window_sales AS (
+  SELECT ws_item_sk AS wsk, SUM(ws_ext_discount_amt) AS wsum, COUNT(*) AS wcnt
+  FROM web_sales, date_dim
+  WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+    AND d_date_sk = ws_sold_date_sk
+  GROUP BY ws_item_sk)
+SELECT CAST(ROUND(SUM(ws_ext_discount_amt), 2) AS DOUBLE) AS excess_discount_amount
+FROM web_sales, item, date_dim, window_sales
+WHERE i_manufact_id = 350 AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = ws_sold_date_sk AND ws_item_sk = wsk
+  AND CAST(ws_ext_discount_amt AS DOUBLE) * CAST(wcnt AS DOUBLE)
+      > 1.3 * CAST(wsum AS DOUBLE)
+""",
+)
+
+_ds(
+    "q256_sql_text_ds96",
+    "TPC-DS Q96 (count of half-past-eight-PM store sales for seven-dependent households at one store): the time_dim join exercises the synthesized second-of-day sk; every dim side is broadcast-sized.",
+    """
+SELECT COUNT(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND t_hour = 20 AND t_minute >= 30
+  AND hd_dep_count = 7 AND s_store_name = 'Supplier#000000003'
+""",
+)
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and

@@ -106,13 +106,19 @@ _DATE_DIM = f"""
 
 _ITEM = """
   SELECT p_partkey AS i_item_sk,
+         'ITEM_' || p_partkey AS i_item_id,
          p_name AS i_item_desc,
          p_name AS i_product_name,
          p_brand AS i_brand,
+         CAST(MOD(p_partkey, 50) AS INT) AS i_brand_id,
          p_brand AS i_class,
+         CAST(MOD(p_partkey, 20) AS INT) AS i_class_id,
          p_type AS i_category,
+         CAST(MOD(p_partkey, 6) AS INT) AS i_category_id,
+         'MFR_' || MOD(p_partkey, 1000) AS i_manufact,
          CAST(MOD(p_partkey, 1000) AS INT) AS i_manufact_id,
          CAST(MOD(p_partkey, 100) AS INT) AS i_manager_id,
+         'COLOR_' || MOD(p_partkey, 40) AS i_color,
          CAST(p_retailprice AS DECIMAL(18,6)) AS i_current_price
   FROM part
 """
@@ -121,8 +127,154 @@ _STORE = """
   SELECT s_suppkey AS s_store_sk,
          s_name AS s_store_name,
          s_name AS s_store_id,
-         n_name AS s_state
+         n_name AS s_state,
+         'CITY_' || MOD(s_suppkey, 30) AS s_city,
+         'COUNTY_' || MOD(s_suppkey, 15) AS s_county,
+         (10000 + MOD(s_suppkey, 50)) || '' AS s_zip,
+         CAST(-5 - MOD(s_suppkey, 3) AS INT) AS s_gmt_offset,
+         CAST(MOD(s_suppkey, 300) + 1 AS INT) AS s_number_employees,
+         CAST((MOD(s_suppkey, 90) + 1) * 1000 AS INT) AS s_floor_space
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def _digits(n: int) -> str:
+    """VALUES list (0),(1),...,(n-1) — the engine-portable row generator
+    (both engines parse ``(VALUES ...) AS t(i)``; sequence/range table
+    functions are NOT shared syntax). Keeps demographic enumerations
+    scale-INDEPENDENT: deriving them from a base table would shrink the
+    domain at small fixtures."""
+    return ",".join(f"({i})" for i in range(n))
+
+
+#: customer_demographics: full cross product gender(2) x marital(5) x
+#: education(7) x purchase_estimate(10) x credit_rating(4) = 2800 rows,
+#: sk = 1 + g + 2*(m + 5*(e + 7*(pe + 10*cr))) — a bijection, so every
+#: sales row's cd_demo_sk (MOD-derived in the fact templates) hits
+#: exactly one demographics row. Dependent counts are MOD projections of
+#: the sk (deterministic, both-engine-identical integer arithmetic).
+_CUSTOMER_DEMOGRAPHICS = f"""
+  SELECT CAST(1 + g.i + 2 * (m.i + 5 * (e.i + 7 * (pe.i + 10 * cr.i))) AS INT) AS cd_demo_sk,
+         CASE g.i WHEN 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         CASE m.i WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D'
+                  WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+         CASE e.i WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+                  WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+                  WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+                  ELSE 'Unknown' END AS cd_education_status,
+         CAST(500 * (pe.i + 1) AS INT) AS cd_purchase_estimate,
+         CASE cr.i WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+                   WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         CAST(MOD(g.i + 2 * (m.i + 5 * (e.i + 7 * (pe.i + 10 * cr.i))), 7) AS INT) AS cd_dep_count,
+         CAST(MOD(g.i + 2 * (m.i + 5 * (e.i + 7 * (pe.i + 10 * cr.i))), 5) AS INT) AS cd_dep_employed_count,
+         CAST(MOD(g.i + 2 * (m.i + 5 * (e.i + 7 * (pe.i + 10 * cr.i))), 3) AS INT) AS cd_dep_college_count
+  FROM (VALUES {_digits(2)}) AS g(i)
+  CROSS JOIN (VALUES {_digits(5)}) AS m(i)
+  CROSS JOIN (VALUES {_digits(7)}) AS e(i)
+  CROSS JOIN (VALUES {_digits(10)}) AS pe(i)
+  CROSS JOIN (VALUES {_digits(4)}) AS cr(i)
+"""
+
+#: household_demographics: buy_potential(6) x dep_count(10) x
+#: vehicle(12) = 720 rows, sk = 1 + b + 6*(d + 10*v).
+_HOUSEHOLD_DEMOGRAPHICS = f"""
+  SELECT CAST(1 + b.i + 6 * (d.i + 10 * v.i) AS INT) AS hd_demo_sk,
+         CAST(1 + MOD(b.i + 6 * (d.i + 10 * v.i), 20) AS INT) AS hd_income_band_sk,
+         CASE b.i WHEN 0 THEN '0-500' WHEN 1 THEN '501-1000'
+                  WHEN 2 THEN '1001-5000' WHEN 3 THEN '5001-10000'
+                  WHEN 4 THEN '>10000' ELSE 'Unknown' END AS hd_buy_potential,
+         CAST(d.i AS INT) AS hd_dep_count,
+         CAST(v.i - 1 AS INT) AS hd_vehicle_count
+  FROM (VALUES {_digits(6)}) AS b(i)
+  CROSS JOIN (VALUES {_digits(10)}) AS d(i)
+  CROSS JOIN (VALUES {_digits(12)}) AS v(i)
+"""
+
+#: promotion: 100 rows, channel flags from the sk's bits.
+_PROMOTION = f"""
+  SELECT CAST(1 + lo.i + 10 * hi.i AS INT) AS p_promo_sk,
+         'PROMO_' || (lo.i + 10 * hi.i) AS p_promo_id,
+         'promo_name_' || MOD(lo.i + 10 * hi.i, 20) AS p_promo_name,
+         CASE WHEN MOD(lo.i + 10 * hi.i, 2) = 0 THEN 'N' ELSE 'Y' END AS p_channel_dmail,
+         CASE WHEN MOD(lo.i + 10 * hi.i, 3) = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+         CASE WHEN MOD(lo.i + 10 * hi.i, 5) = 0 THEN 'N' ELSE 'Y' END AS p_channel_tv,
+         CASE WHEN MOD(lo.i + 10 * hi.i, 7) = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+         CAST(MOD(lo.i + 10 * hi.i, 1000) AS INT) AS p_response_target
+  FROM (VALUES {_digits(10)}) AS lo(i)
+  CROSS JOIN (VALUES {_digits(10)}) AS hi(i)
+"""
+
+#: income_band: 20 bands of 10000, sk-aligned with
+#: household_demographics.hd_income_band_sk (1..20).
+_INCOME_BAND = f"""
+  SELECT CAST(1 + lo.i + 10 * hi.i AS INT) AS ib_income_band_sk,
+         CAST((lo.i + 10 * hi.i) * 10000 AS INT) AS ib_lower_bound,
+         CAST((lo.i + 10 * hi.i + 1) * 10000 - 1 AS INT) AS ib_upper_bound
+  FROM (VALUES {_digits(10)}) AS lo(i)
+  CROSS JOIN (VALUES {_digits(2)}) AS hi(i)
+"""
+
+#: time_dim: the distinct synthesized second-of-day sks the fact
+#: templates emit (TPC-H carries no time of day; the sk expression here
+#: and in _SALES_TMPL are IDENTICAL by construction, so every fact row
+#: joins). Hour/minute/second decompose the sk in integer arithmetic.
+_TIME_DIM = """
+  SELECT t_time_sk,
+         CAST(FLOOR(t_time_sk / 3600.0) AS INT) AS t_hour,
+         CAST(FLOOR(MOD(t_time_sk, 3600) / 60.0) AS INT) AS t_minute,
+         CAST(MOD(t_time_sk, 60) AS INT) AS t_second,
+         CASE WHEN t_time_sk < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm,
+         CASE WHEN t_time_sk >= 64800 AND t_time_sk < 72000
+              THEN 'dinner' ELSE 'other' END AS t_meal_time
+  FROM (
+    SELECT DISTINCT CAST(MOD(l_orderkey * 3600 + l_linenumber * 731 + l_partkey, 86400) AS INT) AS t_time_sk
+    FROM lineitem
+  ) tsk
+"""
+
+#: DS customer + customer_address. Both key on o_custkey — NOT the base
+#: ``customer`` table — because a CTE named ``customer`` cannot read a
+#: base view of the same name portably (DuckDB binds the inner reference
+#: to the CTE itself: "Circular reference", measured; Spark resolves it
+#: to the base view). The population is therefore customers with >=1
+#: order — exactly the rows any DS query can reach through a fact join
+#: or channel-EXISTS — and every non-key attribute is synthesized
+#: deterministically from the key in both-engine-identical integer
+#: arithmetic. The demographic sks mix through a PRIME modulus first
+#: (MOD(k*a + b, 7919) then the domain): a plain linear MOD correlates
+#: with the address attributes (ca_city = key mod 60 fixes key mod 20,
+#: making any linear sk CONSTANT mod 20 within a city — the ds84
+#: city x income-band slice was structurally empty until this mix). The fact templates' {p}_customer_sk/{p}_addr_sk are
+#: o_custkey, so joins hit by construction.
+_CUSTOMER_DS = """
+  SELECT o_custkey AS c_customer_sk,
+         'CUST_' || o_custkey AS c_customer_id,
+         'CFIRST_' || MOD(o_custkey, 97) AS c_first_name,
+         'CLAST_' || MOD(o_custkey, 89) AS c_last_name,
+         CASE WHEN MOD(o_custkey, 2) = 0 THEN 'M' ELSE 'F' END AS c_salutation,
+         CASE WHEN MOD(o_custkey, 3) = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+         CAST(1924 + MOD(o_custkey, 70) AS INT) AS c_birth_year,
+         CAST(1 + MOD(o_custkey, 12) AS INT) AS c_birth_month,
+         'COUNTRY_' || MOD(o_custkey, 25) AS c_birth_country,
+         o_custkey AS c_current_addr_sk,
+         CAST(1 + MOD(MOD(o_custkey * 6791 + 3, 7919), 2800) AS INT) AS c_current_cdemo_sk,
+         CAST(1 + MOD(MOD(o_custkey * 4507 + 11, 7919), 720) AS INT) AS c_current_hdemo_sk
+  FROM (SELECT DISTINCT o_custkey FROM orders) ck
+"""
+
+_CUSTOMER_ADDRESS = """
+  SELECT o_custkey AS ca_address_sk,
+         'ADDR_' || o_custkey AS ca_address_id,
+         'STREET_' || MOD(o_custkey, 200) AS ca_street_name,
+         'CITY_' || MOD(o_custkey, 60) AS ca_city,
+         'COUNTY_' || MOD(o_custkey, 30) AS ca_county,
+         'STATE_' || MOD(o_custkey, 10) AS ca_state,
+         (10000 + MOD(o_custkey, 50)) || '' AS ca_zip,
+         'UNITED STATES' AS ca_country,
+         CAST(-5 - MOD(o_custkey, 3) AS INT) AS ca_gmt_offset,
+         CASE MOD(o_custkey, 3) WHEN 0 THEN 'apartment'
+              WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
+  FROM (SELECT DISTINCT o_custkey FROM orders) ak
 """
 
 #: One sales-channel body; {mod} selects the channel partition and {p}
@@ -144,7 +296,17 @@ _SALES_TMPL = """
          CAST(l_extendedprice AS DECIMAL(18,6))
            * CAST(0.9 AS DECIMAL(18,6)) AS {p}_ext_wholesale_cost,
          CAST(l_extendedprice AS DECIMAL(18,6))
-           * (CAST(0.1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS {p}_net_profit
+           * (CAST(0.1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS {p}_net_profit,
+         CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_cdemo_sk,
+         CAST(1 + MOD(o_custkey * 11 + l_suppkey, 720) AS INT) AS {p}_hdemo_sk,
+         o_custkey AS {p}_addr_sk,
+         CAST(1 + MOD(l_orderkey + l_partkey, 100) AS INT) AS {p}_promo_sk,
+         CAST(MOD(l_orderkey * 3600 + l_linenumber * 731 + l_partkey, 86400) AS INT) AS {p}_sold_time_sk,
+         CAST(l_extendedprice AS DECIMAL(18,6)) AS {p}_list_price,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_sales_price,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_discount AS DECIMAL(18,6)) AS {p}_coupon_amt
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod}
 """
@@ -162,7 +324,11 @@ _RETURNS_TMPL = """
          CAST(l_extendedprice AS DECIMAL(18,6))
            * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_return_amt,
          CAST(l_extendedprice AS DECIMAL(18,6))
-           * CAST(l_tax AS DECIMAL(18,6)) AS {p}_net_loss
+           * CAST(l_tax AS DECIMAL(18,6)) AS {p}_net_loss,
+         CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_cdemo_sk,
+         CAST(1 + MOD(o_custkey * 11 + l_suppkey, 720) AS INT) AS {p}_hdemo_sk,
+         o_custkey AS {p}_addr_sk,
+         o_custkey AS {p}_returning_customer_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod} AND l_returnflag = 'R'
 """
@@ -170,8 +336,15 @@ _RETURNS_TMPL = """
 #: DS table -> (portable defining SQL over the base views).
 DS_VIEWS: dict[str, str] = {
     "date_dim": _DATE_DIM,
+    "time_dim": _TIME_DIM,
     "item": _ITEM,
     "store": _STORE,
+    "customer": _CUSTOMER_DS,
+    "customer_address": _CUSTOMER_ADDRESS,
+    "customer_demographics": _CUSTOMER_DEMOGRAPHICS,
+    "household_demographics": _HOUSEHOLD_DEMOGRAPHICS,
+    "promotion": _PROMOTION,
+    "income_band": _INCOME_BAND,
     "store_sales": _SALES_TMPL.format(p="ss", mod=0),
     "catalog_sales": _SALES_TMPL.format(p="cs", mod=1),
     "web_sales": _SALES_TMPL.format(p="ws", mod=2),

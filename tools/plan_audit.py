@@ -58,13 +58,39 @@ NESTED_LOOP_OK: dict[str, int] = {
     "q215_exact_median_selection": 1,  # (1)
     "q217_temperature_mixture": 1,  # (1)
     "q207_sql_text_ds88": 1,  # verbatim DS88 scalar subqueries (1)
+    # Round-8 verbatim DS pack: the demographic/promotion/time dims are
+    # derived from literal VALUES cross products (sources/tpcds.py
+    # _digits) — the planner chains them as BNLJs whose build sides are
+    # the CONSTANT enumeration lists (measured max 12 rows at sf0.001;
+    # scale-INDEPENDENT by construction, the whole point of deriving the
+    # dims from literals instead of base tables). Bound 64 gives slack
+    # for AQE re-grouping the chain. ds61 adds two 1-row aggregate CTEs
+    # cross-joined for its ratio.
+    "q240_sql_text_ds7": 64,
+    "q241_sql_text_ds10": 64,
+    "q242_sql_text_ds13": 64,
+    "q244_sql_text_ds26": 64,
+    "q245_sql_text_ds27": 64,
+    "q247_sql_text_ds35": 64,
+    "q250_sql_text_ds61": 64,
+    "q251_sql_text_ds69": 64,
+    "q252_sql_text_ds73": 64,
+    "q253_sql_text_ds79": 64,
+    "q254_sql_text_ds84": 64,
+    "q256_sql_text_ds96": 64,
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
 #: within a handful of exchanges.
 MAX_EXCHANGES_DEFAULT = 6
 MAX_EXCHANGES = {
-    "q42_minhash_dedup": 10,
+    "q81_semantic_dedup": 8,  # r8 hot-cell bound: +1 map-side-combined
+    # group-size aggregate (broadcast back); the shared vector-join
+    # lineage re-prints once per branch in the textual plan
+
+    "q42_minhash_dedup": 12,  # r8 chain edges: +1 sort-window exchange over
+    # the oversize-bucket SUBSET (never the full banded frame) + its
+    # union-distinct re-print
     "q43_simhash_dedup": 10,
     "q44_ngram_jaccard": 10,
     "q59_minhash_dedup_cc": 14,
@@ -103,6 +129,14 @@ MAX_EXCHANGES = {
     "q228_sql_text_ds29": 10,  # same chain, quantity variant
     "q233_sql_text_ds49": 20,  # 3 channels x (2 grain aggs + per-item agg) + rank
     "q236_sql_text_ds75": 28,  # 3 channels x (2 grain aggs + join) + yoy self-join
+    # Round-8 pack: EXISTS/NOT-EXISTS queries plan one semi/anti join
+    # per channel probe (each over a date-filtered fact aggregate);
+    # ds56 unions three channel aggregates.
+    "q241_sql_text_ds10": 12,
+    "q247_sql_text_ds35": 12,
+    "q249_sql_text_ds56": 10,
+    "q250_sql_text_ds61": 10,
+    "q251_sql_text_ds69": 10,
 }
 
 
