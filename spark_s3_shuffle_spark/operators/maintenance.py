@@ -84,8 +84,16 @@ def compact_shards(
     Scale: cost is one scan + one exchange of the table — run it when the
     per-shard file count (``list_shard_files``) crosses a threshold, not
     per append. Compaction never changes row content or order contract,
-    only file boundaries, so readers need no coordination beyond the
-    per-shard directory renames.
+    only file boundaries.
+
+    Reader coordination: the swap is crash-safe but DESTRUCTIVE — a
+    reader that resolved its parquet file list before the swap finds
+    those paths renamed away mid-read and fails (it never sees torn
+    DATA, the shard directories flip whole, but its pinned listing
+    dies). Use this form for quiesced/maintenance-window tables; tables
+    with concurrent readers should be versioned and compacted with
+    :func:`compact_shards_versioned`, which never touches the files a
+    pinned reader resolved (tests/test_pipeline.py race test).
     """
     fs, hroot, jvm = _fs(spark, root)
     recover_compaction(spark, root)
@@ -159,6 +167,89 @@ def recover_compaction(spark: SparkSession, root: str) -> dict[str, str]:
     if fs.exists(htmp):
         fs.delete(htmp, True)
     return actions
+
+
+def committed_versions(spark: SparkSession, root: str) -> list[str]:
+    """Sorted ``v<N>`` directory names under ``root`` that carry the
+    ``_COMMITTED`` marker. A version EXISTS only once its marker does —
+    the single-object commit discipline the S3 exchange uses for its
+    manifest (s3exchange.py: readers only follow the manifest), applied
+    to versioned tables: data files land first, one marker create
+    publishes them, and a crash mid-write leaves an invisible, sweepable
+    directory instead of a torn table."""
+    fs, hroot, jvm = _fs(spark, root)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            num = int(name[1:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_COMMITTED")):
+            out.append((num, name))
+    return [name for _, name in sorted(out)]
+
+
+def current_version(spark: SparkSession, root: str) -> str | None:
+    """Newest committed version name (highest-committed-wins pointer — no
+    rename, no read-modify-write, so concurrent publishers converge the
+    same way racing manifest PUTs do)."""
+    versions = committed_versions(spark, root)
+    return versions[-1] if versions else None
+
+
+def write_version(spark: SparkSession, df, root: str, shard_col: str = "shard") -> str:
+    """Publish ``df`` as the next committed version of a versioned
+    sharded table: write ``root/v<N+1>/shard=k/...`` then create the
+    ``_COMMITTED`` marker LAST. Returns the new version name."""
+    fs, hroot, jvm = _fs(spark, root)
+    versions = committed_versions(spark, root)
+    nxt = f"v{int(versions[-1][1:]) + 1 if versions else 0}"
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(f"{root}/{nxt}")
+    marker = fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/{nxt}/_COMMITTED"), True)
+    marker.close()
+    return nxt
+
+
+def compact_shards_versioned(
+    spark: SparkSession,
+    root: str,
+    id_col: str,
+    salt: str = "shard",
+) -> tuple[str, dict[str, int]]:
+    """Compaction for VERSIONED sharded tables — the pinned-reader-safe
+    variant of :func:`compact_shards`.
+
+    The in-place swap is crash-safe but destructive: a reader that
+    resolved its file list before the swap finds its paths renamed away
+    mid-read. Here compaction never touches the live version: it reads
+    the current committed version, writes the canonical single-file-per-
+    shard layout as a NEW version directory, and publishes it with the
+    one-marker commit. A reader that pinned ``v<N>`` before (or during)
+    the compaction keeps reading ``v<N>``'s untouched files to completion
+    and sees exactly the pre-compaction row multiset; readers arriving
+    after the marker resolve ``v<N+1>``. Old versions are reclaimed by
+    :func:`vacuum_versions`, whose ``keep_last >= 2`` floor exists
+    precisely so the previous version outlives in-flight readers.
+
+    Returns ``(new_version_name, per-shard file counts in it)``.
+    """
+    cur = current_version(spark, root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    df = spark.read.parquet(f"{root}/{cur}")
+    shards = [r["shard"] for r in df.select("shard").distinct().collect()]
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    compacted = df.repartition(len(shards), F.col("shard")).sortWithinPartitions(
+        F.col("shard"), order, F.col(id_col)
+    )
+    nxt = write_version(spark, compacted, root)
+    counts = list_shard_files(spark, f"{root}/{nxt}")
+    return nxt, counts
 
 
 def vacuum_versions(

@@ -857,3 +857,141 @@ def test_matview_version_trail_vacuums_safely(spark, sf_dir):
     assert sorted(map(tuple, got.collect()), key=key) == sorted(
         map(tuple, expected.collect()), key=key
     )
+
+
+def test_late_data_replay_matches_batch_oracle_with_same_cutoff(spark):
+    """B40 late-data oracle (VERDICT r7 directive 8): a FIXED out-of-order
+    event sequence replays through the watermarked streaming path in
+    deterministic drop order (maxFilesPerTrigger=1, mtime-ordered files),
+    and the final sink table equals a batch/DuckDB oracle that applies
+    the SAME watermark cutoffs analytically.
+
+    Watermark lag, measured and designed around: Spark applies the
+    late-input filter with the PREVIOUS micro-batch's watermark (the
+    watermark is a lower-bound guarantee — within-horizon data MUST be
+    kept, beyond-horizon data MAY survive one extra batch), so the
+    planted too-late rows arrive TWO drops after the data that advanced
+    the watermark past their window, where both lag models drop them.
+
+    The sequence (10-minute windows, 10-minute watermark delay):
+
+    - drop 1: minutes {0,1,5,12,13,25} -> watermark 00:15 after its batch
+    - drop 2: in-horizon late {17} ([10,20) still open -> KEPT) plus
+      on-time {31,33} -> watermark 00:23
+    - drop 3: too-late {3,9} (window [0,10) closed long before ->
+      DROPPED — the sink table proves it row-exactly; the state
+      operator's numRowsDroppedByWatermark shows 1 because map-side
+      partial aggregation folds both into one row first) plus a flush
+      event at minute 500 that pushes the final watermark to 08:10 so
+      every window of interest emits in append mode (its own window
+      stays open and is withheld).
+
+    Expected final table: [0,10)->3, [10,20)->3, [20,30)->1, [30,40)->2 —
+    checked three ways: streaming sink, a batch computation applying the
+    cutoffs, and DuckDB over the same drop parquet files.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    drops = {
+        "d1": [0, 1, 5, 12, 13, 25],
+        "d2": [17, 31, 33],
+        "d3": [3, 9, 500],
+    }
+    tmp = tempfile.mkdtemp(prefix="late-replay-")
+    indir = f"{tmp}/in"
+    os.makedirs(indir)
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    eid = 0
+    for i, (name, minutes) in enumerate(sorted(drops.items())):
+        rows = []
+        for m in minutes:
+            rows.append(
+                {"event_id": eid, "ts": base + pd.Timedelta(minutes=m),
+                 "user_id": eid % 7, "event_type": "e", "value": 1.0,
+                 "props": "{}"}
+            )
+            eid += 1
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{indir}/{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+    stream = S.read_events_stream(spark, indir, max_files_per_trigger=1)
+    agg = S.tumbling_counts(S.with_watermark(stream, "10 minutes"), "10 minutes")
+    q = S.parquet_sink(agg, out, ckpt).start()
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    # the two planted rows share window [0,10) and partial-aggregate
+    # map-side into ONE row before the stateful operator counts its drop
+    # (measured: counter=1); the sink equality below is the row-exact
+    # evidence that BOTH were excluded
+    assert dropped >= 1, dropped
+
+    got = {
+        (r["w"]["start"].minute + 60 * r["w"]["start"].hour): r["c"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {0: 3, 10: 3, 20: 1, 30: 2}, got
+
+    # batch oracle with the same cutoffs: rows in drop 3 are filtered
+    # against the watermark visible when it processes (max of the prior
+    # drops minus the delay); the final watermark bounds emission
+    wm2 = max(drops["d1"] + drops["d2"]) - 10
+    wm_final = max(drops["d3"]) - 10
+    survivors = (
+        drops["d1"] + drops["d2"]
+        + [m for m in drops["d3"] if (m // 10) * 10 + 10 > wm2]
+    )
+    from collections import Counter
+
+    expected = {
+        w: c
+        for w, c in Counter((m // 10) * 10 for m in survivors).items()
+        if w + 10 <= wm_final
+    }
+    assert got == expected
+
+    # DuckDB oracle over the same drop files, same cutoff arithmetic
+    import duckdb
+
+    con = duckdb.connect()
+    q = f"""
+    WITH d12 AS (SELECT ts FROM '{indir}/d1.parquet'
+                 UNION ALL SELECT ts FROM '{indir}/d2.parquet'),
+         d3 AS (SELECT ts FROM '{indir}/d3.parquet'),
+         wm2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM d12),
+         wmf AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM d3),
+         surv AS (
+           SELECT ts FROM d12
+           UNION ALL
+           SELECT ts FROM d3
+           WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+                 > (SELECT w FROM wm2))
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wstart, COUNT(*) AS c
+    FROM surv
+    WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+          <= (SELECT w FROM wmf)
+    GROUP BY 1
+    """
+    duck = {
+        r[0].minute + 60 * r[0].hour: int(r[1])
+        for r in con.execute(q).fetchall()
+    }
+    assert duck == expected, duck
