@@ -161,15 +161,19 @@ def test_semantic_dedup_auto_cells_keeps_planted_twins(spark):
 
 def test_minhash_star_edges_collapse_megabucket(spark):
     """Buckets over dense_bucket_limit emit star edges to the bucket min
-    (B-1 per bucket, not B^2/2): 200 identical docs saturate one bucket
-    per band, candidates are exactly the 199 star pairs (0, i) after the
-    cross-band distinct, and dedup keeps only doc 0."""
+    PLUS chain edges between signature-sorted neighbors (round 8 —
+    <= 2(B-1) per bucket, still never B^2/2): 200 identical docs saturate
+    one bucket per band, candidates are exactly the 199 star pairs (0, i)
+    union the 199 consecutive chain pairs (i, i+1) (identical signatures
+    sort by id) after the cross-band distinct, and dedup keeps doc 0."""
     base = "the quick brown fox jumps over the lazy dog again and again"
     df = spark.createDataFrame([Row(doc_id=i, text=base) for i in range(200)])
     cand = D.minhash_lsh_candidates(df, "doc_id", "text")
     rows = cand.collect()
-    assert len(rows) == 199
-    assert {(r["a"], r["b"]) for r in rows} == {(0, i) for i in range(1, 200)}
+    stars = {(0, i) for i in range(1, 200)}
+    chains = {(i, i + 1) for i in range(199)}
+    assert {(r["a"], r["b"]) for r in rows} == stars | chains
+    assert len(rows) == len(stars | chains)  # O(B) edges, not O(B^2)
     surv = D.minhash_dedup(df, "doc_id", "text")
     assert [r["doc_id"] for r in surv.collect()] == [0]
 

@@ -17,7 +17,14 @@ time_ratio far above both 10x and the rows_ratio is the super-linearity
 signal this exists to catch.
 
     SPARK_GRAFT_DRIVER_MEM=24g python tools/tail_bench.py  # default tails
+    python tools/tail_bench.py --all                       # FULL suite (r8)
     python tools/tail_bench.py q93_duplicated_spans        # subset
+
+Full-suite mode (round-8 directive 1) sweeps EVERY registry query at
+both scales and flags any with time_ratio above the 10x data growth,
+attaching the documented cause where one is known (KNOWN_SUPERLINEAR)
+and "UNEXPLAINED" otherwise — an unexplained flag is a finding, not a
+formatting artifact.
 
 Heap sizing: this sweep holds BOTH scales' pinned state in ONE JVM (the
 IVF index and SemDeDup centroids at sf1 AND sf10, plus checkpoint blocks
@@ -66,6 +73,22 @@ DEFAULT_TAILS = [
 ]
 
 
+#: Queries whose sf10/sf1 wall ratio legitimately exceeds the 10x data
+#: growth, each with the measured workload-growth reason. The full-suite
+#: sweep attaches these; anything else over 10x is flagged UNEXPLAINED.
+KNOWN_SUPERLINEAR: dict[str, str] = {
+    "q120b_batch_ivf_join": (
+        "probe count grows with N AND per-probe scan grows ~log(cells)*sqrt(N)"
+        " (r8 nprobe policy): workload ~N^1.5 by construction; r7's 34.6x"
+        " was cut to ~12x by the log-nprobe change"
+    ),
+    "q18_rank_topk_per_group": (
+        "output itself is O(N) ranked rows (4.5M at sf10); collect-bound"
+    ),
+    "q74_salted_topk_per_group": "same O(N) ranked output as q18",
+}
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
     fn = QUERIES[name].builder
     rows = len(fn(spark, sf_dir).collect())  # warmup (codegen + page cache)
@@ -78,7 +101,11 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_TAILS
+    args = sys.argv[1:]
+    if args and args[0] == "--all":
+        names = list(QUERIES)
+    else:
+        names = args or DEFAULT_TAILS
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark = get_spark("tail-bench")
     report: dict[str, dict] = {}
@@ -88,9 +115,14 @@ def main() -> None:
             if name in preps:
                 preps[name](spark, sf_dir)
     for name in names:
-        t1, r1 = time_query(spark, name, SF1_DIR, runs)
-        t10, r10 = time_query(spark, name, SF10_DIR, runs)
-        report[name] = {
+        try:
+            t1, r1 = time_query(spark, name, SF1_DIR, runs)
+            t10, r10 = time_query(spark, name, SF10_DIR, runs)
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            report[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps({name: report[name]}), flush=True)
+            continue
+        rec = {
             "sf1_s": round(t1, 3),
             "sf10_s": round(t10, 3),
             "time_ratio": round(t10 / t1, 2) if t1 > 0 else None,
@@ -98,14 +130,20 @@ def main() -> None:
             "sf10_rows": r10,
             "rows_ratio": round(r10 / r1, 2) if r1 else None,
         }
+        if rec["time_ratio"] is not None and rec["time_ratio"] > 10:
+            rec["flag"] = KNOWN_SUPERLINEAR.get(name, "UNEXPLAINED")
+        report[name] = rec
         print(json.dumps({name: report[name]}), flush=True)
+    ratios = [v["time_ratio"] for v in report.values() if v.get("time_ratio")]
     out = {
         "metric": "sf10_tail_scale_ratio",
         "sf1_dir": SF1_DIR,
         "sf10_dir": SF10_DIR,
         "runs_per_scale": runs,
         "queries": report,
-        "time_ratio_max": max(v["time_ratio"] for v in report.values()),
+        "n_queries": len(report),
+        "n_flagged": sum(1 for v in report.values() if "flag" in v),
+        "time_ratio_max": max(ratios) if ratios else None,
     }
     with open(OUT_JSON, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
