@@ -3,7 +3,7 @@
 The reference's primary benchmark consumes TPC-DS SQL text end-to-end
 (`examples/sql/run_tpcds.sh`; headline q-list q5/q49/q67/q75 in
 `examples/run_benchmarks.sh:29-34`). Rounds 5-6 verified 12 DS *shapes*
-re-expressed on the TPC-H-ish schema; this pack runs 20 DS query texts
+re-expressed on the TPC-H-ish schema; this pack runs 49 DS query texts
 against the real DS table/column names (`store_sales`, `date_dim`,
 `item`, `store`, the catalog/web channels and their returns), derived
 once in `sources/tpcds.py` and prepended as CTEs by `compose()` — so
@@ -1215,6 +1215,396 @@ WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
   AND hd_dep_count = 7 AND s_store_name = 'Supplier#000000003'
 """,
 )
+
+_ds(
+    "q257_sql_text_ds1",
+    "TPC-DS Q1 (customers returning over 1.2x their store's average):"
+    " per-(customer,store) return aggregate CTE, correlated per-store"
+    " average subquery (Catalyst/DuckDB both decorrelate it to an"
+    " aggregate + equi-join on store_sk), broadcast store dim filter."
+    " The fact aggregates FIRST, so the decorrelated join runs at the"
+    " |customers x stores| grain, never row grain. Divisions follow the"
+    " repo discipline (one IEEE division of exact decimal sums).",
+    """
+WITH customer_total_return AS (
+  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+         SUM(sr_return_amt) AS ctr_total_return
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer
+WHERE CAST(ctr1.ctr_total_return AS DOUBLE) >
+      (SELECT CAST(SUM(ctr_total_return) AS DOUBLE) * 1.2 / COUNT(*)
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'NATION_3'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q258_sql_text_ds15",
+    "TPC-DS Q15 (catalog sales by buyer zip for target zips/states or"
+    " big tickets, one quarter): fact filtered through broadcast"
+    " date_dim, joined to customer/customer_address (both derived from"
+    " the orders key — co-keyed, so the join never fans out), grouped"
+    " on the 50-value zip domain.",
+    """
+SELECT ca_zip,
+       CAST(ROUND(SUM(cs_sales_price), 2) AS DOUBLE) AS sum_sales
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (ca_zip IN ('10003', '10010', '10021', '10033', '10047')
+       OR ca_state IN ('STATE_3', 'STATE_7')
+       OR cs_sales_price > 40000)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1999
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100
+""",
+)
+
+_ds(
+    "q259_sql_text_ds28",
+    "TPC-DS Q28 (six price-band buckets of list-price stats over the"
+    " whole store channel): six independent single-row aggregates"
+    " cross-joined — each bucket is one full-scan partial+final agg"
+    " (count distinct adds one expand exchange each), the join side is"
+    " six 1-row broadcasts (plan-audit bound 8). Averages follow the"
+    " repo discipline: exact DECIMAL sum, ONE IEEE division by the"
+    " count.",
+    """
+SELECT *
+FROM (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b1_lp,
+             COUNT(ss_list_price) AS b1_cnt, COUNT(DISTINCT ss_list_price) AS b1_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 1000 AND 11000
+             OR ss_coupon_amt BETWEEN 0 AND 500
+             OR ss_ext_wholesale_cost BETWEEN 20000 AND 40000)) b1,
+     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b2_lp,
+             COUNT(ss_list_price) AS b2_cnt, COUNT(DISTINCT ss_list_price) AS b2_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 10000 AND 20000
+             OR ss_coupon_amt BETWEEN 100 AND 1100
+             OR ss_ext_wholesale_cost BETWEEN 30000 AND 50000)) b2,
+     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b3_lp,
+             COUNT(ss_list_price) AS b3_cnt, COUNT(DISTINCT ss_list_price) AS b3_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 20000 AND 30000
+             OR ss_coupon_amt BETWEEN 200 AND 1700
+             OR ss_ext_wholesale_cost BETWEEN 40000 AND 60000)) b3,
+     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b4_lp,
+             COUNT(ss_list_price) AS b4_cnt, COUNT(DISTINCT ss_list_price) AS b4_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 30000 AND 40000
+             OR ss_coupon_amt BETWEEN 300 AND 2300
+             OR ss_ext_wholesale_cost BETWEEN 50000 AND 70000)) b4,
+     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b5_lp,
+             COUNT(ss_list_price) AS b5_cnt, COUNT(DISTINCT ss_list_price) AS b5_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 40000 AND 50000
+             OR ss_coupon_amt BETWEEN 400 AND 2900
+             OR ss_ext_wholesale_cost BETWEEN 60000 AND 80000)) b5,
+     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b6_lp,
+             COUNT(ss_list_price) AS b6_cnt, COUNT(DISTINCT ss_list_price) AS b6_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 50000 AND 60000
+             OR ss_coupon_amt BETWEEN 500 AND 3500
+             OR ss_ext_wholesale_cost BETWEEN 70000 AND 90000)) b6
+LIMIT 100
+""",
+)
+
+_ds(
+    "q260_sql_text_ds30",
+    "TPC-DS Q30 (web returners over 1.2x their state's average, with"
+    " customer detail): the web twin of Q1 keyed on ca_state — return"
+    " aggregate per (customer, state), decorrelated per-state average,"
+    " then broadcast joins to customer/customer_address. Output columns"
+    " bound to the derived customer's attribute set (the fixture"
+    " synthesizes birth year/month, not the full dbgen column list).",
+    """
+WITH customer_total_return AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         SUM(wr_return_amt) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_year, c_birth_month,
+       CAST(ROUND(ctr_total_return, 2) AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE CAST(ctr1.ctr_total_return AS DOUBLE) >
+      (SELECT CAST(SUM(ctr_total_return) AS DOUBLE) * 1.2 / COUNT(*)
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'STATE_5'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, ctr_total_return
+LIMIT 100
+""",
+)
+
+_ds(
+    "q261_sql_text_ds38",
+    "TPC-DS Q38 (customers active in ALL three channels in one year):"
+    " per-channel DISTINCT (name, date) projections INTERSECTed, then"
+    " counted — each channel aggregates to its distinct grain before"
+    " the set operation, so the INTERSECT exchanges carry distinct"
+    " (name, date) rows only.",
+    """
+SELECT COUNT(*) AS cnt
+FROM (
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM store_sales, date_dim, customer
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 96 AND 96 + 11
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM catalog_sales, date_dim, customer
+  WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+    AND catalog_sales.cs_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 96 AND 96 + 11
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM web_sales, date_dim, customer
+  WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+    AND web_sales.ws_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 96 AND 96 + 11
+) hot_cust
+LIMIT 100
+""",
+)
+
+_ds(
+    "q262_sql_text_ds41",
+    "TPC-DS Q41 (product names of manufacturers that make an item in"
+    " target color/category combos): pure dimension query — item"
+    " self-correlated EXISTS-count on i_manufact, decorrelated by both"
+    " engines to an aggregate + equi-join over the catalog-bounded item"
+    " table; no fact scan at all. Conditions bound to the derived"
+    " item's color/category/class domains.",
+    """
+SELECT DISTINCT i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 700 AND 740
+  AND (SELECT COUNT(*) AS item_cnt
+       FROM item
+       WHERE (i_manufact = i1.i_manufact
+              AND ((i_category = 'STANDARD'
+                    AND i_color IN ('COLOR_1', 'COLOR_5', 'COLOR_12'))
+                   OR (i_category = 'ECONOMY'
+                       AND i_color IN ('COLOR_7', 'COLOR_20'))))
+          OR (i_manufact = i1.i_manufact
+              AND ((i_category = 'PROMO'
+                    AND i_color IN ('COLOR_3', 'COLOR_33'))
+                   OR (i_category = 'LARGE'
+                       AND i_color IN ('COLOR_14', 'COLOR_25'))))) > 0
+ORDER BY i_product_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q263_sql_text_ds47",
+    "TPC-DS Q47 (brand-store months deviating >10% from their yearly"
+    " average, with neighbor months): monthly aggregate, windows"
+    " PARTITIONED by (category, brand, store) — frames bounded by the"
+    " 14-month calendar slice — and the official v1 x v1_lag x v1_lead"
+    " self-join on consecutive RANK positions. The yearly average is"
+    " an exact decimal window SUM divided once in IEEE (never a decimal"
+    " AVG, which the engines scale differently).",
+    """
+WITH v1 AS (
+  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+         SUM(ss_sales_price) AS sum_sales,
+         SUM(SUM(ss_sales_price)) OVER (
+           PARTITION BY i_category, i_brand, s_store_name, d_year) AS yr_sales,
+         COUNT(*) OVER (
+           PARTITION BY i_category, i_brand, s_store_name, d_year) AS yr_months,
+         RANK() OVER (
+           PARTITION BY i_category, i_brand, s_store_name
+           ORDER BY d_year, d_moy) AS rn
+  FROM item, store_sales, store, date_dim
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND (d_year = 1999
+         OR (d_year = 1998 AND d_moy = 12)
+         OR (d_year = 2000 AND d_moy = 1))
+  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year, v1.d_moy,
+         v1.sum_sales, v1.yr_sales, v1.yr_months,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 AS v1_lag, v1 AS v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand
+    AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+       CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
+       CAST(ROUND(CAST(yr_sales AS DOUBLE) / yr_months, 2) AS DOUBLE) AS avg_monthly_sales,
+       CAST(ROUND(psum, 2) AS DOUBLE) AS psum,
+       CAST(ROUND(nsum, 2) AS DOUBLE) AS nsum
+FROM v2
+WHERE d_year = 1999
+  AND yr_sales > 0
+  AND ABS(CAST(sum_sales AS DOUBLE) - CAST(yr_sales AS DOUBLE) / yr_months)
+      / (CAST(yr_sales AS DOUBLE) / yr_months) > 0.1
+ORDER BY CAST(sum_sales AS DOUBLE) - CAST(yr_sales AS DOUBLE) / yr_months,
+         i_category, i_brand, s_store_name, d_moy
+LIMIT 100
+""",
+)
+
+_ds(
+    "q264_sql_text_ds71",
+    "TPC-DS Q71 (brand revenue by hour/minute across all three channels"
+    " for dinner-hour sales): per-channel projections UNION ALLed at"
+    " row grain, joined to broadcast item (one manager) and the"
+    " time_dim filtered to the dinner window (a manager band wide"
+    " enough to be non-empty at the smallest fixture), grouped on"
+    " (brand, hour, minute). Exercises the synthesized second-of-day"
+    " time sk across every channel.",
+    """
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       CAST(ROUND(SUM(ext_price), 2) AS DOUBLE) AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price, ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1998
+      UNION ALL
+      SELECT cs_ext_sales_price AS ext_price, cs_sold_date_sk AS sold_date_sk,
+             cs_item_sk AS sold_item_sk, cs_sold_time_sk AS time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1998
+      UNION ALL
+      SELECT ss_ext_sales_price AS ext_price, ss_sold_date_sk AS sold_date_sk,
+             ss_item_sk AS sold_item_sk, ss_sold_time_sk AS time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1998) tmp,
+     time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id BETWEEN 1 AND 20
+  AND time_sk = t_time_sk
+  AND t_meal_time = 'dinner'
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute
+LIMIT 100
+""",
+)
+
+_ds(
+    "q265_sql_text_ds81",
+    "TPC-DS Q81 (catalog returners over 1.2x their state's average,"
+    " with full address detail): the catalog twin of Q30 — per-"
+    " (customer, state) return aggregate, decorrelated per-state"
+    " average, address attributes from the derived customer_address.",
+    """
+WITH customer_total_return AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         SUM(cr_return_amt) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND cr_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_name, ca_city, ca_state, ca_zip, ca_country,
+       ca_gmt_offset, ca_location_type,
+       CAST(ROUND(ctr_total_return, 2) AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE CAST(ctr1.ctr_total_return AS DOUBLE) >
+      (SELECT CAST(SUM(ctr_total_return) AS DOUBLE) * 1.2 / COUNT(*)
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'STATE_2'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_name, ca_city, ca_zip, ctr_total_return
+LIMIT 100
+""",
+)
+
+_ds(
+    "q266_sql_text_ds87",
+    "TPC-DS Q87 (store customers NOT in catalog or web for the same"
+    " year): the EXCEPT twin of Q38 — three per-channel DISTINCT"
+    " (name, date) grains chained with EXCEPT, then counted.",
+    """
+SELECT COUNT(*) AS cnt
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 96 AND 96 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 96 AND 96 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 96 AND 96 + 11)) cool_cust
+""",
+)
+
+_ds(
+    "q267_sql_text_ds97",
+    "TPC-DS Q97 (store/catalog purchase overlap): per-channel DISTINCT"
+    " (customer, item) grains FULL OUTER joined on both keys, three"
+    " conditional counts — the channels shrink to their distinct grain"
+    " before the only fact-sized exchange (the outer join's hash"
+    " partitioning on (customer, item)).",
+    """
+WITH ssci AS (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 96 AND 96 + 11
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+  SELECT cs_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 96 AND 96 + 11
+  GROUP BY cs_customer_sk, cs_item_sk)
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+FROM ssci
+FULL OUTER JOIN csci
+  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+LIMIT 100
+""",
+)
+
 
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the

@@ -78,6 +78,11 @@ NESTED_LOOP_OK: dict[str, int] = {
     "q253_sql_text_ds79": 64,
     "q254_sql_text_ds84": 64,
     "q256_sql_text_ds96": 64,
+    # ds28: six single-row bucket aggregates cross-joined (measured 1
+    # per build side; bound 8 for AQE slack). ds41's correlated count
+    # and the ds1/ds30/ds81 correlated averages decorrelate to
+    # equi-joins in both engines — no nested loop, no entry needed.
+    "q259_sql_text_ds28": 8,
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -137,6 +142,17 @@ MAX_EXCHANGES = {
     "q249_sql_text_ds56": 10,
     "q250_sql_text_ds61": 10,
     "q251_sql_text_ds69": 10,
+    # Round-8 additions. Every exchange below the first fact aggregate
+    # runs over a shrinking bounded grain (|customers|, |states|,
+    # |brand x store x month|, or 1-row buckets) — the caps admit the
+    # official texts' multi-CTE shapes, not extra fact scans.
+    "q257_sql_text_ds1": 8,  # return agg + decorrelated per-store avg + joins + sort
+    "q259_sql_text_ds28": 14,  # 6 bucket aggs x (partial/final + count-distinct expand), all 1-row results
+    "q260_sql_text_ds30": 12,  # return agg + decorrelated per-state avg + dim joins + sort
+    "q261_sql_text_ds38": 16,  # 3 channel distinct grains + INTERSECT exchanges + count
+    "q263_sql_text_ds47": 14,  # monthly agg + partitioned windows + official v1^3 self-join + sort
+    "q265_sql_text_ds81": 12,  # catalog twin of ds30
+    "q266_sql_text_ds87": 16,  # EXCEPT twin of ds38
 }
 
 
