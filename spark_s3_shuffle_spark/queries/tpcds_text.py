@@ -1281,42 +1281,42 @@ _ds(
     " count.",
     """
 SELECT *
-FROM (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b1_lp,
+FROM (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b1_lp,
              COUNT(ss_list_price) AS b1_cnt, COUNT(DISTINCT ss_list_price) AS b1_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 0 AND 5
         AND (ss_list_price BETWEEN 1000 AND 11000
              OR ss_coupon_amt BETWEEN 0 AND 500
              OR ss_ext_wholesale_cost BETWEEN 20000 AND 40000)) b1,
-     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b2_lp,
+     (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b2_lp,
              COUNT(ss_list_price) AS b2_cnt, COUNT(DISTINCT ss_list_price) AS b2_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 6 AND 10
         AND (ss_list_price BETWEEN 10000 AND 20000
              OR ss_coupon_amt BETWEEN 100 AND 1100
              OR ss_ext_wholesale_cost BETWEEN 30000 AND 50000)) b2,
-     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b3_lp,
+     (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b3_lp,
              COUNT(ss_list_price) AS b3_cnt, COUNT(DISTINCT ss_list_price) AS b3_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 11 AND 15
         AND (ss_list_price BETWEEN 20000 AND 30000
              OR ss_coupon_amt BETWEEN 200 AND 1700
              OR ss_ext_wholesale_cost BETWEEN 40000 AND 60000)) b3,
-     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b4_lp,
+     (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b4_lp,
              COUNT(ss_list_price) AS b4_cnt, COUNT(DISTINCT ss_list_price) AS b4_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 16 AND 20
         AND (ss_list_price BETWEEN 30000 AND 40000
              OR ss_coupon_amt BETWEEN 300 AND 2300
              OR ss_ext_wholesale_cost BETWEEN 50000 AND 70000)) b4,
-     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b5_lp,
+     (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b5_lp,
              COUNT(ss_list_price) AS b5_cnt, COUNT(DISTINCT ss_list_price) AS b5_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 21 AND 25
         AND (ss_list_price BETWEEN 40000 AND 50000
              OR ss_coupon_amt BETWEEN 400 AND 2900
              OR ss_ext_wholesale_cost BETWEEN 60000 AND 80000)) b5,
-     (SELECT CAST(ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS DOUBLE) AS b6_lp,
+     (SELECT CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price) AS b6_lp,
              COUNT(ss_list_price) AS b6_cnt, COUNT(DISTINCT ss_list_price) AS b6_cntd
       FROM store_sales
       WHERE ss_quantity BETWEEN 26 AND 30
@@ -1463,7 +1463,7 @@ v2 AS (
     AND v1.rn = v1_lead.rn - 1)
 SELECT i_category, i_brand, s_store_name, d_year, d_moy,
        CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
-       CAST(ROUND(CAST(yr_sales AS DOUBLE) / yr_months, 2) AS DOUBLE) AS avg_monthly_sales,
+       CAST(yr_sales AS DOUBLE) / yr_months AS avg_monthly_sales,
        CAST(ROUND(psum, 2) AS DOUBLE) AS psum,
        CAST(ROUND(nsum, 2) AS DOUBLE) AS nsum
 FROM v2
