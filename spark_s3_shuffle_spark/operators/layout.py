@@ -63,34 +63,35 @@ def write_zorder_layout(
     ``stat_cols``. Returns the manifest path, readable via
     ``spark.read.format('manifest_parquet').option('manifest', …)``.
 
-    Shard boundaries come from approxQuantile on the key (the same
-    equi-depth split repartitionByRange computes); each shard is written
-    by a key-range filter so shard membership is deterministic and the
-    manifest maps 1:1 to files. At production scale the equivalent is one
-    ``repartitionByRange(num_shards, zkey).write`` — this explicit loop
-    exists so shard→file mapping is stable for the manifest author.
+    One ``repartitionByRange(num_shards, zkey)`` write: the range
+    exchange IS the equi-depth split, each output partition is one file
+    = one contiguous z-key range (a small hyper-rectangle), and the
+    manifest is authored afterwards from each file's parquet FOOTER
+    stats — so pruning correctness never depends on how rows were
+    assigned, only on what each file actually contains. (Round 8: the
+    previous form cut boundaries with approxQuantile and wrote each
+    shard as its own key-range ``filter().coalesce(1).write`` — that is
+    ``num_shards + 1`` serial full-table scans, measured as a
+    multi-minute crawl laying out 15M orders rows at sf10. The single
+    ranged write is one exchange, all cores.)
     """
     import os
 
     from spark_s3_shuffle_spark.sources.pydatasource import write_manifest
 
     keyed = df.withColumn("_zkey", zkey)
-    if num_shards > 1:
-        qs = keyed.stat.approxQuantile(
-            "_zkey", [i / num_shards for i in range(1, num_shards)], 0.001
-        )
-        cuts = [float("-inf"), *qs, float("inf")]
-    else:
-        cuts = [float("-inf"), float("inf")]
-    paths = []
-    for i in range(num_shards):
-        shard_dir = f"{root}/shard-{i}.parquet"
-        part = keyed.filter(
-            (F.col("_zkey") >= F.lit(cuts[i])) & (F.col("_zkey") < F.lit(cuts[i + 1]))
-        ).drop("_zkey")
-        part.coalesce(1).write.mode("overwrite").parquet(shard_dir)
-        files = [f for f in os.listdir(shard_dir) if f.startswith("part-")]
-        paths.append(os.path.join(shard_dir, files[0]))
+    parts = (
+        keyed.repartitionByRange(num_shards, F.col("_zkey"))
+        if num_shards > 1
+        else keyed.coalesce(1)
+    )
+    data_dir = f"{root}/zdata.parquet"
+    parts.drop("_zkey").write.mode("overwrite").parquet(data_dir)
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.startswith("part-")
+    )
     manifest = os.path.join(root, "manifest.jsonl")
     write_manifest(paths, stat_cols, manifest)
     return manifest
