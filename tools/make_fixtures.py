@@ -97,12 +97,22 @@ def _space_strides(spark, src: str) -> dict[str, int]:
 
 def _write_single_file(df: DataFrame, out: str, t: str) -> None:
     """Write as ONE parquet FILE named {t}.parquet (the driver's fixture
-    layout, which the DuckDB oracle opens directly)."""
+    layout, which the DuckDB oracle opens directly).
+
+    Row groups are bounded at 16 MB: Spark's byte-range parquet splits
+    parallelize only across ROW GROUPS, so a one-row-group file reads
+    serially no matter how many cores scan it (measured on the round-8
+    .sf10 fixture: embeddings' 200k rows all landed in 1 of 13 scan
+    partitions; documents/embeddings had 1 row group, orders/events 2).
+    The bound keeps single-FILE fixtures many-way parallel — the layout
+    a real multi-file corpus gets for free."""
     import glob
     import shutil
 
     tmp = f"{out}/.tmp-{t}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite").option(
+        "parquet.block.size", 16 * 1024 * 1024
+    ).parquet(tmp)
     part = glob.glob(f"{tmp}/part-*.parquet")[0]
     dest = f"{out}/{t}.parquet"
     if os.path.exists(dest):
