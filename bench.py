@@ -65,7 +65,7 @@ HEADLINE = [
     "q12_tpch_q1_agg", "q42_minhash_dedup", "q43_simhash_dedup",
     "q59_minhash_dedup_cc", "q81_semantic_dedup", "q34_cosine_topk",
     "q34b_ivf_topk", "q120_batch_ann_join", "q120b_batch_ivf_join",
-    "q93_duplicated_spans", "q95_quality_ensemble", "q137_pagerank",
+    "q93_duplicated_spans", "q95_quality_ensemble", "q137_pagerank_trade_graph",
     "q160_rfm_segmentation", "q216_sequence_packing_plan",
     "q218_sliding_window_agg", "q223_sql_text_ds5", "q233_sql_text_ds49",
     "q236_sql_text_ds75", "q238_sql_text_ds67", "q192_sql_text_tpch_q9",

@@ -86,6 +86,11 @@ KNOWN_SUPERLINEAR: dict[str, str] = {
         "output itself is O(N) ranked rows (4.5M at sf10); collect-bound"
     ),
     "q74_salted_topk_per_group": "same O(N) ranked output as q18",
+    "q62_scalar_breadth": (
+        "scalar-function breadth projection returns ALL N rows (1.5M at"
+        " sf10); the single-threaded driver collect dominates — compute"
+        " is scan-linear"
+    ),
 }
 
 
