@@ -56,8 +56,10 @@ BASELINE_JSON = os.path.join(_HERE, "BASELINE_BENCH.json")
 PAIRED_JSON = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(_HERE, "BENCH_FULL.json"))
 
 #: Headline queries echoed in the final stdout JSON line. The full suite is
-#: 249 queries, whose per-query dict alone is ~12 kB of JSON — r7's driver
-#: artifact recorded ``"parsed": null`` because the one line overflowed the
+#: the whole registry (275 entries as of round 9 — see ``n_queries`` in the
+#: emitted JSON for the live count), whose per-query dict alone is >12 kB of
+#: JSON — r7's driver artifact recorded ``"parsed": null`` because the one
+#: line overflowed the
 #: driver's tail-capture window. The stdout line therefore carries summary
 #: stats + this curated flagship subset (one per operator family) and points
 #: at the on-disk artifact for the complete per-query data.
@@ -249,7 +251,7 @@ def main() -> None:
         with open(PAIRED_JSON, "w") as f:
             json.dump(out, f, indent=1)
         # Compact stdout line: summary stats + the flagship subset only, so
-        # the driver's tail window can parse it (the full 249-query dict is
+        # the driver's tail window can parse it (the full per-query dict is
         # in PAIRED_JSON / BENCH_FULL_rNN.json).
         out = {
             "metric": "bench_total_wall_clock",

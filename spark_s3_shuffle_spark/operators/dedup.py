@@ -541,9 +541,12 @@ def _verify_pairs_within_groups(
     the union covers exactly the group's pair set with per-task peak
     memory ≤ 2·max_group_rows vectors (~16 MB at dim 64). Each member is
     replicated to its s block pairs — O(size²/max_group_rows) shuffled
-    rows, far below the O(size²) pair-row shape — and the sub-groups are
-    explicitly repartitioned so a hot cell's s² block pairs spread across
-    the cluster instead of serializing in one task. Groups at or under
+    rows, far below the O(size²) pair-row shape — and because each
+    (group, i, j) block pair is its own applyInPandas group key, the
+    groupBy's own hash exchange spreads a hot cell's s² block pairs
+    across the cluster (no explicit repartition is added; the aggregation
+    exchange that must exist anyway is the spreading mechanism). Groups
+    at or under
     the limit have s=1 and take the exact single-group path, so results
     (and oracle hashes) at small scale are bit-identical.
 

@@ -204,14 +204,55 @@ def current_version(spark: SparkSession, root: str) -> str | None:
 
 def write_version(spark: SparkSession, df, root: str, shard_col: str = "shard") -> str:
     """Publish ``df`` as the next committed version of a versioned
-    sharded table: write ``root/v<N+1>/shard=k/...`` then create the
-    ``_COMMITTED`` marker LAST. Returns the new version name."""
+    sharded table. Safe under RACING publishers: each writer stages its
+    data under a unique hidden directory, then claims a version NUMBER
+    with an atomic exclusive create of ``.claim-v<N>`` (create with
+    overwrite=false — the one-winner primitive HDFS and local FS give
+    us; on S3 use the exchange's manifest-pointer commit instead). Only
+    the claim winner renames its staging directory to ``v<N>`` and
+    creates the ``_COMMITTED`` marker; a loser retries at N+1 with its
+    OWN staging directory, so two writers' files can never interleave
+    inside one version. A crash between claim and commit leaves an
+    orphan claim (that number is simply skipped) and an invisible
+    staging directory — both sweepable, never a torn committed version.
+    If a slow claimer of ``v<N>`` commits after a faster writer committed
+    ``v<N+1>``, highest-committed-wins shadows it, the same convergence
+    order racing manifest PUTs have. Returns the new version name."""
+    import uuid
+
     fs, hroot, jvm = _fs(spark, root)
+    stage = f"{root}/.stage-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(stage)
     versions = committed_versions(spark, root)
-    nxt = f"v{int(versions[-1][1:]) + 1 if versions else 0}"
-    df.write.mode("overwrite").partitionBy(shard_col).parquet(f"{root}/{nxt}")
+    num = int(versions[-1][1:]) + 1 if versions else 0
+    for _ in range(1000):
+        claim = jvm.org.apache.hadoop.fs.Path(f"{root}/.claim-v{num}")
+        try:
+            out = fs.create(claim, False)
+            out.close()
+            break
+        except Exception as e:  # FileAlreadyExistsException → number taken
+            if "exist" not in str(e).lower():
+                raise
+            num += 1
+    else:
+        raise IOError(f"write_version: could not claim a version under {root}")
+    nxt = f"v{num}"
+    dest = jvm.org.apache.hadoop.fs.Path(f"{root}/{nxt}")
+    # We hold the claim, so a pre-existing dest can only be a torn
+    # uncommitted directory (its number is above the newest marker and
+    # nobody else can claim it): sweep it, else rename would NEST the
+    # staging dir inside it instead of replacing it.
+    if fs.exists(dest):
+        fs.delete(dest, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), dest):
+        raise IOError(f"write_version: rename failed: {stage} -> {dest}")
     marker = fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/{nxt}/_COMMITTED"), True)
     marker.close()
+    # The claim file is RETAINED: deleting it would let a stale racer
+    # re-claim this number and rename its staging dir INTO the existing
+    # v<N> (Hadoop rename-to-existing-dir nests, it doesn't fail).
+    # vacuum_versions sweeps claims alongside their version directories.
     return nxt
 
 
@@ -287,6 +328,9 @@ def vacuum_versions(
     doomed = [name for _, name in versions[:-keep_last]]
     for name in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}"), True)
+        # write_version retains its .claim-v<N> marker (re-claiming a
+        # once-used number is unsafe); sweep it with its version.
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/.claim-{name}"), False)
     return doomed
 
 

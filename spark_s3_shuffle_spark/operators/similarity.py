@@ -17,6 +17,13 @@ Two tiers:
 The probe vector is carried as a broadcast 1-row frame — never collected to
 a Python literal — so the same code runs when "probe" is a million-row query
 table (it becomes a broadcast or shuffled join on the cell key).
+
+One declared exception: :func:`quantized_batch_topk_join` EAGERLY collects
+the probe table at call time (it is the broadcast side of the join by
+contract — the same size class the SQL plan would ship to every task) so it
+can broadcast one contiguous normalized numpy matrix to the blocked-BLAS
+scorer. Callers that need a fully-lazy plan (plan audit, explain-only
+tooling) should use ``batch_topk_join``, whose plan is pure Catalyst.
 """
 
 from __future__ import annotations
@@ -480,11 +487,25 @@ def quantize_vectors(
 
     @F.pandas_udf("array<tinyint>")
     def _q8(col: pd.Series) -> pd.Series:
-        x = np.array(col.tolist(), dtype=np.float64)
-        amax = np.abs(x).max(axis=1)
-        scale = np.where(amax > 0, amax / 127.0, 1.0)
-        qm = np.rint(x / scale[:, None]).astype(np.int8)
-        return pd.Series(list(qm))
+        vals = col.tolist()
+        out: list = [None] * len(vals)
+        # NULL or non-finite vectors quantize to NULL (per-row propagation,
+        # as the Column-expression form did) rather than poisoning the
+        # whole Arrow batch; length groups keep ragged inputs rectangular.
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(vals):
+            if v is not None and len(v) > 0:
+                by_len.setdefault(len(v), []).append(i)
+        for idxs in by_len.values():
+            x = np.array([vals[i] for i in idxs], dtype=np.float64)
+            ok = np.isfinite(x).all(axis=1)
+            amax = np.abs(x).max(axis=1, initial=0.0, where=ok[:, None])
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            qm = np.rint(np.where(ok[:, None], x, 0.0) / scale[:, None]).astype(np.int8)
+            for j, i in enumerate(idxs):
+                if ok[j]:
+                    out[i] = qm[j]
+        return pd.Series(out)
 
     return df.select(F.col(id_col), _q8(_as_double(F.col(vec_col))).alias(out))
 
@@ -592,7 +613,21 @@ def quantized_batch_topk_join(
         _as_double(F.col(probe_vec_col)).alias("_probe"),
     )
     kf = k * rescore_factor
-    prows = p.collect()
+    # Eager by contract (module docstring): the probe side is collected
+    # HERE, at call time, into one contiguous matrix for the BLAS scorer.
+    prows = [r for r in p.collect() if r["_probe"] is not None]
+    if not prows:
+        raise ValueError(
+            "quantized_batch_topk_join: the probes frame is empty (or all "
+            "probe vectors are NULL); there is nothing to score. Pass at "
+            "least one probe row with a non-null vector."
+        )
+    dims = {len(r["_probe"]) for r in prows}
+    if len(dims) != 1:
+        raise ValueError(
+            f"quantized_batch_topk_join: probe vectors have mixed lengths "
+            f"{sorted(dims)}; all probes must share one dimensionality."
+        )
     pid_vals = np.array([r["_pid"] for r in prows])
     P = np.array([r["_probe"] for r in prows], dtype=np.float64)
     pnorm = np.linalg.norm(P, axis=1)
@@ -606,11 +641,25 @@ def quantized_batch_topk_join(
     def _score(batches):
         pids_b, Pn_b = bc.value
         m = Pn_b.shape[1]
+        d = Pn_b.shape[0]
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy()
-            Q = np.array(pdf["_x"].tolist(), dtype=np.float64)
+            vals = pdf["_x"].tolist()
+            # NULL / wrong-length corpus vectors cannot score against a
+            # d-dim probe; they contribute no candidate row (the NULL
+            # propagation the Column-expression form had) instead of
+            # crashing the numpy stack.
+            keep = [i for i, v in enumerate(vals) if v is not None and len(v) == d]
+            if not keep:
+                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            Q = np.array([vals[i] for i in keep], dtype=np.float64)
+            finite = np.isfinite(Q).all(axis=1)
+            if not finite.all():
+                ids, Q = ids[finite], Q[finite]
+                if Q.shape[0] == 0:
+                    continue
             if fuse_quant:
                 amax = np.abs(Q).max(axis=1)
                 scale = np.where(amax > 0, amax / 127.0, 1.0)

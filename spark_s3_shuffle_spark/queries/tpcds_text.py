@@ -758,8 +758,10 @@ LIMIT 100
 
 # ---------------------------------------------------------------------------
 # Round-8 pack: the demographic/address/promotion/time dims (sources/tpcds.py
-# round-8 derivations) unlock these 16 further official texts. Adaptations
-# follow the pack contract above, plus three new ones applied uniformly:
+# round-8 derivations) unlock these 29 further official texts (18 landed with
+# the dims, 11 more reuse them — tests/test_tpcds.py asserts the 20+29=49
+# total). Adaptations follow the pack contract above, plus three new ones
+# applied uniformly:
 #
 # - AVG is rewritten as CAST(ROUND(CAST(SUM(x) AS DOUBLE)/COUNT(*), 4) AS
 #   DOUBLE) - exact DECIMAL/INT accumulation, ONE IEEE division at the end

@@ -1330,3 +1330,84 @@ def test_prefix_primitives_leave_no_cache_entry(spark):
     PX.global_ntile(df, 4, ["grp", "k"], out="b").count()
     PX.running_sum(df, ["grp", "k"], "v").count()
     assert cm.isEmpty(), "prefix primitives must not register cache entries"
+
+
+def test_quantized_batch_join_null_ragged_and_empty_probes(spark):
+    """ADVICE r8 hardening: NULL / wrong-length corpus vectors drop per-row
+    (the Column-expression form's NULL propagation) instead of crashing the
+    numpy scorer, and an empty/all-NULL probes frame raises a clear error."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=3, embedding=None),
+            Row(vec_id=4, embedding=[1.0, 0.0]),  # ragged: wrong dim
+            Row(vec_id=5, embedding=[0.0, 1.0, 0.0]),
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [Row(probe_id=10, embedding=[1.0, 0.0, 0.0])],
+        schema="probe_id long, embedding array<double>",
+    )
+    rows = SIM.quantized_batch_topk_join(
+        corpus, probes, k=3, probe_id_col="probe_id"
+    ).collect()
+    ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert 3 not in ids and 4 not in ids  # null/ragged never become candidates
+    assert ids[0] == 1 and set(ids) == {1, 2, 5}
+
+    with pytest.raises(ValueError, match="empty"):
+        SIM.quantized_batch_topk_join(
+            probes.filter(F.lit(False)).select("probe_id", "embedding").crossJoin(
+                corpus.select("vec_id")
+            ).select("vec_id", "embedding"),
+            probes.filter(F.lit(False)),
+            k=3,
+            probe_id_col="probe_id",
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        SIM.quantized_batch_topk_join(
+            corpus,
+            spark.createDataFrame(
+                [Row(probe_id=10, embedding=None)],
+                schema="probe_id long, embedding array<double>",
+            ),
+            k=3,
+            probe_id_col="probe_id",
+        )
+    with pytest.raises(ValueError, match="mixed"):
+        SIM.quantized_batch_topk_join(
+            corpus,
+            spark.createDataFrame(
+                [
+                    Row(probe_id=10, embedding=[1.0, 0.0, 0.0]),
+                    Row(probe_id=11, embedding=[1.0, 0.0]),
+                ],
+                schema="probe_id long, embedding array<double>",
+            ),
+            k=3,
+            probe_id_col="probe_id",
+        )
+
+
+def test_quantize_vectors_null_and_ragged_propagate(spark):
+    """quantize_vectors maps NULL / non-finite vectors to NULL per row and
+    quantizes ragged lengths independently (each vector's scale is its own)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[2.0, -1.0, 0.5]),
+            Row(vec_id=2, embedding=None),
+            Row(vec_id=3, embedding=[4.0, -4.0]),  # ragged but valid
+            Row(vec_id=4, embedding=[1.0, float("nan"), 0.0]),
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["qvec"] for r in SIM.quantize_vectors(df).collect()}
+    assert rows[2] is None and rows[4] is None
+    assert rows[1] == [127, -64, 32]
+    assert rows[3] == [127, -127]

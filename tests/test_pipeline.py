@@ -694,3 +694,49 @@ def test_versioned_commit_marker_is_the_publish(spark):
     v2 = MT.write_version(spark, shard_assign(df, "doc_id", 2), root)
     assert v2 == "v1" or v2 == "v2"  # next number after the last COMMITTED
     assert MT.current_version(spark, root) == v2
+
+
+def test_write_version_claims_are_exclusive_and_swept(spark):
+    """Racing-publisher safety (ADVICE r8): version numbers are claimed by
+    an atomic exclusive create, orphan claims from crashed publishers are
+    skipped (never reused), committed claims are retained so a stale racer
+    cannot rename into an existing version, and vacuum sweeps claims with
+    their versions."""
+    import tempfile
+
+    from spark_s3_shuffle_spark.operators import maintenance as MT
+    from spark_s3_shuffle_spark.operators.maintenance import _fs
+    from spark_s3_shuffle_spark.operators.pipeline import shard_assign
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("payload")
+    )
+    root = tempfile.mkdtemp(prefix="vclaim-") + "/t"
+    sharded = shard_assign(df, "doc_id", 2)
+    assert MT.write_version(spark, sharded, root) == "v0"
+
+    fs, hroot, jvm = _fs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    # a crashed publisher left its claim on v1: the number is skipped
+    fs.create(P(f"{root}/.claim-v1"), False).close()
+    assert MT.write_version(spark, sharded, root) == "v2"
+
+    # committed claims are retained (re-claiming a used number would let
+    # a racer nest its staging dir inside the live version directory)
+    assert fs.exists(P(f"{root}/.claim-v0"))
+    assert fs.exists(P(f"{root}/.claim-v2"))
+    # no staging litter survives a successful publish
+    names = [st.getPath().getName() for st in fs.listStatus(hroot)]
+    assert not [n for n in names if n.startswith(".stage-")], names
+
+    # publishes are readable and distinct
+    assert MT.committed_versions(spark, root) == ["v0", "v2"]
+    got = spark.read.parquet(f"{root}/{MT.current_version(spark, root)}")
+    assert got.count() == 60
+
+    # vacuum reclaims old versions AND their claim markers
+    assert MT.write_version(spark, sharded, root) == "v3"
+    doomed = MT.vacuum_versions(spark, root, keep_last=2)
+    assert doomed == ["v0"]
+    assert not fs.exists(P(f"{root}/.claim-v0"))
+    assert fs.exists(P(f"{root}/.claim-v2"))
