@@ -929,7 +929,13 @@ LIMIT 100
 
 _ds(
     "q245_sql_text_ds27",
-    "TPC-DS Q27 (item/state ROLLUP of demographic-sliced store sales): 2-level rollup over the post-join aggregate, GROUPING() level marker, NULLS FIRST pinned ordering.",
+    "TPC-DS Q27 (item/state ROLLUP of demographic-sliced store sales):"
+    " 2-level rollup over the post-join aggregate, GROUPING() level"
+    " marker, NULLS FIRST pinned ordering. HAVING COUNT(*) > 0 pins the"
+    " empty-input case, where the engines diverge (DuckDB emits the"
+    " grand-total grouping-set row over zero input rows, Spark emits"
+    " none — measured; the 1/70 demographic slice can go empty at tiny"
+    " fixtures). On any non-empty input the guard is a no-op.",
     """
 SELECT i_item_id, s_state, CAST(GROUPING(s_state) AS INT) AS g_state,
        CAST(ROUND(CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS agg1,
@@ -945,6 +951,7 @@ WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
   AND s_state IN ('NATION_0', 'NATION_3', 'NATION_5', 'NATION_8',
                   'NATION_11', 'NATION_14', 'NATION_17', 'NATION_21')
 GROUP BY ROLLUP (i_item_id, s_state)
+HAVING COUNT(*) > 0
 ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST, g_state, agg1, agg2, agg3, agg4
 LIMIT 100
 """,

@@ -49,6 +49,13 @@ Deterministic mapping (documented fixture semantics, not TPC-DS dbgen):
 - `item` maps part with hierarchy proxies (category=p_type,
   class/brand=p_brand) and arithmetic manager/manufact ids; `store`
   maps supplier with its nation as `s_state`.
+- Round 9: sales carry `{p}_sold_date_sk` from o_orderdate and
+  `{p}_ship_date_sk` from l_shipdate (the fixture's real 1-121-day
+  order→ship lag), plus logistics sks (warehouse/ship_mode/call_center/
+  web_site/web_page/catalog_page — constant VALUES dims). `inventory`
+  is one row per distinct (ship-date, part) with deterministic
+  warehouse/quantity, the (date, item, warehouse) grain the DS
+  inventory family (q21/q22/q37/q39/q72/q82) aggregates.
 
 Money columns are DECIMAL(18,6) at the view boundary so every SUM stays
 exact; query texts follow the repo's rounding discipline (final
@@ -277,12 +284,119 @@ _CUSTOMER_ADDRESS = """
   FROM (SELECT DISTINCT o_custkey FROM orders) ak
 """
 
+#: Round-9 logistics dims — all literal VALUES enumerations (constant
+#: size, scale-independent, broadcast build sides like the demographic
+#: dims). Fact sk formulas in the templates hit each domain exactly.
+
+#: warehouse: 15 rows; sales/inventory warehouse sks are 1 + MOD(..,15).
+_WAREHOUSE = f"""
+  SELECT CAST(1 + w.i AS INT) AS w_warehouse_sk,
+         'WH_' || w.i AS w_warehouse_id,
+         'Warehouse ' || w.i AS w_warehouse_name,
+         CAST((w.i + 1) * 50000 AS INT) AS w_warehouse_sq_ft,
+         'CITY_' || MOD(w.i, 30) AS w_city,
+         'COUNTY_' || MOD(w.i, 15) AS w_county,
+         'NATION_' || MOD(w.i, 25) AS w_state,
+         'UNITED STATES' AS w_country
+  FROM (VALUES {_digits(15)}) AS w(i)
+"""
+
+#: ship_mode: 20 rows, 5 types x 4 carriers.
+_SHIP_MODE = f"""
+  SELECT CAST(1 + s.i AS INT) AS sm_ship_mode_sk,
+         'SM_' || s.i AS sm_ship_mode_id,
+         CASE MOD(s.i, 5) WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
+              WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY'
+              ELSE 'LIBRARY' END AS sm_type,
+         CASE MOD(s.i, 4) WHEN 0 THEN 'AIR' WHEN 1 THEN 'SURFACE'
+              WHEN 2 THEN 'SEA' ELSE 'RAIL' END AS sm_code,
+         'CARRIER_' || MOD(s.i, 4) AS sm_carrier
+  FROM (VALUES {_digits(20)}) AS s(i)
+"""
+
+#: reason: 36 rows.
+_REASON = f"""
+  SELECT CAST(1 + r.i AS INT) AS r_reason_sk,
+         'RSN_' || r.i AS r_reason_id,
+         'reason ' || r.i AS r_reason_desc
+  FROM (VALUES {_digits(36)}) AS r(i)
+"""
+
+#: call_center: 6 rows; fact cc sks are 1 + MOD(o_custkey, 6).
+_CALL_CENTER = f"""
+  SELECT CAST(1 + c.i AS INT) AS cc_call_center_sk,
+         'CC_' || c.i AS cc_call_center_id,
+         'call center ' || c.i AS cc_name,
+         'COUNTY_' || MOD(c.i, 15) AS cc_county,
+         'MGR_' || MOD(c.i, 4) AS cc_manager,
+         CAST((c.i + 1) * 100 AS INT) AS cc_employees
+  FROM (VALUES {_digits(6)}) AS c(i)
+"""
+
+#: web_site: 12 rows.
+_WEB_SITE = f"""
+  SELECT CAST(1 + w.i AS INT) AS web_site_sk,
+         'WEB_' || w.i AS web_site_id,
+         'site ' || w.i AS web_name,
+         'company ' || MOD(w.i, 4) AS web_company_name
+  FROM (VALUES {_digits(12)}) AS w(i)
+"""
+
+#: web_page: 60 rows; wp_char_count spans 5000..5400 so the ds90
+#: 5000-5200 slice selects about half the pages.
+_WEB_PAGE = f"""
+  SELECT CAST(1 + p.i AS INT) AS wp_web_page_sk,
+         'WP_' || p.i AS wp_web_page_id,
+         CAST(5000 + MOD(p.i * 37, 400) AS INT) AS wp_char_count,
+         CAST(MOD(p.i, 7) AS INT) AS wp_link_count,
+         CASE WHEN MOD(p.i, 2) = 0 THEN 'Y' ELSE 'N' END AS wp_autogen_flag
+  FROM (VALUES {_digits(60)}) AS p(i)
+"""
+
+#: catalog_page: 100 rows.
+_CATALOG_PAGE = f"""
+  SELECT CAST(1 + p.i AS INT) AS cp_catalog_page_sk,
+         'CP_' || p.i AS cp_catalog_page_id,
+         CAST(1 + MOD(p.i, 20) AS INT) AS cp_catalog_number,
+         CAST(1 + MOD(p.i, 50) AS INT) AS cp_catalog_page_number
+  FROM (VALUES {_digits(100)}) AS p(i)
+"""
+
+#: inventory fact: one row per DISTINCT (ship-date, part) observed in
+#: lineitem — the (week, item) grain DS inventory queries aggregate —
+#: with warehouse and quantity synthesized deterministically from the
+#: pair in both-engine-identical integer arithmetic. Scales with the
+#: fact (bounded by |dates| x |parts|), aggregates FIRST in every text
+#: that reads it, and joins the constant warehouse dim broadcast.
+_INVENTORY = """
+  SELECT CAST(yr * 10000 + mo * 100 + dm AS INT) AS inv_date_sk,
+         pk AS inv_item_sk,
+         CAST(1 + MOD(pk * 13 + yr * 10000 + mo * 100 + dm, 15) AS INT) AS inv_warehouse_sk,
+         CAST(MOD(pk * 31 + (yr * 10000 + mo * 100 + dm) * 7, 1000) AS INT) AS inv_quantity_on_hand
+  FROM (
+    SELECT DISTINCT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS yr,
+           CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS INT) AS mo,
+           CAST(EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS dm,
+           l_partkey AS pk
+    FROM lineitem
+  ) dp
+"""
+
+
 #: One sales-channel body; {mod} selects the channel partition and {p}
-#: prefixes the DS column names (ss_/cs_/ws_).
+#: prefixes the DS column names (ss_/cs_/ws_). Round 9: sold_date comes
+#: from o_orderdate and the NEW {p}_ship_date_sk from l_shipdate — the
+#: fixture's real 1-121-day order->ship lag — so the ship-window texts
+#: (ds16/62/72/94/95/99) exercise genuine date arithmetic instead of a
+#: degenerate zero lag. Returns keep l_shipdate as the RETURNED date
+#: (sold at order time, returned at ship time under the same lag).
 _SALES_TMPL = """
-  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 10000
+  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 10000
+              + EXTRACT(month FROM CAST(o_orderdate AS DATE)) * 100
+              + EXTRACT(day FROM CAST(o_orderdate AS DATE)) AS INT) AS {p}_sold_date_sk,
+         CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 10000
               + EXTRACT(month FROM CAST(l_shipdate AS DATE)) * 100
-              + EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS {p}_sold_date_sk,
+              + EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS {p}_ship_date_sk,
          l_partkey AS {p}_item_sk,
          l_suppkey AS {p}_store_sk,
          o_custkey AS {p}_customer_sk,
@@ -301,6 +415,13 @@ _SALES_TMPL = """
          CAST(1 + MOD(o_custkey * 11 + l_suppkey, 720) AS INT) AS {p}_hdemo_sk,
          o_custkey AS {p}_addr_sk,
          CAST(1 + MOD(l_orderkey + l_partkey, 100) AS INT) AS {p}_promo_sk,
+         l_orderkey AS {p}_order_number,
+         CAST(1 + MOD(l_suppkey + l_partkey, 15) AS INT) AS {p}_warehouse_sk,
+         CAST(1 + MOD(l_orderkey + l_linenumber, 20) AS INT) AS {p}_ship_mode_sk,
+         CAST(1 + MOD(o_custkey, 6) AS INT) AS {p}_call_center_sk,
+         CAST(1 + MOD(l_orderkey, 12) AS INT) AS {p}_web_site_sk,
+         CAST(1 + MOD(l_orderkey * 3 + l_partkey, 60) AS INT) AS {p}_web_page_sk,
+         CAST(1 + MOD(l_orderkey + l_partkey * 7, 100) AS INT) AS {p}_catalog_page_sk,
          CAST(MOD(l_orderkey * 3600 + l_linenumber * 731 + l_partkey, 86400) AS INT) AS {p}_sold_time_sk,
          CAST(l_extendedprice AS DECIMAL(18,6)) AS {p}_list_price,
          CAST(l_extendedprice AS DECIMAL(18,6))
@@ -328,7 +449,21 @@ _RETURNS_TMPL = """
          CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_cdemo_sk,
          CAST(1 + MOD(o_custkey * 11 + l_suppkey, 720) AS INT) AS {p}_hdemo_sk,
          o_custkey AS {p}_addr_sk,
-         o_custkey AS {p}_returning_customer_sk
+         o_custkey AS {p}_returning_customer_sk,
+         l_orderkey AS {p}_order_number,
+         CAST(1 + MOD(l_orderkey + l_linenumber * 5, 36) AS INT) AS {p}_reason_sk,
+         CAST(1 + MOD(o_custkey, 6) AS INT) AS {p}_call_center_sk,
+         CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_refunded_cdemo_sk,
+         CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_returning_cdemo_sk,
+         o_custkey AS {p}_refunded_addr_sk,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_return_amount,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+           * (1 - CAST(l_tax AS DECIMAL(18,6))) AS {p}_refunded_cash,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_tax AS DECIMAL(18,6))
+           * CAST(0.5 AS DECIMAL(18,6)) AS {p}_fee
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod} AND l_returnflag = 'R'
 """
@@ -345,6 +480,14 @@ DS_VIEWS: dict[str, str] = {
     "household_demographics": _HOUSEHOLD_DEMOGRAPHICS,
     "promotion": _PROMOTION,
     "income_band": _INCOME_BAND,
+    "warehouse": _WAREHOUSE,
+    "ship_mode": _SHIP_MODE,
+    "reason": _REASON,
+    "call_center": _CALL_CENTER,
+    "web_site": _WEB_SITE,
+    "web_page": _WEB_PAGE,
+    "catalog_page": _CATALOG_PAGE,
+    "inventory": _INVENTORY,
     "store_sales": _SALES_TMPL.format(p="ss", mod=0),
     "catalog_sales": _SALES_TMPL.format(p="cs", mod=1),
     "web_sales": _SALES_TMPL.format(p="ws", mod=2),
