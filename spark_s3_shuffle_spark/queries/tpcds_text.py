@@ -1615,6 +1615,314 @@ LIMIT 100
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-9 pack: the logistics dims (warehouse/ship_mode/reason/call_center/
+# web_site/web_page/catalog_page), the inventory fact, and the new
+# {p}_ship_date_sk / {p}_order_number fact columns (sources/tpcds.py round-9
+# derivations) unlock the official inventory and fulfillment families.
+# Adaptations follow the pack contract, plus:
+#
+# - "date + N days" interval literals become DATE '...' + N (DATE + INT is
+#   engine-identical, measured); date_sk subtraction (the spec's
+#   sequential-sk day arithmetic, meaningless under yyyymmdd sks) becomes
+#   the equivalent two-sided date_dim join compared on d_date.
+# - Ratio filters on integer sums are cross-multiplied (exact integer
+#   comparison, no division), with the divisor-positive guard first.
+# - Sales<->returns joins keep the (order_number, item) pre-aggregated
+#   grain discipline; per-group MIN picks the warehouse/date when the
+#   fixture's duplicate (orderkey, partkey) rows carry several.
+# ---------------------------------------------------------------------------
+
+_ds(
+    "q268_sql_text_ds21",
+    "TPC-DS Q21 (inventory level shift around a date, by warehouse/item):"
+    " inventory aggregates FIRST on the (warehouse, item) key after"
+    " broadcast date/item pruning; the before/after ratio filter is"
+    " cross-multiplied over exact integer sums (2/3 <= after/before <="
+    " 3/2 becomes two integer comparisons). At 100 TB the only exchange"
+    " is the |warehouses|x|items| aggregate.",
+    """
+SELECT w_warehouse_name, i_item_id, inv_before, inv_after
+FROM (
+  SELECT w_warehouse_name, i_item_id,
+         SUM(CASE WHEN d_date < DATE '1998-06-01'
+                  THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+         SUM(CASE WHEN d_date >= DATE '1998-06-01'
+                  THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+  FROM inventory, warehouse, item, date_dim
+  WHERE i_current_price BETWEEN 905 AND 912
+    AND i_item_sk = inv_item_sk
+    AND inv_warehouse_sk = w_warehouse_sk
+    AND inv_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-06-01' - 30 AND DATE '1998-06-01' + 30
+  GROUP BY w_warehouse_name, i_item_id) x
+WHERE inv_before > 0
+  AND inv_after * 3 >= inv_before * 2
+  AND inv_after * 2 <= inv_before * 3
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q269_sql_text_ds22",
+    "TPC-DS Q22 (average quantity on hand, 4-level item hierarchy"
+    " ROLLUP): inventory joins the broadcast date/item dims, aggregates"
+    " on the item hierarchy, and the ROLLUP re-aggregates the"
+    " |items|-bounded frame - the fact is touched once. AVG follows the"
+    " pack discipline (exact integer SUM/COUNT, one IEEE division).",
+    """
+SELECT i_product_name, i_brand, i_class, i_category,
+       CAST(ROUND(CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*), 4)
+            AS DOUBLE) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 96 AND 96 + 11
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+""",
+)
+
+_ds(
+    "q270_sql_text_ds37",
+    "TPC-DS Q37 (catalog items with mid-range inventory in a 60-day"
+    " window): inventory x item pruned by broadcast price/manufact/"
+    " quantity filters, semi-joined to catalog activity via the grouped"
+    " join on item. The GROUP BY collapses the (inventory-day x sale)"
+    " fan-out, so output is |items|-bounded.",
+    """
+SELECT i_item_id, i_item_desc,
+       CAST(ROUND(i_current_price, 2) AS DOUBLE) AS i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 905 AND 912
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-02-01' + 60
+  AND i_manufact_id IN (51, 57, 66, 77, 85, 94, 103, 111, 119)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q271_sql_text_ds40",
+    "TPC-DS Q40 (catalog sales net of refunds around a date, by"
+    " warehouse state/item): both fact sides pre-aggregate to the"
+    " (order_number, item) grain before the LEFT join (the pack's"
+    " sales<->returns discipline - both sides shrink before the join;"
+    " warehouse/date are MIN-picked per grain group, deterministic"
+    " under the fixture's duplicate line rows).",
+    """
+WITH cs_grain AS (
+  SELECT cs_order_number AS tkt, cs_item_sk AS item_sk,
+         MIN(cs_warehouse_sk) AS wh_sk, MIN(cs_sold_date_sk) AS date_sk,
+         SUM(cs_sales_price) AS sales_price
+  FROM catalog_sales
+  GROUP BY cs_order_number, cs_item_sk),
+cr_grain AS (
+  SELECT cr_order_number AS tkt, cr_item_sk AS item_sk,
+         SUM(cr_refunded_cash) AS refunded
+  FROM catalog_returns
+  GROUP BY cr_order_number, cr_item_sk)
+SELECT w_state, i_item_id,
+       CAST(ROUND(SUM(CASE WHEN d_date < DATE '1998-06-01'
+                THEN sales_price - COALESCE(refunded, CAST(0 AS DECIMAL(18,6)))
+                ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS sales_before,
+       CAST(ROUND(SUM(CASE WHEN d_date >= DATE '1998-06-01'
+                THEN sales_price - COALESCE(refunded, CAST(0 AS DECIMAL(18,6)))
+                ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS sales_after
+FROM cs_grain
+LEFT OUTER JOIN cr_grain
+  ON cs_grain.tkt = cr_grain.tkt AND cs_grain.item_sk = cr_grain.item_sk,
+     warehouse, item, date_dim
+WHERE i_current_price BETWEEN 905 AND 912
+  AND i_item_sk = cs_grain.item_sk
+  AND wh_sk = w_warehouse_sk
+  AND date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1998-06-01' - 30 AND DATE '1998-06-01' + 30
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q272_sql_text_ds82",
+    "TPC-DS Q82 (store items with mid-range inventory in a 60-day"
+    " window): Q37's shape on the store channel - same broadcast prune,"
+    " same |items|-bounded grouped output.",
+    """
+SELECT i_item_id, i_item_desc,
+       CAST(ROUND(i_current_price, 2) AS DOUBLE) AS i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 905 AND 912
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-02-01' + 60
+  AND i_manufact_id IN (51, 57, 66, 77, 85, 94, 103, 111, 119)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+""",
+)
+
+
+_ds(
+    "q273_sql_text_ds62",
+    "TPC-DS Q62 (web shipping latency day-buckets by warehouse/mode/"
+    " site): the spec's sequential-sk day subtraction becomes a second"
+    " date_dim join compared on d_date (yyyymmdd sks don't subtract) -"
+    " the fixture's real 1-121-day order->ship lag fills all five"
+    " buckets. Fact aggregates once on three broadcast-dim keys.",
+    """
+SELECT SUBSTR(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+       CAST(SUM(CASE WHEN d1.d_date <= d2.d_date + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d_30,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 30
+                      AND d1.d_date <= d2.d_date + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 60
+                      AND d1.d_date <= d2.d_date + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 90
+                      AND d1.d_date <= d2.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+FROM web_sales, warehouse, ship_mode, web_site, date_dim d1, date_dim d2
+WHERE d1.d_month_seq BETWEEN 96 AND 96 + 11
+  AND ws_ship_date_sk = d1.d_date_sk
+  AND ws_sold_date_sk = d2.d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY wh, sm_type, web_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q274_sql_text_ds99",
+    "TPC-DS Q99 (catalog shipping latency day-buckets by warehouse/"
+    " mode/call center): Q62's shape on the catalog channel with the"
+    " call_center dim; same two-sided date_dim day arithmetic.",
+    """
+SELECT SUBSTR(w_warehouse_name, 1, 20) AS wh, sm_type, cc_name,
+       CAST(SUM(CASE WHEN d1.d_date <= d2.d_date + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d_30,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 30
+                      AND d1.d_date <= d2.d_date + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 60
+                      AND d1.d_date <= d2.d_date + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 90
+                      AND d1.d_date <= d2.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(SUM(CASE WHEN d1.d_date > d2.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim d1, date_dim d2
+WHERE d1.d_month_seq BETWEEN 96 AND 96 + 11
+  AND cs_ship_date_sk = d1.d_date_sk
+  AND cs_sold_date_sk = d2.d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY wh, sm_type, cc_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q275_sql_text_ds16",
+    "TPC-DS Q16 (catalog orders shipped from multiple warehouses with"
+    " no returns, 60-day ship window): the multi-warehouse EXISTS is a"
+    " self-equi-join on order_number (per-order line multiplicity is"
+    " fixture-bounded), the returns NOT EXISTS an anti-join on the same"
+    " key - both decorrelate to shuffles on order_number; COUNT"
+    " (DISTINCT) over the surviving orders.",
+    """
+SELECT CAST(COUNT(DISTINCT cs_order_number) AS BIGINT) AS order_count,
+       CAST(ROUND(SUM(cs_ext_ship_cost), 2) AS DOUBLE) AS total_shipping_cost,
+       CAST(ROUND(SUM(cs_net_profit), 2) AS DOUBLE) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-02-01' + 60
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'STATE_3'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('COUNTY_0', 'COUNTY_3', 'COUNTY_5', 'COUNTY_8', 'COUNTY_11')
+  AND EXISTS (SELECT *
+              FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT *
+                  FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY order_count
+LIMIT 100
+""",
+)
+
+_ds(
+    "q276_sql_text_ds94",
+    "TPC-DS Q94 (web orders shipped from multiple warehouses with no"
+    " returns, 60-day ship window): Q16's EXISTS/NOT EXISTS shape on"
+    " the web channel keyed by web_site company.",
+    """
+SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+       CAST(ROUND(SUM(ws_ext_ship_cost), 2) AS DOUBLE) AS total_shipping_cost,
+       CAST(ROUND(SUM(ws_net_profit), 2) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-02-01' + 60
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'STATE_3'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'company 1'
+  AND EXISTS (SELECT *
+              FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT *
+                  FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY order_count
+LIMIT 100
+""",
+)
+
+_ds(
+    "q277_sql_text_ds95",
+    "TPC-DS Q95 (web orders shipped from multiple warehouses WITH a"
+    " return): the ws_wh multi-warehouse pair CTE is the spec's own"
+    " self-join (per-order multiplicity fixture-bounded); membership"
+    " tests run as IN-subquery semi-joins on order_number.",
+    """
+WITH ws_wh AS (
+  SELECT ws1.ws_order_number AS won
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+       CAST(ROUND(SUM(ws_ext_ship_cost), 2) AS DOUBLE) AS total_shipping_cost,
+       CAST(ROUND(SUM(ws_net_profit), 2) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-02-01' + 60
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'STATE_3'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'company 1'
+  AND ws1.ws_order_number IN (SELECT won FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = won)
+ORDER BY order_count
+LIMIT 100
+""",
+)
+
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and

@@ -416,6 +416,9 @@ _SALES_TMPL = """
          o_custkey AS {p}_addr_sk,
          CAST(1 + MOD(l_orderkey + l_partkey, 100) AS INT) AS {p}_promo_sk,
          l_orderkey AS {p}_order_number,
+         o_custkey AS {p}_ship_addr_sk,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(0.08 AS DECIMAL(18,6)) AS {p}_ext_ship_cost,
          CAST(1 + MOD(l_suppkey + l_partkey, 15) AS INT) AS {p}_warehouse_sk,
          CAST(1 + MOD(l_orderkey + l_linenumber, 20) AS INT) AS {p}_ship_mode_sk,
          CAST(1 + MOD(o_custkey, 6) AS INT) AS {p}_call_center_sk,
