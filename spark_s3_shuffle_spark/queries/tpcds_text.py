@@ -1923,6 +1923,256 @@ LIMIT 100
 )
 
 
+_ds(
+    "q278_sql_text_ds9",
+    "TPC-DS Q9 (quantity-bucket conditional averages gated on bucket"
+    " counts, anchored on one reason row): five scalar-subquery pairs,"
+    " each ONE pass over the store fact (Catalyst/DuckDB both scan per"
+    " scalar agg; counts and sums are exact, each AVG is one IEEE"
+    " division). Buckets bound to the fixture's 1-50 quantity domain,"
+    " thresholds to its per-bucket row counts.",
+    """
+SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10) > 3000
+            THEN (SELECT CAST(ROUND(CAST(SUM(ss_ext_discount_amt) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10)
+            ELSE (SELECT CAST(ROUND(CAST(SUM(ss_net_paid) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10) END AS bucket1,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20) > 3000
+            THEN (SELECT CAST(ROUND(CAST(SUM(ss_ext_discount_amt) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20)
+            ELSE (SELECT CAST(ROUND(CAST(SUM(ss_net_paid) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20) END AS bucket2,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30) > 3000
+            THEN (SELECT CAST(ROUND(CAST(SUM(ss_ext_discount_amt) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30)
+            ELSE (SELECT CAST(ROUND(CAST(SUM(ss_net_paid) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30) END AS bucket3,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40) > 3000
+            THEN (SELECT CAST(ROUND(CAST(SUM(ss_ext_discount_amt) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40)
+            ELSE (SELECT CAST(ROUND(CAST(SUM(ss_net_paid) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40) END AS bucket4,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) > 3000
+            THEN (SELECT CAST(ROUND(CAST(SUM(ss_ext_discount_amt) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50)
+            ELSE (SELECT CAST(ROUND(CAST(SUM(ss_net_paid) AS DOUBLE)
+                                    / COUNT(*), 4) AS DOUBLE) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) END AS bucket5
+FROM reason
+WHERE r_reason_sk = 1
+""",
+)
+
+_ds(
+    "q279_sql_text_ds50",
+    "TPC-DS Q50 (sale-to-return latency day-buckets by store): both"
+    " fact sides pre-aggregate to the (ticket, item) grain before the"
+    " join (the pack's sales<->returns discipline; sold date is"
+    " functional of the ticket, returned date/store MIN-picked), and"
+    " the spec's sequential-sk day subtraction compares d_date across"
+    " the two date_dim joins.",
+    """
+WITH ss_grain AS (
+  SELECT ss_ticket_number AS tkt, ss_item_sk AS item_sk,
+         MIN(ss_store_sk) AS store_sk, MIN(ss_sold_date_sk) AS sold_sk
+  FROM store_sales
+  GROUP BY ss_ticket_number, ss_item_sk),
+sr_grain AS (
+  SELECT sr_ticket_number AS tkt, sr_item_sk AS item_sk,
+         MIN(sr_returned_date_sk) AS ret_sk
+  FROM store_returns
+  GROUP BY sr_ticket_number, sr_item_sk)
+SELECT s_store_name, s_county, s_state,
+       CAST(SUM(CASE WHEN d2.d_date <= d1.d_date + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d_30,
+       CAST(SUM(CASE WHEN d2.d_date > d1.d_date + 30
+                      AND d2.d_date <= d1.d_date + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d_31_60,
+       CAST(SUM(CASE WHEN d2.d_date > d1.d_date + 60
+                      AND d2.d_date <= d1.d_date + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_61_90,
+       CAST(SUM(CASE WHEN d2.d_date > d1.d_date + 90
+                      AND d2.d_date <= d1.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_91_120,
+       CAST(SUM(CASE WHEN d2.d_date > d1.d_date + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+FROM ss_grain, sr_grain, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 1998 AND d2.d_moy = 9
+  AND ss_grain.tkt = sr_grain.tkt AND ss_grain.item_sk = sr_grain.item_sk
+  AND sold_sk = d1.d_date_sk AND ret_sk = d2.d_date_sk
+  AND store_sk = s_store_sk
+GROUP BY s_store_name, s_county, s_state
+ORDER BY s_store_name, s_county, s_state
+LIMIT 100
+""",
+)
+
+_ds(
+    "q280_sql_text_ds86",
+    "TPC-DS Q86 (web net-paid ROLLUP over category/class with rank"
+    " within rollup parent): ds36's rank-over-rollup shape on the web"
+    " channel - exact decimal sums, window over the |categories|x"
+    " |classes|-bounded rollup frame, i_class tiebreak for a"
+    " deterministic total order.",
+    """
+WITH results AS (
+  SELECT SUM(ws_net_paid) AS np, i_category, i_class,
+         CAST(GROUPING(i_category) + GROUPING(i_class) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(i_class) AS INT) AS gclass
+  FROM web_sales, date_dim, item
+  WHERE d_month_seq BETWEEN 96 AND 96 + 11
+    AND d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+  GROUP BY ROLLUP (i_category, i_class))
+SELECT CAST(ROUND(np, 2) AS DOUBLE) AS total_sum,
+       i_category, i_class, lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN gclass = 0 THEN i_category END
+         ORDER BY np DESC, i_class NULLS FIRST) AS INT) AS rank_within_parent
+FROM results
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent,
+         i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100
+""",
+)
+
+_ds(
+    "q281_sql_text_ds88",
+    "TPC-DS Q88 (eight half-hour store traffic counts, one row): eight"
+    " scalar counts cross-joined - each a fact scan pruned by the"
+    " broadcast time_dim slice and the household dep/vehicle"
+    " disjunction; every count is exact integer aggregation.",
+    """
+SELECT * FROM
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h8_30_to_9
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s1 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h9_to_9_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s2 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h9_30_to_10
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s3 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h10_to_10_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s4 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h10_30_to_11
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s5 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h11_to_11_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s6 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h11_30_to_12
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s7 CROSS JOIN
+ (SELECT CAST(COUNT(*) AS BIGINT) AS h12_to_12_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2) OR
+         (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2) OR
+         (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_state = 'NATION_3') s8
+""",
+)
+
+_ds(
+    "q282_sql_text_ds90",
+    "TPC-DS Q90 (web AM/PM traffic ratio): two scalar counts over the"
+    " broadcast time/page/household slices, ONE IEEE division with a"
+    " zero-divisor guard (both engines emit IEEE Infinity on double"
+    " division by zero, but NULL is the defensible empty-fixture"
+    " answer; the hd sk stands single-role for ship_hdemo per the"
+    " fixture's one-household-per-order semantics).",
+    """
+SELECT CASE WHEN pmc = 0 THEN NULL
+            ELSE CAST(ROUND(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 4)
+                      AS DOUBLE) END AS am_pm_ratio
+FROM (SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 9
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_c,
+     (SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 20
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt_c
+ORDER BY am_pm_ratio
+LIMIT 100
+""",
+)
+
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and
