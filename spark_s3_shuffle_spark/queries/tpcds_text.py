@@ -2173,6 +2173,229 @@ LIMIT 100
 )
 
 
+_ds(
+    "q283_sql_text_ds2",
+    "TPC-DS Q2 (catalog+web weekday shares, week over year-ago week):"
+    " the two channels union before ONE weekly pivot aggregate"
+    " (|weeks|-bounded), self-joined to the same week one year back"
+    " (d_week_seq - 100 under the fixture's year*100+week encoding,"
+    " ds59's convention). Ratios are double divisions of identically-"
+    " derived decimal sums.",
+    f"""
+WITH wscs AS (
+  SELECT ws_sold_date_sk AS sold_date_sk, ws_ext_sales_price AS sales_price
+  FROM web_sales
+  UNION ALL
+  SELECT cs_sold_date_sk AS sold_date_sk, cs_ext_sales_price AS sales_price
+  FROM catalog_sales),
+wswscs AS (
+  SELECT d_week_seq,
+         {_weekday_pivot('sales_price')}
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT y.d_week_seq1,
+       CAST(ROUND(CAST(y.sun1 AS DOUBLE) / CAST(z.sun2 AS DOUBLE), 4) AS DOUBLE) AS sun_r,
+       CAST(ROUND(CAST(y.mon1 AS DOUBLE) / CAST(z.mon2 AS DOUBLE), 4) AS DOUBLE) AS mon_r,
+       CAST(ROUND(CAST(y.tue1 AS DOUBLE) / CAST(z.tue2 AS DOUBLE), 4) AS DOUBLE) AS tue_r,
+       CAST(ROUND(CAST(y.wed1 AS DOUBLE) / CAST(z.wed2 AS DOUBLE), 4) AS DOUBLE) AS wed_r,
+       CAST(ROUND(CAST(y.thu1 AS DOUBLE) / CAST(z.thu2 AS DOUBLE), 4) AS DOUBLE) AS thu_r,
+       CAST(ROUND(CAST(y.fri1 AS DOUBLE) / CAST(z.fri2 AS DOUBLE), 4) AS DOUBLE) AS fri_r,
+       CAST(ROUND(CAST(y.sat1 AS DOUBLE) / CAST(z.sat2 AS DOUBLE), 4) AS DOUBLE) AS sat_r
+FROM
+  (SELECT d_week_seq AS d_week_seq1, sun_sales AS sun1, mon_sales AS mon1,
+          tue_sales AS tue1, wed_sales AS wed1, thu_sales AS thu1,
+          fri_sales AS fri1, sat_sales AS sat1
+   FROM wswscs
+   WHERE CAST(FLOOR(d_week_seq / 100.0) AS INT) = 1998) y,
+  (SELECT d_week_seq AS d_week_seq2, sun_sales AS sun2, mon_sales AS mon2,
+          tue_sales AS tue2, wed_sales AS wed2, thu_sales AS thu2,
+          fri_sales AS fri2, sat_sales AS sat2
+   FROM wswscs
+   WHERE CAST(FLOOR(d_week_seq / 100.0) AS INT) = 1999) z
+WHERE y.d_week_seq1 = z.d_week_seq2 - 100
+ORDER BY y.d_week_seq1
+LIMIT 100
+""",
+)
+
+_ds(
+    "q284_sql_text_ds51",
+    "TPC-DS Q51 (items where the web cumulative overtakes the store"
+    " cumulative): per-channel daily aggregates carry running decimal"
+    " sums (SUM(SUM()) OVER per item - windows over |item|x|day|"
+    " post-aggregate frames, partitioned so no single-task window),"
+    " FULL OUTER aligned on (item, day), running MAX per side, exact"
+    " decimal comparison; money cast to double only at output.",
+    """
+WITH web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         SUM(SUM(ws_sales_price)) OVER (PARTITION BY ws_item_sk
+             ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 96 AND 96 + 11
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         SUM(SUM(ss_sales_price)) OVER (PARTITION BY ss_item_sk
+             ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 96 AND 96 + 11
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)
+SELECT item_sk, d_date,
+       CAST(ROUND(web_sales, 2) AS DOUBLE) AS web_sales,
+       CAST(ROUND(store_sales, 2) AS DOUBLE) AS store_sales,
+       CAST(ROUND(web_cumulative, 2) AS DOUBLE) AS web_cumulative,
+       CAST(ROUND(store_cumulative, 2) AS DOUBLE) AS store_cumulative
+FROM (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+         MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+  FROM (
+    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                ELSE store.item_sk END AS item_sk,
+           CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                ELSE store.d_date END AS d_date,
+           web.cume_sales AS web_sales,
+           store.cume_sales AS store_sales
+    FROM web_v1 web
+    FULL OUTER JOIN store_v1 store
+      ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+""",
+)
+
+_ds(
+    "q285_sql_text_ds53",
+    "TPC-DS Q53 (manufacturers whose quarter deviates >10% from their"
+    " average): the AVG window is carried as exact (SUM, COUNT)"
+    " windows over the |manufact|x|quarter| post-aggregate frame and"
+    " the deviation filter is cross-multiplied in DECIMAL"
+    " (10*|S*C - T| > T), so no double enters the predicate; one"
+    " rounded division per output row.",
+    """
+SELECT i_manufact_id,
+       CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
+       CAST(ROUND(CAST(total_sales AS DOUBLE) / cnt, 4) AS DOUBLE)
+         AS avg_quarterly_sales
+FROM (
+  SELECT i_manufact_id, sum_sales,
+         SUM(sum_sales) OVER (PARTITION BY i_manufact_id) AS total_sales,
+         COUNT(*) OVER (PARTITION BY i_manufact_id) AS cnt
+  FROM (
+    SELECT i_manufact_id, d_qoy, SUM(ss_sales_price) AS sum_sales
+    FROM item, store_sales, date_dim, store
+    WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 96 AND 96 + 11
+      AND ((i_category IN ('STANDARD', 'LARGE', 'MEDIUM')
+            AND i_class IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#11')
+            AND i_brand IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#11'))
+        OR (i_category IN ('ECONOMY', 'PROMO', 'SMALL')
+            AND i_class IN ('Brand#2', 'Brand#14', 'Brand#17', 'Brand#20')
+            AND i_brand IN ('Brand#2', 'Brand#14', 'Brand#17', 'Brand#20')))
+    GROUP BY i_manufact_id, d_qoy) tmp0) tmp1
+WHERE total_sales > 0
+  AND 10 * ABS(sum_sales * cnt - total_sales) > total_sales
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+""",
+)
+
+_ds(
+    "q286_sql_text_ds63",
+    "TPC-DS Q63 (managers whose month deviates >10% from their"
+    " average): Q53's exact windowed-deviation shape keyed on"
+    " i_manager_id and d_moy.",
+    """
+SELECT i_manager_id,
+       CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
+       CAST(ROUND(CAST(total_sales AS DOUBLE) / cnt, 4) AS DOUBLE)
+         AS avg_monthly_sales
+FROM (
+  SELECT i_manager_id, sum_sales,
+         SUM(sum_sales) OVER (PARTITION BY i_manager_id) AS total_sales,
+         COUNT(*) OVER (PARTITION BY i_manager_id) AS cnt
+  FROM (
+    SELECT i_manager_id, d_moy, SUM(ss_sales_price) AS sum_sales
+    FROM item, store_sales, date_dim, store
+    WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 96 AND 96 + 11
+      AND ((i_category IN ('STANDARD', 'LARGE', 'MEDIUM')
+            AND i_class IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#11')
+            AND i_brand IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#11'))
+        OR (i_category IN ('ECONOMY', 'PROMO', 'SMALL')
+            AND i_class IN ('Brand#2', 'Brand#14', 'Brand#17', 'Brand#20')
+            AND i_brand IN ('Brand#2', 'Brand#14', 'Brand#17', 'Brand#20')))
+    GROUP BY i_manager_id, d_moy) tmp0) tmp1
+WHERE total_sales > 0
+  AND 10 * ABS(sum_sales * cnt - total_sales) > total_sales
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100
+""",
+)
+
+_ds(
+    "q287_sql_text_ds74",
+    "TPC-DS Q74 (customers whose web growth outpaces store growth):"
+    " the year_total CTE aggregates both channels once per (customer,"
+    " year); the four self-join roles are slices of that aggregate"
+    " (each |customers|-bounded), and the growth comparison is"
+    " cross-multiplied in exact DECIMAL - no division enters the"
+    " predicate.",
+    """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         d_year AS yr,
+         SUM(ss_net_paid) AS year_total, 's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (1998, 1998 + 1)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         d_year AS yr,
+         SUM(ws_net_paid) AS year_total, 'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_customer_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (1998, 1998 + 1)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.yr = 1998 AND t_s_secyear.yr = 1998 + 1
+  AND t_w_firstyear.yr = 1998 AND t_w_secyear.yr = 1998 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id,
+         t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100
+""",
+)
+
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and
