@@ -1704,7 +1704,7 @@ WHERE i_current_price BETWEEN 905 AND 912
   AND inv_quantity_on_hand BETWEEN 100 AND 500
   AND cs_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_current_price
-ORDER BY i_item_id
+ORDER BY i_item_id, i_item_desc, i_current_price
 LIMIT 100
 """,
 )
@@ -1768,7 +1768,7 @@ WHERE i_current_price BETWEEN 905 AND 912
   AND inv_quantity_on_hand BETWEEN 100 AND 500
   AND ss_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_current_price
-ORDER BY i_item_id
+ORDER BY i_item_id, i_item_desc, i_current_price
 LIMIT 100
 """,
 )
@@ -2391,6 +2391,237 @@ WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
 ORDER BY t_s_secyear.customer_id,
          t_s_secyear.customer_first_name,
          t_s_secyear.customer_last_name
+LIMIT 100
+""",
+)
+
+
+_ds(
+    "q288_sql_text_ds34",
+    "TPC-DS Q34 (customers with mid-size month-edge tickets): the"
+    " per-ticket count aggregates the fact once (ticket grain), the"
+    " dep/vehicle ratio filter is cross-multiplied over exact ints"
+    " (5*dep > 6*vehicle), and the count band is bound to the"
+    " fixture's per-ticket line multiplicity.",
+    """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+    AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+    AND hd_vehicle_count > 0
+    AND 5 * hd_dep_count > 6 * hd_vehicle_count
+    AND d_year IN (1998, 1998 + 1, 1998 + 2)
+    AND s_county IN ('COUNTY_0', 'COUNTY_2', 'COUNTY_4', 'COUNTY_6',
+                     'COUNTY_8', 'COUNTY_10', 'COUNTY_12', 'COUNTY_14')
+  GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 20
+ORDER BY c_last_name, c_first_name, c_salutation,
+         c_preferred_cust_flag DESC, ss_ticket_number
+""",
+)
+
+_ds(
+    "q289_sql_text_ds46",
+    "TPC-DS Q46 (weekend coupon spend where the buyer has since moved"
+    " city): ticket-grain aggregate of the store fact, re-joined to"
+    " the customer's CURRENT address (a bucket-rotated permutation of"
+    " the purchase addresses - sources/tpcds.py round 9) so the"
+    " bought-city <> current-city filter selects genuinely moved"
+    " customers.",
+    """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         CAST(ROUND(SUM(ss_coupon_amt), 2) AS DOUBLE) AS amt,
+         CAST(ROUND(SUM(ss_net_profit), 2) AS DOUBLE) AS profit
+  FROM store_sales, date_dim, store, household_demographics,
+       customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+    AND d_dow IN (6, 0)
+    AND d_year IN (1998, 1998 + 1, 1998 + 2)
+    AND s_city IN ('CITY_0', 'CITY_5', 'CITY_10', 'CITY_15', 'CITY_20')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100
+""",
+)
+
+_ds(
+    "q290_sql_text_ds68",
+    "TPC-DS Q68 (month-start ticket value where the buyer has since"
+    " moved city): Q46's moved-customer shape with extended price/tax/"
+    " list sums at the ticket grain.",
+    """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         CAST(ROUND(SUM(ss_ext_sales_price), 2) AS DOUBLE) AS extended_price,
+         CAST(ROUND(SUM(ss_ext_list_price), 2) AS DOUBLE) AS list_price,
+         CAST(ROUND(SUM(ss_ext_tax), 2) AS DOUBLE) AS extended_tax
+  FROM store_sales, date_dim, store, household_demographics,
+       customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+    AND d_dom BETWEEN 1 AND 2
+    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+    AND d_year IN (1998, 1998 + 1, 1998 + 2)
+    AND s_city IN ('CITY_0', 'CITY_5')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number
+LIMIT 100
+""",
+)
+
+_ds(
+    "q291_sql_text_ds78",
+    "TPC-DS Q78 (store loyalty vs other channels for non-returned"
+    " sales): each channel anti-joins its returns (LEFT JOIN ... IS"
+    " NULL on the (order, item) key - no fan-out survives the NULL"
+    " filter) and aggregates per (year, item, customer) BEFORE the"
+    " channel joins; the ratio is one guarded IEEE division. The"
+    " wholesale/bill columns follow the pack's single-role mapping.",
+    """
+WITH ws AS (
+  SELECT d_year AS ws_sold_year, ws_item_sk,
+         ws_customer_sk,
+         SUM(ws_quantity) AS ws_qty,
+         SUM(ws_ext_wholesale_cost) AS ws_wc,
+         SUM(ws_sales_price) AS ws_sp
+  FROM web_sales
+  LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                        AND ws_item_sk = wr_item_sk
+  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_customer_sk),
+cs AS (
+  SELECT d_year AS cs_sold_year, cs_item_sk,
+         cs_customer_sk,
+         SUM(cs_quantity) AS cs_qty,
+         SUM(cs_ext_wholesale_cost) AS cs_wc,
+         SUM(cs_sales_price) AS cs_sp
+  FROM catalog_sales
+  LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                            AND cs_item_sk = cr_item_sk
+  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_customer_sk),
+ss AS (
+  SELECT d_year AS ss_sold_year, ss_item_sk,
+         ss_customer_sk,
+         SUM(ss_quantity) AS ss_qty,
+         SUM(ss_ext_wholesale_cost) AS ss_wc,
+         SUM(ss_sales_price) AS ss_sp
+  FROM store_sales
+  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                          AND ss_item_sk = sr_item_sk
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_customer_sk,
+       CAST(ROUND(CAST(ss_qty AS DOUBLE)
+                  / (COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)), 4)
+            AS DOUBLE) AS ratio,
+       ss_qty AS store_qty,
+       CAST(ROUND(ss_wc, 2) AS DOUBLE) AS store_wholesale_cost,
+       CAST(ROUND(ss_sp, 2) AS DOUBLE) AS store_sales_price,
+       COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty,
+       CAST(ROUND(COALESCE(ws_wc, CAST(0 AS DECIMAL(18,6)))
+                  + COALESCE(cs_wc, CAST(0 AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS other_chan_wholesale_cost,
+       CAST(ROUND(COALESCE(ws_sp, CAST(0 AS DECIMAL(18,6)))
+                  + COALESCE(cs_sp, CAST(0 AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+             AND ws_customer_sk = ss_customer_sk
+LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+             AND cs_customer_sk = ss_customer_sk
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 1998
+ORDER BY ss_customer_sk, ss_qty DESC, ss_sp DESC, ss_wc DESC,
+         ratio, other_chan_qty, other_chan_wholesale_cost,
+         other_chan_sales_price
+LIMIT 100
+""",
+)
+
+_ds(
+    "q292_sql_text_ds83",
+    "TPC-DS Q83 (per-item return-quantity share across the three"
+    " channels for three planted weeks): each channel's returns"
+    " aggregate once per item over the broadcast week slice (the"
+    " date->week->date nest is dimension-only), then one three-way"
+    " item join; shares are fixed-shape double expressions over exact"
+    " integer sums.",
+    """
+WITH sr_items AS (
+  SELECT i_item_id AS item_id, SUM(sr_return_quantity) AS sr_item_qty
+  FROM store_returns, item, date_dim
+  WHERE sr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '1998-06-30',
+                                                         DATE '1998-09-27',
+                                                         DATE '1998-11-17')))
+    AND sr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cr_items AS (
+  SELECT i_item_id AS item_id, SUM(cr_return_quantity) AS cr_item_qty
+  FROM catalog_returns, item, date_dim
+  WHERE cr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '1998-06-30',
+                                                         DATE '1998-09-27',
+                                                         DATE '1998-11-17')))
+    AND cr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+wr_items AS (
+  SELECT i_item_id AS item_id, SUM(wr_return_quantity) AS wr_item_qty
+  FROM web_returns, item, date_dim
+  WHERE wr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '1998-06-30',
+                                                         DATE '1998-09-27',
+                                                         DATE '1998-11-17')))
+    AND wr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT sr_items.item_id, sr_item_qty,
+       CAST(ROUND(CAST(sr_item_qty AS DOUBLE)
+                  / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+            AS DOUBLE) AS sr_dev,
+       cr_item_qty,
+       CAST(ROUND(CAST(cr_item_qty AS DOUBLE)
+                  / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+            AS DOUBLE) AS cr_dev,
+       wr_item_qty,
+       CAST(ROUND(CAST(wr_item_qty AS DOUBLE)
+                  / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+            AS DOUBLE) AS wr_dev,
+       CAST(ROUND(CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+                  / 3.0, 4) AS DOUBLE) AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
 LIMIT 100
 """,
 )

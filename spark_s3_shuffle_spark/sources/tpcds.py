@@ -48,7 +48,12 @@ Deterministic mapping (documented fixture semantics, not TPC-DS dbgen):
   year, under this encoding.
 - `item` maps part with hierarchy proxies (category=p_type,
   class/brand=p_brand) and arithmetic manager/manufact ids; `store`
-  maps supplier with its nation as `s_state`.
+  maps supplier with its nation as `s_state`. Round 9: `i_item_id`
+  pools 200 part keys per id ('ITEM_' || key MOD 200) — real TPC-DS
+  item_ids repeat across SCD versions of an item, and the pooling is
+  what gives the cross-channel per-item_id joins (ds83's three-way
+  returns overlap) a non-empty intersection; 40 | 200 keeps i_color
+  functional per pooled id.
 - Round 9: sales carry `{p}_sold_date_sk` from o_orderdate and
   `{p}_ship_date_sk` from l_shipdate (the fixture's real 1-121-day
   order→ship lag), plus logistics sks (warehouse/ship_mode/call_center/
@@ -113,7 +118,7 @@ _DATE_DIM = f"""
 
 _ITEM = """
   SELECT p_partkey AS i_item_sk,
-         'ITEM_' || p_partkey AS i_item_id,
+         'ITEM_' || MOD(p_partkey, 200) AS i_item_id,
          p_name AS i_item_desc,
          p_name AS i_product_name,
          p_brand AS i_brand,
@@ -252,7 +257,13 @@ _TIME_DIM = """
 #: with the address attributes (ca_city = key mod 60 fixes key mod 20,
 #: making any linear sk CONSTANT mod 20 within a city — the ds84
 #: city x income-band slice was structurally empty until this mix). The fact templates' {p}_customer_sk/{p}_addr_sk are
-#: o_custkey, so joins hit by construction.
+#: o_custkey, so joins hit by construction. c_current_addr_sk is a
+#: PERMUTATION of the existing keys (round 9): each key maps to the
+#: next key within its 512-way hash bucket (a partitioned, bounded
+#: LEAD window — custkeys are sparse at large fixtures, so arithmetic
+#: shifts would dangle), which keeps every current-address join valid
+#: while making the customer's current city genuinely differ from the
+#: purchase address — the ds46/ds68 bought-vs-current comparison.
 _CUSTOMER_DS = """
   SELECT o_custkey AS c_customer_sk,
          'CUST_' || o_custkey AS c_customer_id,
@@ -263,7 +274,10 @@ _CUSTOMER_DS = """
          CAST(1924 + MOD(o_custkey, 70) AS INT) AS c_birth_year,
          CAST(1 + MOD(o_custkey, 12) AS INT) AS c_birth_month,
          'COUNTRY_' || MOD(o_custkey, 25) AS c_birth_country,
-         o_custkey AS c_current_addr_sk,
+         COALESCE(LEAD(o_custkey) OVER (PARTITION BY MOD(o_custkey, 512)
+                                        ORDER BY o_custkey),
+                  MIN(o_custkey) OVER (PARTITION BY MOD(o_custkey, 512)))
+           AS c_current_addr_sk,
          CAST(1 + MOD(MOD(o_custkey * 6791 + 3, 7919), 2800) AS INT) AS c_current_cdemo_sk,
          CAST(1 + MOD(MOD(o_custkey * 4507 + 11, 7919), 720) AS INT) AS c_current_hdemo_sk
   FROM (SELECT DISTINCT o_custkey FROM orders) ck
@@ -364,14 +378,18 @@ _CATALOG_PAGE = f"""
 
 #: inventory fact: one row per DISTINCT (ship-date, part) observed in
 #: lineitem — the (week, item) grain DS inventory queries aggregate —
-#: with warehouse and quantity synthesized deterministically from the
-#: pair in both-engine-identical integer arithmetic. Scales with the
+#: with quantity synthesized deterministically from the pair in
+#: both-engine-identical integer arithmetic. The warehouse is a
+#: function of the PART alone (each part is stocked in one warehouse),
+#: so a (warehouse, item) group accumulates a date SERIES — the shape
+#: ds21's before/after level-shift ratio needs; a per-date warehouse
+#: scattered each group to single dates and emptied the ratio band. Scales with the
 #: fact (bounded by |dates| x |parts|), aggregates FIRST in every text
 #: that reads it, and joins the constant warehouse dim broadcast.
 _INVENTORY = """
   SELECT CAST(yr * 10000 + mo * 100 + dm AS INT) AS inv_date_sk,
          pk AS inv_item_sk,
-         CAST(1 + MOD(pk * 13 + yr * 10000 + mo * 100 + dm, 15) AS INT) AS inv_warehouse_sk,
+         CAST(1 + MOD(pk * 13, 15) AS INT) AS inv_warehouse_sk,
          CAST(MOD(pk * 31 + (yr * 10000 + mo * 100 + dm) * 7, 1000) AS INT) AS inv_quantity_on_hand
   FROM (
     SELECT DISTINCT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS yr,
@@ -430,7 +448,11 @@ _SALES_TMPL = """
          CAST(l_extendedprice AS DECIMAL(18,6))
            * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_sales_price,
          CAST(l_extendedprice AS DECIMAL(18,6))
-           * CAST(l_discount AS DECIMAL(18,6)) AS {p}_coupon_amt
+           * CAST(l_discount AS DECIMAL(18,6)) AS {p}_coupon_amt,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(1.2 AS DECIMAL(18,6)) AS {p}_ext_list_price,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_tax AS DECIMAL(18,6)) AS {p}_ext_tax
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod}
 """
