@@ -2284,8 +2284,7 @@ _ds(
     """
 SELECT i_manufact_id,
        CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
-       CAST(ROUND(CAST(total_sales AS DOUBLE) / cnt, 4) AS DOUBLE)
-         AS avg_quarterly_sales
+       CAST(total_sales AS DOUBLE) / cnt AS avg_quarterly_sales
 FROM (
   SELECT i_manufact_id, sum_sales,
          SUM(sum_sales) OVER (PARTITION BY i_manufact_id) AS total_sales,
@@ -2318,8 +2317,7 @@ _ds(
     """
 SELECT i_manager_id,
        CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
-       CAST(ROUND(CAST(total_sales AS DOUBLE) / cnt, 4) AS DOUBLE)
-         AS avg_monthly_sales
+       CAST(total_sales AS DOUBLE) / cnt AS avg_monthly_sales
 FROM (
   SELECT i_manager_id, sum_sales,
          SUM(sum_sales) OVER (PARTITION BY i_manager_id) AS total_sales,
@@ -2622,6 +2620,297 @@ FROM sr_items, cr_items, wr_items
 WHERE sr_items.item_id = cr_items.item_id
   AND sr_items.item_id = wr_items.item_id
 ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100
+""",
+)
+
+
+_ds(
+    "q293_sql_text_ds4",
+    "TPC-DS Q4 (customers whose catalog growth beats both store and web"
+    " growth): the year_total CTE aggregates each channel once per"
+    " (customer, year); the spec's /2 inside the SUM cancels in every"
+    " ratio comparison, so the totals stay exact DECIMAL and both"
+    " growth predicates are cross-multiplied - no division anywhere.",
+    """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         d_year AS dyear,
+         SUM(ss_ext_list_price - ss_ext_wholesale_cost
+             - ss_ext_discount_amt + ss_ext_sales_price) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         d_year,
+         SUM(cs_ext_list_price - cs_ext_wholesale_cost
+             - cs_ext_discount_amt + cs_ext_sales_price) AS year_total,
+         'c' AS sale_type
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         d_year,
+         SUM(ws_ext_list_price - ws_ext_wholesale_cost
+             - ws_ext_discount_amt + ws_ext_sales_price) AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1998 AND t_s_secyear.dyear = 1998 + 1
+  AND t_c_firstyear.dyear = 1998 AND t_c_secyear.dyear = 1998 + 1
+  AND t_w_firstyear.dyear = 1998 AND t_w_secyear.dyear = 1998 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_c_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_c_firstyear.year_total
+  AND t_c_secyear.year_total * t_w_firstyear.year_total
+      > t_w_secyear.year_total * t_c_firstyear.year_total
+ORDER BY t_s_secyear.customer_id,
+         t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+""",
+)
+
+_ds(
+    "q294_sql_text_ds11",
+    "TPC-DS Q11 (customers whose web growth beats store growth, on the"
+    " list-minus-discount total): ds74's two-channel self-join shape"
+    " with Q11's own money formula, exact DECIMAL cross-multiplied"
+    " growth predicate.",
+    """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         d_year AS dyear,
+         SUM(ss_ext_list_price - ss_ext_discount_amt) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         d_year,
+         SUM(ws_ext_list_price - ws_ext_discount_amt) AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1998 AND t_s_secyear.dyear = 1998 + 1
+  AND t_w_firstyear.dyear = 1998 AND t_w_secyear.dyear = 1998 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id,
+         t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+""",
+)
+
+_ds(
+    "q295_sql_text_ds31",
+    "TPC-DS Q31 (counties where web growth outpaces store growth, two"
+    " consecutive quarter steps): each channel aggregates once per"
+    " (county, quarter); the six self-join roles are slices of that"
+    " |counties|x|quarters| frame; growth predicates cross-multiplied"
+    " in DECIMAL with positivity guards (the spec's CASE-NULL"
+    " comparison is false exactly when a guard fails); output ratios"
+    " are rounded single divisions.",
+    """
+WITH ss AS (
+  SELECT ca_county, d_qoy, d_year,
+         SUM(ss_ext_sales_price) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+ws AS (
+  SELECT ca_county, d_qoy, d_year,
+         SUM(ws_ext_sales_price) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       CAST(ROUND(CAST(ws2.web_sales AS DOUBLE)
+                  / CAST(ws1.web_sales AS DOUBLE), 4) AS DOUBLE)
+         AS web_q1_q2_increase,
+       CAST(ROUND(CAST(ss2.store_sales AS DOUBLE)
+                  / CAST(ss1.store_sales AS DOUBLE), 4) AS DOUBLE)
+         AS store_q1_q2_increase,
+       CAST(ROUND(CAST(ws3.web_sales AS DOUBLE)
+                  / CAST(ws2.web_sales AS DOUBLE), 4) AS DOUBLE)
+         AS web_q2_q3_increase,
+       CAST(ROUND(CAST(ss3.store_sales AS DOUBLE)
+                  / CAST(ss2.store_sales AS DOUBLE), 4) AS DOUBLE)
+         AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 1998
+  AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 1998
+  AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 1998
+  AND ss1.ca_county = ws1.ca_county
+  AND ws1.d_qoy = 1 AND ws1.d_year = 1998
+  AND ws1.ca_county = ws2.ca_county
+  AND ws2.d_qoy = 2 AND ws2.d_year = 1998
+  AND ws1.ca_county = ws3.ca_county
+  AND ws3.d_qoy = 3 AND ws3.d_year = 1998
+  AND ws1.web_sales > 0 AND ss1.store_sales > 0
+  AND ws2.web_sales * ss1.store_sales > ss2.store_sales * ws1.web_sales
+  AND ws2.web_sales > 0 AND ss2.store_sales > 0
+  AND ws3.web_sales * ss2.store_sales > ss3.store_sales * ws2.web_sales
+ORDER BY ss1.ca_county
+LIMIT 100
+""",
+)
+
+_ds(
+    "q296_sql_text_ds58",
+    "TPC-DS Q58 (items selling near-equally across all three channels"
+    " in one week): per-channel item revenue over the scalar-subquery"
+    " week slice, three-way item join, the six +/-10% bands"
+    " cross-multiplied in exact DECIMAL (10x >= 9y and 10x <= 11y);"
+    " shares are fixed-shape double expressions.",
+    """
+WITH ss_items AS (
+  SELECT i_item_id AS item_id, SUM(ss_ext_sales_price) AS ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '1998-02-02'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id AS item_id, SUM(cs_ext_sales_price) AS cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '1998-02-02'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id AS item_id, SUM(ws_ext_sales_price) AS ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '1998-02-02'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       CAST(ROUND(ss_item_rev, 2) AS DOUBLE) AS ss_item_rev,
+       CAST(ROUND(CAST(ss_item_rev AS DOUBLE)
+                  / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE)
+                  * 300, 4) AS DOUBLE) AS ss_dev,
+       CAST(ROUND(cs_item_rev, 2) AS DOUBLE) AS cs_item_rev,
+       CAST(ROUND(CAST(cs_item_rev AS DOUBLE)
+                  / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE)
+                  * 300, 4) AS DOUBLE) AS cs_dev,
+       CAST(ROUND(ws_item_rev, 2) AS DOUBLE) AS ws_item_rev,
+       CAST(ROUND(CAST(ws_item_rev AS DOUBLE)
+                  / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE)
+                  * 300, 4) AS DOUBLE) AS ws_dev,
+       CAST(ROUND(CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE)
+                  / 3.0, 4) AS DOUBLE) AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND 10 * ss_item_rev >= 9 * cs_item_rev
+  AND 10 * ss_item_rev <= 11 * cs_item_rev
+  AND 10 * ss_item_rev >= 9 * ws_item_rev
+  AND 10 * ss_item_rev <= 11 * ws_item_rev
+  AND 10 * cs_item_rev >= 9 * ss_item_rev
+  AND 10 * cs_item_rev <= 11 * ss_item_rev
+  AND 10 * cs_item_rev >= 9 * ws_item_rev
+  AND 10 * cs_item_rev <= 11 * ws_item_rev
+  AND 10 * ws_item_rev >= 9 * ss_item_rev
+  AND 10 * ws_item_rev <= 11 * ss_item_rev
+  AND 10 * ws_item_rev >= 9 * cs_item_rev
+  AND 10 * ws_item_rev <= 11 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100
+""",
+)
+
+_ds(
+    "q297_sql_text_ds89",
+    "TPC-DS Q89 (item-store months deviating >10% from their yearly"
+    " average): the AVG window is exact (SUM, COUNT) windows over the"
+    " |brand x store|-bounded post-aggregate frame; the deviation"
+    " filter is cross-multiplied in DECIMAL; ORDER BY pins the spec's"
+    " (sum - avg) key plus a full tiebreak.",
+    """
+SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+       CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
+       CAST(total_sales AS DOUBLE) / cnt AS avg_monthly_sales
+FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         d_moy, sum_sales,
+         SUM(sum_sales) OVER (PARTITION BY i_category, i_brand,
+                              s_store_name, s_company_name) AS total_sales,
+         COUNT(*) OVER (PARTITION BY i_category, i_brand,
+                        s_store_name, s_company_name) AS cnt
+  FROM (
+    SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+           d_moy, SUM(ss_sales_price) AS sum_sales
+    FROM item, store_sales, date_dim, store
+    WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+      AND ss_store_sk = s_store_sk AND d_year IN (1998)
+      AND ((i_category IN ('STANDARD', 'LARGE', 'MEDIUM')
+            AND i_class IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#11'))
+        OR (i_category IN ('ECONOMY', 'PROMO', 'SMALL')
+            AND i_class IN ('Brand#2', 'Brand#14', 'Brand#17', 'Brand#20')))
+    GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+             d_moy) tmp0) tmp1
+WHERE total_sales > 0
+  AND 10 * ABS(sum_sales * cnt - total_sales) > total_sales
+ORDER BY CAST(sum_sales AS DOUBLE) - CAST(total_sales AS DOUBLE) / cnt,
+         s_store_name, i_category, i_class, i_brand, d_moy
 LIMIT 100
 """,
 )

@@ -140,6 +140,7 @@ _STORE = """
          s_name AS s_store_name,
          s_name AS s_store_id,
          n_name AS s_state,
+         'COMPANY_' || MOD(s_suppkey, 5) AS s_company_name,
          'CITY_' || MOD(s_suppkey, 30) AS s_city,
          'COUNTY_' || MOD(s_suppkey, 15) AS s_county,
          (10000 + MOD(s_suppkey, 50)) || '' AS s_zip,
