@@ -93,6 +93,7 @@ _DATE_DIM = f"""
          CAST(mo AS INT) AS d_moy,
          CAST(dm AS INT) AS d_dom,
          CAST(qt AS INT) AS d_qoy,
+         yr || 'Q' || qt AS d_quarter_name,
          CAST((yr - 1990) * 12 + mo - 1 AS INT) AS d_month_seq,
          CAST(iso_yrwk AS INT) AS d_week_seq,
          {_ZELLER} AS d_dow,
@@ -384,14 +385,17 @@ _CATALOG_PAGE = f"""
 #: function of the PART alone (each part is stocked in one warehouse),
 #: so a (warehouse, item) group accumulates a date SERIES — the shape
 #: ds21's before/after level-shift ratio needs; a per-date warehouse
-#: scattered each group to single dates and emptied the ratio band. Scales with the
+#: scattered each group to single dates and emptied the ratio band.
+#: Quantity spans 0..199 so the ds72 stockout predicate
+#: (inv_quantity_on_hand < cs_quantity, quantities 1..50) selects a
+#: real ~12% of matches rather than the 2.5% a 0..999 domain left. Scales with the
 #: fact (bounded by |dates| x |parts|), aggregates FIRST in every text
 #: that reads it, and joins the constant warehouse dim broadcast.
 _INVENTORY = """
   SELECT CAST(yr * 10000 + mo * 100 + dm AS INT) AS inv_date_sk,
          pk AS inv_item_sk,
          CAST(1 + MOD(pk * 13, 15) AS INT) AS inv_warehouse_sk,
-         CAST(MOD(pk * 31 + (yr * 10000 + mo * 100 + dm) * 7, 1000) AS INT) AS inv_quantity_on_hand
+         CAST(MOD(pk * 31 + (yr * 10000 + mo * 100 + dm) * 7, 200) AS INT) AS inv_quantity_on_hand
   FROM (
     SELECT DISTINCT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS yr,
            CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS INT) AS mo,
