@@ -3138,6 +3138,346 @@ LIMIT 100
 )
 
 
+_ds(
+    "q303_sql_text_ds44",
+    "TPC-DS Q44 (best and worst performing items by store profit,"
+    " paired by rank): per-item average profit as a raw IEEE quotient"
+    " of exact sums, the spec's 0.9x-of-store-average HAVING compared"
+    " as identically-derived doubles, RANK tiebroken on item_sk (the"
+    " spec's bare rank_col order is not hash-checkable). The spec's"
+    " ss_addr_sk IS NULL baseline quirk is bound to the plain store"
+    " average - the fixture has no null address rows.",
+    """
+SELECT asceding.rnk,
+       i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM
+  (SELECT * FROM
+    (SELECT item_sk,
+            CAST(RANK() OVER (ORDER BY rank_col ASC, item_sk) AS INT) AS rnk
+     FROM (SELECT ss_item_sk AS item_sk,
+                  CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(*) AS rank_col
+           FROM store_sales ss1
+           WHERE ss_store_sk = 4
+           GROUP BY ss_item_sk
+           HAVING CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(*)
+                  > 0.9 * (SELECT CAST(SUM(ss_net_profit) AS DOUBLE)
+                                  / COUNT(*) AS rank_col
+                           FROM store_sales
+                           WHERE ss_store_sk = 4
+                           GROUP BY ss_store_sk)) v1) v11
+   WHERE rnk < 11) asceding,
+  (SELECT * FROM
+    (SELECT item_sk,
+            CAST(RANK() OVER (ORDER BY rank_col DESC, item_sk) AS INT) AS rnk
+     FROM (SELECT ss_item_sk AS item_sk,
+                  CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(*) AS rank_col
+           FROM store_sales ss1
+           WHERE ss_store_sk = 4
+           GROUP BY ss_item_sk
+           HAVING CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(*)
+                  > 0.9 * (SELECT CAST(SUM(ss_net_profit) AS DOUBLE)
+                                  / COUNT(*) AS rank_col
+                           FROM store_sales
+                           WHERE ss_store_sk = 4
+                           GROUP BY ss_store_sk)) v2) v21
+   WHERE rnk < 11) descending,
+  item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+LIMIT 100
+""",
+)
+
+_ds(
+    "q304_sql_text_ds54",
+    "TPC-DS Q54 (revenue segments of store spend by recent catalog/web"
+    " buyers of one category): the my_customers distinct is bounded by"
+    " |customers|; the store-near-home condition is bound to county"
+    " equality (the fixture's store states are nation names, its"
+    " address states are synthetic - county is the shared geography"
+    " level); the following-3-months window is the spec's month_seq"
+    " scalar arithmetic; segments bucket by FLOOR of one double"
+    " division.",
+    """
+WITH my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_customer_sk AS customer_sk,
+               cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk AS sold_date_sk,
+               ws_customer_sk AS customer_sk,
+               ws_item_sk AS item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+    AND i_category = 'PROMO' AND i_class = 'Brand#5'
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_moy = 12 AND d_year = 1998),
+my_revenue AS (
+  SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_county = s_county
+    AND ss_customer_sk = c_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+                        AND (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+  GROUP BY c_customer_sk),
+segments AS (
+  SELECT CAST(FLOOR(CAST(revenue AS DOUBLE) / 50000.0) AS INT) AS segment
+  FROM my_revenue)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS num_customers,
+       segment * 50000 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100
+""",
+)
+
+_ds(
+    "q305_sql_text_ds70",
+    "TPC-DS Q70 (profit ROLLUP over state/county for the top profit"
+    " states): ds36's rank-over-rollup shape with the spec's ranked"
+    " state semi-join filter; windows run over dimension-bounded"
+    " post-aggregate frames only.",
+    """
+WITH results AS (
+  SELECT SUM(ss_net_profit) AS np, s_state, s_county,
+         CAST(GROUPING(s_state) + GROUPING(s_county) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(s_county) AS INT) AS gcounty
+  FROM store_sales, date_dim d1, store
+  WHERE d1.d_month_seq BETWEEN 96 AND 96 + 11
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN (SELECT s_state FROM
+          (SELECT s_state,
+                  RANK() OVER (PARTITION BY s_state
+                               ORDER BY SUM(ss_net_profit) DESC) AS ranking
+           FROM store_sales, store, date_dim
+           WHERE d_month_seq BETWEEN 96 AND 96 + 11
+             AND d_date_sk = ss_sold_date_sk
+             AND s_store_sk = ss_store_sk
+           GROUP BY s_state) tmp1
+        WHERE ranking <= 5)
+  GROUP BY ROLLUP (s_state, s_county))
+SELECT CAST(ROUND(np, 2) AS DOUBLE) AS total_sum,
+       s_state, s_county, lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN gcounty = 0 THEN s_state END
+         ORDER BY np DESC, s_county NULLS FIRST) AS INT)
+         AS rank_within_parent
+FROM results
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100
+""",
+)
+
+_ds(
+    "q306_sql_text_ds77",
+    "TPC-DS Q77 (30-day sales/returns/profit totals per channel,"
+    " channel ROLLUP): six per-channel aggregates (store and web keyed"
+    " by their dims, the catalog return total cross-joined as the"
+    " spec's single-row global), channel union, two-level ROLLUP over"
+    " the |ids|-bounded frame; HAVING COUNT(*) > 0 pins empty-input"
+    " grouping sets.",
+    """
+WITH ss AS (
+  SELECT s_store_sk,
+         SUM(ss_ext_sales_price) AS sales, SUM(ss_net_profit) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS (
+  SELECT s_store_sk,
+         SUM(sr_return_amt) AS returns_amt, SUM(sr_net_loss) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+cs AS (
+  SELECT cs_call_center_sk,
+         SUM(cs_ext_sales_price) AS sales, SUM(cs_net_profit) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+  GROUP BY cs_call_center_sk),
+cr AS (
+  SELECT SUM(cr_return_amount) AS returns_amt, SUM(cr_net_loss) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30),
+ws AS (
+  SELECT wp_web_page_sk,
+         SUM(ws_ext_sales_price) AS sales, SUM(ws_net_profit) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wr AS (
+  SELECT wp_web_page_sk,
+         SUM(wr_return_amt) AS returns_amt, SUM(wr_net_loss) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk)
+SELECT channel, id,
+       CAST(ROUND(SUM(sales), 2) AS DOUBLE) AS sales,
+       CAST(ROUND(SUM(returns_amt), 2) AS DOUBLE) AS returns_amt,
+       CAST(ROUND(SUM(profit), 2) AS DOUBLE) AS profit
+FROM (
+  SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+         COALESCE(returns_amt, CAST(0 AS DECIMAL(18,6))) AS returns_amt,
+         profit - COALESCE(profit_loss, CAST(0 AS DECIMAL(18,6))) AS profit
+  FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+  UNION ALL
+  SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+         returns_amt, profit - profit_loss AS profit
+  FROM cs, cr
+  UNION ALL
+  SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+         COALESCE(returns_amt, CAST(0 AS DECIMAL(18,6))) AS returns_amt,
+         profit - COALESCE(profit_loss, CAST(0 AS DECIMAL(18,6))) AS profit
+  FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP (channel, id)
+HAVING COUNT(*) > 0
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales, returns_amt, profit
+LIMIT 100
+""",
+)
+
+_ds(
+    "q307_sql_text_ds80",
+    "TPC-DS Q80 (30-day sales/returns/profit per channel id under a"
+    " no-TV-promotion filter, channel ROLLUP): each channel"
+    " pre-aggregates sales to the (order, item) grain with MIN-picked"
+    " dims and LEFT-joins its returns at that grain (the pack's"
+    " fan-out discipline), then the union rolls up over the bounded"
+    " id frame.",
+    """
+WITH ssr AS (
+  SELECT s_store_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT g.store_sk, g.date_sk, g.promo_sk, g.item_sk,
+           g.sales_price, g.profit,
+           COALESCE(r.return_amt, CAST(0 AS DECIMAL(18,6))) AS return_amt,
+           COALESCE(r.net_loss, CAST(0 AS DECIMAL(18,6))) AS net_loss
+    FROM (SELECT ss_ticket_number AS tkt, ss_item_sk AS item_sk,
+                 MIN(ss_store_sk) AS store_sk, MIN(ss_sold_date_sk) AS date_sk,
+                 MIN(ss_promo_sk) AS promo_sk,
+                 SUM(ss_ext_sales_price) AS sales_price,
+                 SUM(ss_net_profit) AS profit
+          FROM store_sales GROUP BY ss_ticket_number, ss_item_sk) g
+    LEFT JOIN (SELECT sr_ticket_number AS tkt, sr_item_sk AS item_sk,
+                      SUM(sr_return_amt) AS return_amt,
+                      SUM(sr_net_loss) AS net_loss
+               FROM store_returns GROUP BY sr_ticket_number, sr_item_sk) r
+      ON g.tkt = r.tkt AND g.item_sk = r.item_sk) j,
+    date_dim, store, item, promotion
+  WHERE j.date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND j.store_sk = s_store_sk
+    AND j.item_sk = i_item_sk AND i_current_price > 950
+    AND j.promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT g.page_sk, g.date_sk, g.promo_sk, g.item_sk,
+           g.sales_price, g.profit,
+           COALESCE(r.return_amt, CAST(0 AS DECIMAL(18,6))) AS return_amt,
+           COALESCE(r.net_loss, CAST(0 AS DECIMAL(18,6))) AS net_loss
+    FROM (SELECT cs_order_number AS ord, cs_item_sk AS item_sk,
+                 MIN(cs_catalog_page_sk) AS page_sk,
+                 MIN(cs_sold_date_sk) AS date_sk,
+                 MIN(cs_promo_sk) AS promo_sk,
+                 SUM(cs_ext_sales_price) AS sales_price,
+                 SUM(cs_net_profit) AS profit
+          FROM catalog_sales GROUP BY cs_order_number, cs_item_sk) g
+    LEFT JOIN (SELECT cr_order_number AS ord, cr_item_sk AS item_sk,
+                      SUM(cr_return_amount) AS return_amt,
+                      SUM(cr_net_loss) AS net_loss
+               FROM catalog_returns GROUP BY cr_order_number, cr_item_sk) r
+      ON g.ord = r.ord AND g.item_sk = r.item_sk) j,
+    date_dim, catalog_page, item, promotion
+  WHERE j.date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND j.page_sk = cp_catalog_page_sk
+    AND j.item_sk = i_item_sk AND i_current_price > 950
+    AND j.promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (
+    SELECT g.site_sk, g.date_sk, g.promo_sk, g.item_sk,
+           g.sales_price, g.profit,
+           COALESCE(r.return_amt, CAST(0 AS DECIMAL(18,6))) AS return_amt,
+           COALESCE(r.net_loss, CAST(0 AS DECIMAL(18,6))) AS net_loss
+    FROM (SELECT ws_order_number AS ord, ws_item_sk AS item_sk,
+                 MIN(ws_web_site_sk) AS site_sk,
+                 MIN(ws_sold_date_sk) AS date_sk,
+                 MIN(ws_promo_sk) AS promo_sk,
+                 SUM(ws_ext_sales_price) AS sales_price,
+                 SUM(ws_net_profit) AS profit
+          FROM web_sales GROUP BY ws_order_number, ws_item_sk) g
+    LEFT JOIN (SELECT wr_order_number AS ord, wr_item_sk AS item_sk,
+                      SUM(wr_return_amt) AS return_amt,
+                      SUM(wr_net_loss) AS net_loss
+               FROM web_returns GROUP BY wr_order_number, wr_item_sk) r
+      ON g.ord = r.ord AND g.item_sk = r.item_sk) j,
+    date_dim, web_site, item, promotion
+  WHERE j.date_sk = d_date_sk
+    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-08-04' + 30
+    AND j.site_sk = web_site_sk
+    AND j.item_sk = i_item_sk AND i_current_price > 950
+    AND j.promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id,
+       CAST(ROUND(SUM(sales), 2) AS DOUBLE) AS sales,
+       CAST(ROUND(SUM(returns_amt), 2) AS DOUBLE) AS returns_amt,
+       CAST(ROUND(SUM(profit) - SUM(profit_loss), 2) AS DOUBLE) AS profit
+FROM (
+  SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM ssr
+  UNION ALL
+  SELECT 'catalog channel' AS channel,
+         'catalog_page' || cp_catalog_page_id AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM csr
+  UNION ALL
+  SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+         sales, returns_amt, profit, profit_loss
+  FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+HAVING COUNT(*) > 0
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales, returns_amt, profit
+LIMIT 100
+""",
+)
+
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and

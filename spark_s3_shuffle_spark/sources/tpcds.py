@@ -234,6 +234,7 @@ _INCOME_BAND = f"""
 #: joins). Hour/minute/second decompose the sk in integer arithmetic.
 _TIME_DIM = """
   SELECT t_time_sk,
+         t_time_sk AS t_time,
          CAST(FLOOR(t_time_sk / 3600.0) AS INT) AS t_hour,
          CAST(FLOOR(MOD(t_time_sk, 3600) / 60.0) AS INT) AS t_minute,
          CAST(MOD(t_time_sk, 60) AS INT) AS t_second,
@@ -482,6 +483,7 @@ _RETURNS_TMPL = """
          o_custkey AS {p}_returning_customer_sk,
          l_orderkey AS {p}_order_number,
          CAST(1 + MOD(l_orderkey + l_linenumber * 5, 36) AS INT) AS {p}_reason_sk,
+         CAST(1 + MOD(l_orderkey * 3 + l_partkey, 60) AS INT) AS {p}_web_page_sk,
          CAST(1 + MOD(o_custkey, 6) AS INT) AS {p}_call_center_sk,
          CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_refunded_cdemo_sk,
          CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_returning_cdemo_sk,
