@@ -3478,6 +3478,254 @@ LIMIT 100
 )
 
 
+_ds(
+    "q308_sql_text_ds24",
+    "TPC-DS Q24 (customer net paid for one color where the buyer's"
+    " birth country matches their address country, store-zip-local):"
+    " the ssales CTE joins sales to returns at the (ticket, item) key,"
+    " prunes through broadcast store/item/customer dims (s_market_id,"
+    " upper(country) match, zip equality), and aggregates once; the"
+    " 0.05x-average HAVING compares identically-derived doubles from a"
+    " scalar subquery.",
+    """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         SUM(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country = UPPER(ca_country)
+    AND s_zip = ca_zip
+    AND s_market_id = 8
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(ROUND(SUM(netpaid), 2) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = 'COLOR_17'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING CAST(SUM(netpaid) AS DOUBLE)
+       > (SELECT 0.05 * (CAST(SUM(netpaid) AS DOUBLE) / COUNT(*))
+          FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q309_sql_text_ds57",
+    "TPC-DS Q57 (call-center item-months deviating from their yearly"
+    " average, with both neighbors): the v1 frame is |category x brand"
+    " x cc x month|-bounded; AVG is exact (SUM, COUNT) windows; the"
+    " lag/lead self-joins align on the spec's rn sequence (unique per"
+    " partition by construction); deviation filter cross-multiplied"
+    " in DECIMAL; the average emits the raw IEEE quotient.",
+    """
+WITH v1 AS (
+  SELECT i_category, i_brand, cc_name, d_year, d_moy, sum_sales,
+         SUM(sum_sales) OVER (PARTITION BY i_category, i_brand, cc_name,
+                              d_year) AS total_sales,
+         COUNT(*) OVER (PARTITION BY i_category, i_brand, cc_name,
+                        d_year) AS cnt,
+         RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+                      ORDER BY d_year, d_moy) AS rn
+  FROM (
+    SELECT i_category, i_brand, cc_name, d_year, d_moy,
+           SUM(cs_sales_price) AS sum_sales
+    FROM item, catalog_sales, date_dim, call_center
+    WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+      AND cc_call_center_sk = cs_call_center_sk
+      AND (d_year = 1998
+           OR (d_year = 1998 - 1 AND d_moy = 12)
+           OR (d_year = 1998 + 1 AND d_moy = 1))
+    GROUP BY i_category, i_brand, cc_name, d_year, d_moy) tmp0),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+         v1.sum_sales, v1.total_sales, v1.cnt,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, cc_name, d_year, d_moy,
+       CAST(ROUND(sum_sales, 2) AS DOUBLE) AS sum_sales,
+       CAST(total_sales AS DOUBLE) / cnt AS avg_monthly_sales,
+       CAST(ROUND(psum, 2) AS DOUBLE) AS psum,
+       CAST(ROUND(nsum, 2) AS DOUBLE) AS nsum
+FROM v2
+WHERE d_year = 1998 AND total_sales > 0
+  AND 10 * ABS(sum_sales * cnt - total_sales) > total_sales
+ORDER BY CAST(sum_sales AS DOUBLE) - CAST(total_sales AS DOUBLE) / cnt,
+         cc_name, i_category, i_brand, d_moy
+LIMIT 100
+""",
+)
+
+_ds(
+    "q310_sql_text_ds66",
+    "TPC-DS Q66 (warehouse shipping profile: per-month quantity-"
+    "weighted sales and net across web+catalog for one year, one time"
+    " band, two carriers): each channel aggregates its 12 SUM(CASE)"
+    " month pivots once, the union re-aggregates per warehouse - the"
+    " fact is touched once per channel; per-sq-ft shares are"
+    " fixed-shape double divisions at output.",
+    """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, yr,
+       CAST(ROUND(SUM(jan_sales), 2) AS DOUBLE) AS jan_sales,
+       CAST(ROUND(SUM(feb_sales), 2) AS DOUBLE) AS feb_sales,
+       CAST(ROUND(SUM(mar_sales), 2) AS DOUBLE) AS mar_sales,
+       CAST(ROUND(SUM(apr_sales), 2) AS DOUBLE) AS apr_sales,
+       CAST(ROUND(SUM(may_sales), 2) AS DOUBLE) AS may_sales,
+       CAST(ROUND(SUM(jun_sales), 2) AS DOUBLE) AS jun_sales,
+       CAST(SUM(jan_sales) AS DOUBLE) / w_warehouse_sq_ft AS jan_sales_per_sq_foot,
+       CAST(SUM(feb_sales) AS DOUBLE) / w_warehouse_sq_ft AS feb_sales_per_sq_foot,
+       CAST(SUM(mar_sales) AS DOUBLE) / w_warehouse_sq_ft AS mar_sales_per_sq_foot,
+       CAST(ROUND(SUM(jan_net), 2) AS DOUBLE) AS jan_net,
+       CAST(ROUND(SUM(feb_net), 2) AS DOUBLE) AS feb_net,
+       CAST(ROUND(SUM(mar_net), 2) AS DOUBLE) AS mar_net
+FROM (
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country,
+         'CARRIER_1,CARRIER_2' AS ship_carriers,
+         d_year AS yr,
+         SUM(CASE WHEN d_moy = 1 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN CAST(ws_ext_sales_price AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 1 THEN CAST(ws_net_paid AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN CAST(ws_net_paid AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN CAST(ws_net_paid AS DECIMAL(18,6)) * CAST(ws_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS mar_net
+  FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+    AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1998
+    AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('CARRIER_1', 'CARRIER_2')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, d_year
+  UNION ALL
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country,
+         'CARRIER_1,CARRIER_2' AS ship_carriers,
+         d_year AS yr,
+         SUM(CASE WHEN d_moy = 1 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN CAST(cs_sales_price AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 1 THEN CAST(cs_net_paid AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN CAST(cs_net_paid AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN CAST(cs_net_paid AS DECIMAL(18,6)) * CAST(cs_quantity AS DECIMAL(10,0))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS mar_net
+  FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+    AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1998
+    AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('CARRIER_1', 'CARRIER_2')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, yr
+ORDER BY w_warehouse_name
+LIMIT 100
+""",
+)
+
+_ds(
+    "q311_sql_text_ds76",
+    "TPC-DS Q76 (sales rows with NULL channel surrogate keys, by"
+    " quarter and category): the fixture's facts carry deterministic"
+    " ~2% NULL rates on store_sk / ship_customer_sk / ship_addr_sk"
+    " (sources/tpcds.py round 9), so each IS NULL branch selects a"
+    " real slice; counts and money are exact aggregates.",
+    """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+       CAST(ROUND(SUM(ext_sales_price), 2) AS DOUBLE) AS sales_amt
+FROM (
+  SELECT 'store' AS channel, 'ss_store_sk' AS col_name, d_year, d_qoy,
+         i_category, ss_ext_sales_price AS ext_sales_price
+  FROM store_sales, item, date_dim
+  WHERE ss_store_sk IS NULL
+    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name, d_year,
+         d_qoy, i_category, ws_ext_sales_price AS ext_sales_price
+  FROM web_sales, item, date_dim
+  WHERE ws_ship_customer_sk IS NULL
+    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name, d_year,
+         d_qoy, i_category, cs_ext_sales_price AS ext_sales_price
+  FROM catalog_sales, item, date_dim
+  WHERE cs_ship_addr_sk IS NULL
+    AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category, sales_cnt,
+         sales_amt
+LIMIT 100
+""",
+)
+
+_ds(
+    "q312_sql_text_ds91",
+    "TPC-DS Q91 (call-center catalog-return losses for one demographic"
+    " slice and month): returns join the returning customer's current"
+    " demographics/address through broadcast dims; the slice is"
+    " fixture-thin at small scales (documented, like ds17/25/29) but"
+    " every join is exercised; losses are exact decimal sums.",
+    """
+SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+       cc_manager AS manager,
+       CAST(ROUND(SUM(cr_net_loss), 2) AS DOUBLE) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer,
+     customer_address, customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998 AND d_moy = 11
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE '5001%'
+  AND ca_gmt_offset = -5
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+ORDER BY returns_loss DESC, call_center, call_center_name, manager
+LIMIT 100
+""",
+)
+
+
 def register_pack(register, sql_text_builder) -> None:
     """Register every DS body as a `*_sql_text_ds*` query: compose() the
     snowflake CTEs once, run the identical string through spark.sql and

@@ -132,6 +132,10 @@ _ITEM = """
          CAST(MOD(p_partkey, 1000) AS INT) AS i_manufact_id,
          CAST(MOD(p_partkey, 100) AS INT) AS i_manager_id,
          'COLOR_' || MOD(p_partkey, 40) AS i_color,
+         'UNIT_' || MOD(p_partkey, 7) AS i_units,
+         CASE MOD(p_partkey, 5) WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
+              WHEN 2 THEN 'large' WHEN 3 THEN 'extra large'
+              ELSE 'N/A' END AS i_size,
          CAST(p_retailprice AS DECIMAL(18,6)) AS i_current_price
   FROM part
 """
@@ -142,6 +146,7 @@ _STORE = """
          s_name AS s_store_id,
          n_name AS s_state,
          'COMPANY_' || MOD(s_suppkey, 5) AS s_company_name,
+         CAST(1 + MOD(s_suppkey, 10) AS INT) AS s_market_id,
          'CITY_' || MOD(s_suppkey, 30) AS s_city,
          'COUNTY_' || MOD(s_suppkey, 15) AS s_county,
          (10000 + MOD(s_suppkey, 50)) || '' AS s_zip,
@@ -276,7 +281,8 @@ _CUSTOMER_DS = """
          CASE WHEN MOD(o_custkey, 3) = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
          CAST(1924 + MOD(o_custkey, 70) AS INT) AS c_birth_year,
          CAST(1 + MOD(o_custkey, 12) AS INT) AS c_birth_month,
-         'COUNTRY_' || MOD(o_custkey, 25) AS c_birth_country,
+         CASE WHEN MOD(o_custkey, 25) = 0 THEN 'united states'
+              ELSE 'COUNTRY_' || MOD(o_custkey, 25) END AS c_birth_country,
          COALESCE(LEAD(o_custkey) OVER (PARTITION BY MOD(o_custkey, 512)
                                         ORDER BY o_custkey),
                   MIN(o_custkey) OVER (PARTITION BY MOD(o_custkey, 512)))
@@ -422,7 +428,8 @@ _SALES_TMPL = """
               + EXTRACT(month FROM CAST(l_shipdate AS DATE)) * 100
               + EXTRACT(day FROM CAST(l_shipdate AS DATE)) AS INT) AS {p}_ship_date_sk,
          l_partkey AS {p}_item_sk,
-         l_suppkey AS {p}_store_sk,
+         CASE WHEN MOD(l_orderkey + l_suppkey, 47) = 0 THEN NULL
+              ELSE l_suppkey END AS {p}_store_sk,
          o_custkey AS {p}_customer_sk,
          l_orderkey AS {p}_ticket_number,
          CAST(l_quantity AS INT) AS {p}_quantity,
@@ -440,7 +447,10 @@ _SALES_TMPL = """
          o_custkey AS {p}_addr_sk,
          CAST(1 + MOD(l_orderkey + l_partkey, 100) AS INT) AS {p}_promo_sk,
          l_orderkey AS {p}_order_number,
-         o_custkey AS {p}_ship_addr_sk,
+         CASE WHEN MOD(l_orderkey + o_custkey, 41) = 0 THEN NULL
+              ELSE o_custkey END AS {p}_ship_addr_sk,
+         CASE WHEN MOD(l_orderkey + l_partkey, 43) = 0 THEN NULL
+              ELSE o_custkey END AS {p}_ship_customer_sk,
          CAST(l_extendedprice AS DECIMAL(18,6))
            * CAST(0.08 AS DECIMAL(18,6)) AS {p}_ext_ship_cost,
          CAST(1 + MOD(l_suppkey + l_partkey, 15) AS INT) AS {p}_warehouse_sk,
