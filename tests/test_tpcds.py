@@ -98,7 +98,7 @@ def test_ds_pack_registered_with_oracles():
     from spark_s3_shuffle_spark.queries.registry import QUERIES
     from spark_s3_shuffle_spark.queries.tpcds_text import DS_BODIES
 
-    assert len(DS_BODIES) == 94
+    assert len(DS_BODIES) == 96
     for name, (body, _doc) in DS_BODIES.items():
         assert name in QUERIES, name
         assert QUERIES[name].oracle == tpcds.compose(body), name
