@@ -361,6 +361,11 @@ def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
       series (|days| rows).
     - q154_cumulative_distinct_users: running first-seen fold over the
       per-day frame (|days| rows).
+    - q303_sql_text_ds44: the spec's best/worst rank pair over ONE
+      store's HAVING-filtered per-item profit aggregate — an |items|-
+      tier dimension frame (the same tier ds36/ds49 window over,
+      partitioned there only by 3-valued channel/level keys), already
+      reduced by the 0.9x-of-average filter before the window.
 
     Anything new that shows up here is a scale regression: fix it with
     operators/prefix.py, don't grow the allowlist without a boundedness
@@ -372,6 +377,7 @@ def test_no_new_single_task_windows_repo_wide(spark, sf_dir):
         "q135_quantile_sketch",
         "q148_trailing_range_window",
         "q154_cumulative_distinct_users",
+        "q303_sql_text_ds44",
     }
     flagged = {}
     for name, q in QUERIES.items():

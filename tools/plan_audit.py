@@ -83,6 +83,22 @@ NESTED_LOOP_OK: dict[str, int] = {
     # and the ds1/ds30/ds81 correlated averages decorrelate to
     # equi-joins in both engines — no nested loop, no entry needed.
     "q259_sql_text_ds28": 8,
+    # Round-9 pack: same constant-VALUES-dim class — cd/hd/promotion/
+    # reason/web_page enumerations chain as BNLJs whose build sides are
+    # the literal lists (scale-independent); ds77 additionally cross-
+    # joins the spec's own single-row catalog-returns total.
+    "q299_sql_text_ds18": 64,
+    "q300_sql_text_ds48": 64,
+    "q301_sql_text_ds72": 64,
+    "q306_sql_text_ds77": 64,
+    "q307_sql_text_ds80": 64,
+    "q312_sql_text_ds91": 64,
+    "q314_sql_text_ds85": 64,
+    "q281_sql_text_ds88": 64,  # hd VALUES chain inside each scalar count
+    "q282_sql_text_ds90": 64,  # hd + web_page VALUES chains
+    "q288_sql_text_ds34": 64,  # hd VALUES chain
+    "q289_sql_text_ds46": 64,  # hd VALUES chain
+    "q290_sql_text_ds68": 64,  # hd VALUES chain
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -137,11 +153,38 @@ MAX_EXCHANGES = {
     # Round-8 pack: EXISTS/NOT-EXISTS queries plan one semi/anti join
     # per channel probe (each over a date-filtered fact aggregate);
     # ds56 unions three channel aggregates.
-    "q241_sql_text_ds10": 12,
-    "q247_sql_text_ds35": 12,
+    "q241_sql_text_ds10": 14,  # +1: customer addr-permutation window (r9)
+    # Round-9 pack (measured at sf0.01 + slack): the multi-channel and
+    # grain-disciplined texts pay 2-4 bounded exchanges per channel —
+    # every one over a shrinking aggregate or a dimension-bounded
+    # window frame, never a second fact scan.
+    "q296_sql_text_ds58": 18,  # 3 channels x (week agg) + 3-way item join
+    "q298_sql_text_ds8": 9,    # zip INTERSECT (2 distincts) + store agg
+    "q299_sql_text_ds18": 11,  # rollup + customer re-join + cd broadcast pair
+    "q301_sql_text_ds72": 9,   # inventory week join + returns grain + agg
+    "q302_sql_text_ds17": 13,  # 3 grain aggs + 3-way chain + stats agg
+    "q304_sql_text_ds54": 13,  # union distinct + month-seq scalars + segments
+    "q306_sql_text_ds77": 15,  # 6 per-channel aggs + union rollup
+    "q307_sql_text_ds80": 15,  # 3 x (2 grain aggs + join) + union rollup
+    "q308_sql_text_ds24": 16,  # ssales grain join + two HAVING scalar scans
+    "q309_sql_text_ds57": 14,  # v1 windows + lag/lead self-joins
+    "q312_sql_text_ds91": 9,   # returns x customer snowflake + agg
+    "q313_sql_text_ds39": 10,  # stats agg + month self-join
+    "q314_sql_text_ds85": 11,  # 2 grain aggs + demographic snowflake
+    "q277_sql_text_ds95": 17,  # ws_wh self-join CTE + two IN semi-joins
+    "q278_sql_text_ds9": 17,   # ten scalar bucket subqueries
+    "q281_sql_text_ds88": 18,  # eight scalar half-hour counts
+    "q284_sql_text_ds51": 11,  # 2 channel running windows + full outer
+    "q287_sql_text_ds74": 18,  # 2-channel year_total + 4 role slices
+    "q291_sql_text_ds78": 14,  # 3 channel anti-join grains + 2 joins
+    "q292_sql_text_ds83": 26,  # 3 channels x (week nest + item agg) + 3-way join
+    "q293_sql_text_ds4": 26,   # 3-channel year_total + 6 role slices
+    "q294_sql_text_ds11": 18,  # 2-channel year_total + 4 role slices
+    "q295_sql_text_ds31": 26,  # 2 channel aggs + 6 role slices
+    "q247_sql_text_ds35": 14,  # +1: customer addr-permutation window (r9)
     "q249_sql_text_ds56": 10,
     "q250_sql_text_ds61": 10,
-    "q251_sql_text_ds69": 10,
+    "q251_sql_text_ds69": 12,  # +1: customer addr-permutation window (r9)
     # Round-8 additions. Every exchange below the first fact aggregate
     # runs over a shrinking bounded grain (|customers|, |states|,
     # |brand x store x month|, or 1-row buckets) — the caps admit the
