@@ -63,7 +63,10 @@ Deterministic mapping (documented fixture semantics, not TPC-DS dbgen):
   inventory family (q21/q22/q37/q39/q72/q82) aggregates.
 
 Money columns are DECIMAL(18,6) at the view boundary so every SUM stays
-exact; query texts follow the repo's rounding discipline (final
+exact; chained products step-cast back to DECIMAL(18,6) between
+multiplies (lossless - the money has <=4 real decimals) because a
+triple product exceeds precision 38, where the engines' cap/rescale
+behavior diverges (measured: 1-ulp avg_fee drift in ds85 at sf0.1); query texts follow the repo's rounding discipline (final
 `CAST(ROUND(x, 2) AS DOUBLE)`, one IEEE division per ratio).
 """
 
@@ -500,11 +503,11 @@ _RETURNS_TMPL = """
          o_custkey AS {p}_refunded_addr_sk,
          CAST(l_extendedprice AS DECIMAL(18,6))
            * (1 - CAST(l_discount AS DECIMAL(18,6))) AS {p}_return_amount,
-         CAST(l_extendedprice AS DECIMAL(18,6))
-           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
            * (1 - CAST(l_tax AS DECIMAL(18,6))) AS {p}_refunded_cash,
-         CAST(l_extendedprice AS DECIMAL(18,6))
-           * CAST(l_tax AS DECIMAL(18,6))
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6))
            * CAST(0.5 AS DECIMAL(18,6)) AS {p}_fee
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod} AND l_returnflag = 'R'
