@@ -667,8 +667,8 @@ SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS curr_year,
        prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
        CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT)
          AS sales_cnt_diff,
-       CAST(ROUND(CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE),
-                  2) AS DOUBLE) AS sales_amt_diff
+       CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE)
+         AS sales_amt_diff
 FROM all_sales curr_yr, all_sales prev_yr
 WHERE curr_yr.i_brand = prev_yr.i_brand
   AND curr_yr.i_category = prev_yr.i_category
