@@ -7677,9 +7677,10 @@ for _twin_name, _src_name in {**_TPCH_TEXT_TWINS, **_TPCDS_TEXT_TWINS}.items():
 # ---------------------------------------------------------------------------
 # Round-7: verbatim TPC-DS texts over the derived snowflake (store_sales /
 # catalog_sales / web_sales + returns, date_dim, item, store) — see
-# queries/tpcds_text.py and sources/tpcds.py. 49 entries (r7: 20, r8:
-# +29 as the snowflake grew demographic/address/time/promotion dims)
-# incl. the reference's FULL headline list DS q5/q49/q67/q75
+# queries/tpcds_text.py and sources/tpcds.py. 99 entries (r7: 20, r8:
+# +29 as the snowflake grew demographic/address/time/promotion dims,
+# r9: +50 incl. the closing ds14a/ds14b/ds64) — every official DS
+# number, incl. the reference's FULL headline list DS q5/q49/q67/q75
 # (run_benchmarks.sh:29-34).
 # ---------------------------------------------------------------------------
 from spark_s3_shuffle_spark.queries import tpcds_text as _tpcds_text

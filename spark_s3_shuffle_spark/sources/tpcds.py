@@ -275,6 +275,10 @@ _TIME_DIM = """
 #: shifts would dangle), which keeps every current-address join valid
 #: while making the customer's current city genuinely differ from the
 #: purchase address — the ds46/ds68 bought-vs-current comparison.
+#: c_first_sales_date_sk is the customer's REAL first order date and
+#: c_first_shipto_date_sk the second-earliest (the first repeat
+#: purchase; equal for single-order customers) — both actual calendar
+#: rows, so ds64's d2/d3 date_dim joins are lossless by construction.
 _CUSTOMER_DS = """
   SELECT o_custkey AS c_customer_sk,
          'CUST_' || o_custkey AS c_customer_id,
@@ -291,13 +295,29 @@ _CUSTOMER_DS = """
                   MIN(o_custkey) OVER (PARTITION BY MOD(o_custkey, 512)))
            AS c_current_addr_sk,
          CAST(1 + MOD(MOD(o_custkey * 6791 + 3, 7919), 2800) AS INT) AS c_current_cdemo_sk,
-         CAST(1 + MOD(MOD(o_custkey * 4507 + 11, 7919), 720) AS INT) AS c_current_hdemo_sk
-  FROM (SELECT DISTINCT o_custkey FROM orders) ck
+         CAST(1 + MOD(MOD(o_custkey * 4507 + 11, 7919), 720) AS INT) AS c_current_hdemo_sk,
+         CAST(EXTRACT(year FROM first_d) * 10000
+              + EXTRACT(month FROM first_d) * 100
+              + EXTRACT(day FROM first_d) AS INT) AS c_first_sales_date_sk,
+         CAST(EXTRACT(year FROM second_d) * 10000
+              + EXTRACT(month FROM second_d) * 100
+              + EXTRACT(day FROM second_d) AS INT) AS c_first_shipto_date_sk
+  FROM (
+    SELECT o_custkey,
+           MIN(d) AS first_d,
+           COALESCE(MIN(CASE WHEN d > mn THEN d END), MIN(d)) AS second_d
+    FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 MIN(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey) AS mn
+          FROM orders) od
+    GROUP BY o_custkey
+  ) ck
 """
 
 _CUSTOMER_ADDRESS = """
   SELECT o_custkey AS ca_address_sk,
          'ADDR_' || o_custkey AS ca_address_id,
+         (100 + MOD(o_custkey * 7, 900)) || '' AS ca_street_number,
          'STREET_' || MOD(o_custkey, 200) AS ca_street_name,
          'CITY_' || MOD(o_custkey, 60) AS ca_city,
          'COUNTY_' || MOD(o_custkey, 30) AS ca_county,
@@ -444,6 +464,8 @@ _SALES_TMPL = """
          CAST(l_extendedprice AS DECIMAL(18,6))
            * CAST(0.9 AS DECIMAL(18,6)) AS {p}_ext_wholesale_cost,
          CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(0.75 AS DECIMAL(18,6)) AS {p}_wholesale_cost,
+         CAST(l_extendedprice AS DECIMAL(18,6))
            * (CAST(0.1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS {p}_net_profit,
          CAST(1 + MOD(o_custkey * 7 + l_partkey, 2800) AS INT) AS {p}_cdemo_sk,
          CAST(1 + MOD(o_custkey * 11 + l_suppkey, 720) AS INT) AS {p}_hdemo_sk,
@@ -477,6 +499,12 @@ _SALES_TMPL = """
 """
 
 #: One returns-channel body: the returned subset of the channel's sales.
+#: {p}_reversed_charge is BIMODAL by item (2/7 of parts refund at a
+#: 0.45 rate, the rest at 0.02): because fixture returns are full-row
+#: subsets of sales, refund totals would otherwise track sale totals at
+#: a near-constant ratio and ds64's sale-vs-refund HAVING could never
+#: split items; the item-keyed rate gives that predicate its intended
+#: two-population selectivity.
 _RETURNS_TMPL = """
   SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) * 10000
               + EXTRACT(month FROM CAST(l_shipdate AS DATE)) * 100
@@ -508,7 +536,14 @@ _RETURNS_TMPL = """
            * (1 - CAST(l_tax AS DECIMAL(18,6))) AS {p}_refunded_cash,
          CAST(CAST(l_extendedprice AS DECIMAL(18,6))
               * CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6))
-           * CAST(0.5 AS DECIMAL(18,6)) AS {p}_fee
+           * CAST(0.5 AS DECIMAL(18,6)) AS {p}_fee,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           * (CASE WHEN MOD(l_partkey, 7) < 2 THEN CAST(0.45 AS DECIMAL(18,6))
+                   ELSE CAST(0.02 AS DECIMAL(18,6)) END) AS {p}_reversed_charge,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           * CAST(0.03 AS DECIMAL(18,6)) AS {p}_store_credit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE MOD(l_linenumber, 3) = {mod} AND l_returnflag = 'R'
 """

@@ -92,13 +92,13 @@ def test_returns_are_subset_of_sales(spark, sf_dir):
 
 
 def test_ds_pack_registered_with_oracles():
-    """All 49 DS text entries exist (20 round-7 + 29 round-8), each with
+    """All 99 DS text entries exist (20 r7 + 29 r8 + 50 r9), each with
     a composed oracle equal to the Spark-side text (the same-string
     contract)."""
     from spark_s3_shuffle_spark.queries.registry import QUERIES
     from spark_s3_shuffle_spark.queries.tpcds_text import DS_BODIES
 
-    assert len(DS_BODIES) == 96
+    assert len(DS_BODIES) == 99
     for name, (body, _doc) in DS_BODIES.items():
         assert name in QUERIES, name
         assert QUERIES[name].oracle == tpcds.compose(body), name

@@ -99,6 +99,8 @@ NESTED_LOOP_OK: dict[str, int] = {
     "q288_sql_text_ds34": 64,  # hd VALUES chain
     "q289_sql_text_ds46": 64,  # hd VALUES chain
     "q290_sql_text_ds68": 64,  # hd VALUES chain
+    "q317_sql_text_ds64": 64,  # cd1/cd2 + hd1/hd2 VALUES chains (the
+    # demographic dims appear TWICE: purchase-time and current)
 }
 
 #: LSH/CC pipelines are inherently multi-stage; everything else should stay
@@ -196,6 +198,19 @@ MAX_EXCHANGES = {
     "q263_sql_text_ds47": 14,  # monthly agg + partitioned windows + official v1^3 self-join + sort
     "q265_sql_text_ds81": 12,  # catalog twin of ds30
     "q266_sql_text_ds87": 16,  # EXCEPT twin of ds38
+    # Round-9 closing pack. Spark INLINES (never materializes) CTEs, so
+    # ds14's cross_items (3-channel INTERSECT) and avg_sales (3-channel
+    # union average) lineages re-PRINT once per channel leg and once per
+    # HAVING scalar — the textual count is ~3x the per-reference shape;
+    # every exchange is a dimension-bounded aggregate (<=300 triples /
+    # 1-row scalar), never a repeated unaggregated fact shuffle.
+    "q315_sql_text_ds14a": 84,  # measured 79 at sf0.001
+    "q316_sql_text_ds14b": 60,  # measured 54 (2 store legs, not 3 channels)
+    # ds64: cs_g/cr_g (item,order)-grain aggregates + cs_ui item agg +
+    # the 15-dim snowflake join (dims broadcast; the two DECIMAL-exact
+    # HAVING sums add partial/final pairs) + cross_sales agg + self-join
+    # sort — re-printed once per self-join side.
+    "q317_sql_text_ds64": 44,  # measured 39 at sf0.001
 }
 
 
