@@ -56,7 +56,7 @@ BASELINE_JSON = os.path.join(_HERE, "BASELINE_BENCH.json")
 PAIRED_JSON = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(_HERE, "BENCH_FULL.json"))
 
 #: Headline queries echoed in the final stdout JSON line. The full suite is
-#: the whole registry (322 entries as of round 9 — see ``n_queries`` in the
+#: the whole registry (325 entries as of round 9 — see ``n_queries`` in the
 #: emitted JSON for the live count), whose per-query dict alone is >12 kB of
 #: JSON — r7's driver artifact recorded ``"parsed": null`` because the one
 #: line overflowed the

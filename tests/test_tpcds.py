@@ -114,3 +114,49 @@ def test_headline_ds_smoke(spark, sf_dir, q):
 
     df = QUERIES[q].builder(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_customer_first_dates_are_real_calendar_rows(spark, sf_dir):
+    """The round-9 c_first_sales_date_sk / c_first_shipto_date_sk are the
+    customer's ACTUAL first and second-earliest order dates (equal for
+    single-order customers): both resolve in date_dim (ds64's d2/d3
+    joins are lossless), ordered first <= shipto, and first_sales equals
+    yyyymmdd(MIN(o_orderdate)) per customer."""
+    tpcds.register_ds_views(spark, sf_dir)
+    bad = spark.sql("""
+        SELECT COUNT(*) AS n FROM customer
+        WHERE c_first_sales_date_sk > c_first_shipto_date_sk
+           OR c_first_sales_date_sk NOT IN (SELECT d_date_sk FROM date_dim)
+           OR c_first_shipto_date_sk NOT IN (SELECT d_date_sk FROM date_dim)
+    """).collect()[0]["n"]
+    assert bad == 0
+    mismatch = spark.sql("""
+        SELECT COUNT(*) AS n
+        FROM customer c
+        JOIN (SELECT o_custkey,
+                     CAST(EXTRACT(year FROM MIN(CAST(o_orderdate AS DATE))) * 10000
+                          + EXTRACT(month FROM MIN(CAST(o_orderdate AS DATE))) * 100
+                          + EXTRACT(day FROM MIN(CAST(o_orderdate AS DATE))) AS INT) AS first_sk
+              FROM orders GROUP BY o_custkey) o
+          ON c.c_customer_sk = o.o_custkey
+        WHERE c.c_first_sales_date_sk <> o.first_sk
+    """).collect()[0]["n"]
+    assert mismatch == 0
+
+
+def test_ds_pack_covers_all_99_official_numbers():
+    """Every official TPC-DS query number 1..99 runs as SQL text: 98
+    verbatim pack entries (ds14 as its two official variants a/b) plus
+    the ds23 front door (q132b in the registry)."""
+    import re
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+    from spark_s3_shuffle_spark.queries.tpcds_text import DS_BODIES
+
+    covered = set()
+    for name in DS_BODIES:
+        m = re.search(r"_ds(\d+)[ab]?$", name)
+        assert m, name
+        covered.add(int(m.group(1)))
+    assert "q132b_sql_text_ds23" in QUERIES
+    covered.add(23)
+    assert covered == set(range(1, 100)), sorted(set(range(1, 100)) - covered)
