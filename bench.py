@@ -71,6 +71,7 @@ HEADLINE = [
     "q160_rfm_segmentation", "q216_sequence_packing_plan",
     "q218_sliding_window_agg", "q223_sql_text_ds5", "q233_sql_text_ds49",
     "q236_sql_text_ds75", "q238_sql_text_ds67", "q192_sql_text_tpch_q9",
+    "q315_sql_text_ds14a", "q317_sql_text_ds64",
 ]
 
 
