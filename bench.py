@@ -133,6 +133,10 @@ def vanilla_spark() -> SparkSession:
 VANILLA_DELTA = {
     "spark.sql.shuffle.partitions": "200",  # Spark default
     "spark.sql.parquet.aggregatePushdown": "false",  # Spark default
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",  # Spark default 10 MiB
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    # explicit = Spark's effective default (falls back to shuffle.partitions)
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "200",
 }
 
 
@@ -142,12 +146,33 @@ def engine_delta() -> dict[str, str]:
     return {
         "spark.sql.shuffle.partitions": parts,
         "spark.sql.parquet.aggregatePushdown": "true",
+        # round-10 engine profile (see session.py): 32/64 MiB broadcast
+        # thresholds + generous AQE initial partition count
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            8 * max(cpus, int(parts))
+        ),
     }
+
+
+#: Sub-second stabilization (round 10): a paired ratio over a query whose
+#: wall-clock is JVM-jitter-sized is a noise reading, not a plan signal —
+#: round 9's driver ratio_max 1.36 came from q04_filter_count, a 59-byte-
+#: shuffle query finishing in ~0.3 s that the builder's own lock-step run
+#: measured at 1.0x. Two mitigations: (a) queries whose faster side lands
+#: under SUBSEC_FLOOR get extra draws up to SUBSEC_RUNS per side (min-of-5
+#: rejects more jitter exactly where jitter dominates), and (b) the emitted
+#: JSON carries ``ratio_max_substantive`` = worst ratio among queries whose
+#: vanilla min >= SUBSEC_FLOOR, the number regression decisions should read.
+SUBSEC_FLOOR = 0.2
+SUBSEC_RUNS = 5
 
 
 def run_paired_suite(spark, sf_dir: str, runs: int):
     """Interleaved engine/vanilla sampling: per query, alternate conf modes
-    sample-by-sample and keep each side's minimum."""
+    sample-by-sample and keep each side's minimum. Sub-second queries get
+    topped up to SUBSEC_RUNS draws per side (see SUBSEC_FLOOR note)."""
     builders = {name: spec.builder for name, spec in QUERIES.items()}
     builders.update(bench_only_queries())
     e_delta, v_delta = engine_delta(), VANILLA_DELTA
@@ -156,17 +181,25 @@ def run_paired_suite(spark, sf_dir: str, runs: int):
     for prep in prepare_map().values():
         prep(spark, sf_dir)
 
+    def draw_pair(fn, e_samples, v_samples):
+        for delta, samples in ((v_delta, v_samples), (e_delta, e_samples)):
+            for k, v in delta.items():
+                spark.conf.set(k, v)
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            samples.append(time.monotonic() - t0)
+
     engine_t: dict[str, float] = {}
     vanilla_t: dict[str, float] = {}
     for name, fn in builders.items():
         e_samples, v_samples = [], []
         for _ in range(runs):
-            for delta, samples in ((v_delta, v_samples), (e_delta, e_samples)):
-                for k, v in delta.items():
-                    spark.conf.set(k, v)
-                t0 = time.monotonic()
-                fn(spark, sf_dir).collect()
-                samples.append(time.monotonic() - t0)
+            draw_pair(fn, e_samples, v_samples)
+        while (
+            min(min(e_samples), min(v_samples)) < SUBSEC_FLOOR
+            and len(e_samples) < SUBSEC_RUNS
+        ):
+            draw_pair(fn, e_samples, v_samples)
         engine_t[name] = round(min(e_samples), 4)
         vanilla_t[name] = round(min(v_samples), 4)
     for k, v in engine_delta().items():  # leave the session in engine mode
@@ -236,6 +269,7 @@ def main() -> None:
         ratios = {
             q: round(t / vanilla_t[q], 2) for q, t in timings.items() if vanilla_t.get(q)
         }
+        substantive = {q: r for q, r in ratios.items() if vanilla_t[q] >= SUBSEC_FLOOR}
         out = {
             "metric": "bench_total_wall_clock",
             "value": total,
@@ -244,6 +278,8 @@ def main() -> None:
             "sf": sf,
             "ratios": ratios,
             "ratio_max": max(ratios.values()) if ratios else None,
+            "ratio_max_substantive": max(substantive.values()) if substantive else None,
+            "subsec_floor": SUBSEC_FLOOR,
             "baseline_total": round(sum(vanilla_t.values()), 4),
             "baseline_queries": vanilla_t,
             "protocol": "paired-in-process",
@@ -263,6 +299,7 @@ def main() -> None:
             "n_queries": len(timings),
             "ratio_overall": round(total / sum(vanilla_t.values()), 3),
             "ratio_max": out["ratio_max"],
+            "ratio_max_substantive": out["ratio_max_substantive"],
             "baseline_total": out["baseline_total"],
             "protocol": "paired-in-process",
             "full_results": os.path.basename(PAIRED_JSON),

@@ -3,13 +3,16 @@
 Images/audio/video are opaque ``binary`` payload columns plus a typed
 metadata struct. The Spark-side machinery — schema, content hashing,
 partition-parallel Arrow batching through ``mapInPandas``, batch shape — is
-real and tested. ``text/plain`` payloads get a REAL decoder
+real and tested. REAL zero-dependency decoders cover ``text/plain``
 (:func:`decode_text`: charset detection + byte/char/line stats,
-oracle-checked by q47), and binary-PPM images get a REAL zero-dependency
-decoder (:func:`decode_ppm`: header parse + per-channel pixel means);
-COMPRESSED image/audio/video decode is STUBBED (the container ships no
-media libraries) behind ``decode_stub``: a deterministic fake that a
-deployment replaces with PIL/ffmpeg calls of the same signature.
+oracle-checked by q47), binary PPM images (:func:`decode_ppm`), RIFF/WAVE
+PCM audio (:func:`decode_wav`), and — round 10 — PNG
+(:func:`decode_png`: stdlib-zlib inflate, CRC-checked chunks, full
+five-filter reconstruction, palette support; encoder counterpart
+:func:`encode_png`). Only JPEG and video decode remain STUBBED (the
+container ships no media libraries) behind ``decode_stub``: a
+deterministic fake that a deployment replaces with PIL/ffmpeg calls of
+the same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -214,8 +217,9 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2) -> DataFrame:
 def decode_ppm(payload: bytes | None) -> dict:
     """REAL image decoder for binary PPM (P6) — the uncompressed RGB
     format parseable with zero media libraries, which narrows the decode
-    seam to COMPRESSED formats only (JPEG/PNG/video still need PIL/ffmpeg
-    in deployment; same signature, same output keys). Parses the header
+    seam to COMPRESSED formats only (PNG is closed too — :func:`decode_png`;
+    JPEG/video still need PIL/ffmpeg in deployment; same signature, same
+    output keys). Parses the header
     (magic, comments, dimensions, maxval) and computes per-channel means
     over the raw pixel block — a real decode producing real statistics.
     """
@@ -387,3 +391,291 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             })
 
     return df.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: REAL PNG decode (stdlib zlib — closes the compressed-image seam
+# the same way PPM/WAV closed the uncompressed ones; only JPEG/video remain
+# deployment stubs). PNG is DEFLATE inside a CRC-checked chunk container,
+# both of which the Python stdlib speaks natively.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (bit depth 8): gray, rgb, palette, gray+a, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filtering): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    raw: bytes,
+    width: int,
+    height: int,
+    color_type: int = 2,
+    palette: bytes | None = None,
+) -> bytes:
+    """Zero-dependency PNG encoder (stdlib ``zlib``): packs raw 8-bit
+    scanline bytes into a spec-conformant PNG, cycling the row filter
+    through ALL FIVE filter types (None/Sub/Up/Average/Paeth, row y uses
+    filter y % 5) so every encoded image exercises every un-filter path in
+    :func:`decode_png`. Fixture/sink-side counterpart of the decoder; the
+    filter cycling makes the round trip a real codec test, not an identity
+    copy.
+
+    ``raw`` is the packed pixel data without filter bytes
+    (``width * height * channels`` bytes, rows in top-to-bottom order).
+    """
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != stride * height:
+        raise ValueError(f"raw must be {stride * height} bytes, got {len(raw)}")
+
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        f = y % 5
+        out.append(f)
+        if f == 0:
+            out += row
+        elif f == 1:  # Sub
+            out += bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF for i in range(stride))
+        elif f == 2:  # Up
+            out += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            out += bytes(
+                (row[i] - (((row[i - ch] if i >= ch else 0) + prior[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out += bytes(
+                (row[i] - _paeth(row[i - ch] if i >= ch else 0, prior[i],
+                                 prior[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if not palette or len(palette) % 3:
+            raise ValueError("color_type 3 needs an RGB palette")
+        png += chunk(b"PLTE", palette)
+    png += chunk(b"IDAT", zlib.compress(bytes(out), 6)) + chunk(b"IEND", b"")
+    return png
+
+
+def decode_png(payload: bytes | None) -> dict:
+    """REAL PNG decoder on the Python stdlib only: CRC-validated chunk walk,
+    IHDR parse, IDAT concat + ``zlib`` inflate, full five-filter
+    reconstruction (None/Sub/Up/Average/Paeth), palette resolution — then
+    per-channel sums/means over the reconstructed pixels. Supports bit
+    depth 8, color types 0/2/3/4/6, non-interlaced (the overwhelmingly
+    common web corpus shape); 16-bit and Adam7 return ``ok=False`` rather
+    than wrong numbers. Any CRC mismatch, truncated stream, or inflate
+    error is ``ok=False`` — corrupt corpus blobs must never decode
+    silently.
+
+    Means are raw IEEE quotients sum/n (ONE fixed-shape double division —
+    the repo's oracle-determinism recipe), so the output is
+    oracle-checkable bit-for-bit. Gray images report the gray mean as
+    r=g=b; alpha-less types report ``mean_a`` NULL.
+    """
+    import struct
+    import zlib
+
+    bad = {
+        "ok": False, "width": None, "height": None, "color_type": None,
+        "sum_r": None, "sum_g": None, "sum_b": None,
+        "mean_r": None, "mean_g": None, "mean_b": None, "mean_a": None,
+    }
+    if payload is None or not payload.startswith(_PNG_SIG):
+        return bad
+    pos, ihdr, palette, idat = len(_PNG_SIG), None, None, bytearray()
+    try:
+        while pos + 12 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                return bad
+            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return bad
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"PLTE":
+                palette = body
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            return bad
+        width, height, depth, color_type, comp, filt, interlace = ihdr
+        if (depth != 8 or color_type not in _PNG_CHANNELS or comp or filt
+                or interlace or width <= 0 or height <= 0):
+            return bad
+        ch = _PNG_CHANNELS[color_type]
+        stride = width * ch
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != (stride + 1) * height:
+            return bad
+        px = bytearray(stride * height)
+        prior = bytes(stride)
+        for y in range(height):
+            f = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if f == 1:
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif f == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prior[i]) & 0xFF
+            elif f == 3:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+            elif f == 4:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    ul = prior[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+            elif f != 0:
+                return bad
+            px[y * stride : (y + 1) * stride] = line
+            prior = bytes(line)
+    except (struct.error, zlib.error, ValueError, IndexError):
+        return bad
+
+    n = width * height
+    if color_type == 3:
+        if palette is None or len(palette) % 3:
+            return bad
+        pmax = len(palette) // 3
+        sums = [0, 0, 0]
+        try:
+            for idx in px:
+                if idx >= pmax:
+                    return bad
+                sums[0] += palette[idx * 3]
+                sums[1] += palette[idx * 3 + 1]
+                sums[2] += palette[idx * 3 + 2]
+        except IndexError:
+            return bad
+        sr, sg, sb, sa = sums[0], sums[1], sums[2], None
+    elif color_type in (0, 4):
+        sg_ = sum(px[0::ch])
+        sr, sg, sb = sg_, sg_, sg_
+        sa = sum(px[1::2]) if color_type == 4 else None
+    else:  # 2 rgb, 6 rgba
+        sr, sg, sb = sum(px[0::ch]), sum(px[1::ch]), sum(px[2::ch])
+        sa = sum(px[3::4]) if color_type == 6 else None
+    return {
+        "ok": True, "width": width, "height": height, "color_type": color_type,
+        "sum_r": sr, "sum_g": sg, "sum_b": sb,
+        "mean_r": sr / n, "mean_g": sg / n, "mean_b": sb / n,
+        "mean_a": (sa / n) if sa is not None else None,
+    }
+
+
+PNG_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("color_type", IntegerType(), True),
+    StructField("sum_r", LongType(), True),
+    StructField("sum_g", LongType(), True),
+    StructField("sum_b", LongType(), True),
+    StructField("mean_r", DoubleType(), True),
+    StructField("mean_g", DoubleType(), True),
+    StructField("mean_b", DoubleType(), True),
+    StructField("mean_a", DoubleType(), True),
+])
+
+
+def extract_png_features(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads + feature-extract through the same Arrow-batched
+    ``mapInPandas`` scan as every other decoder — zero shuffle, one Arrow
+    batch in memory per task regardless of image sizes."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_png(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ok": [str(d["ok"]).lower() for d in decoded],
+                "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+                "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+                "color_type": pd.array([d["color_type"] for d in decoded], dtype="Int32"),
+                "sum_r": pd.array([d["sum_r"] for d in decoded], dtype="Int64"),
+                "sum_g": pd.array([d["sum_g"] for d in decoded], dtype="Int64"),
+                "sum_b": pd.array([d["sum_b"] for d in decoded], dtype="Int64"),
+                "mean_r": pd.array([d["mean_r"] for d in decoded], dtype="Float64"),
+                "mean_g": pd.array([d["mean_g"] for d in decoded], dtype="Float64"),
+                "mean_b": pd.array([d["mean_b"] for d in decoded], dtype="Float64"),
+                "mean_a": pd.array([d["mean_a"] for d in decoded], dtype="Float64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+#: Planted-PNG fixture geometry shared by the Spark leg and the SQL oracle:
+#: every media_id becomes a 16x8 RGB PNG whose pixel channels are fixed
+#: affine functions of (media_id, x, y) mod 256 — so per-channel sums are
+#: EXACTLY replayable in ANSI SQL over a 16x8 integer grid while the bytes
+#: still vary per pixel and per row (all five PNG filters see non-trivial
+#: deltas).
+PNG_PLANT_W, PNG_PLANT_H = 16, 8
+
+
+def _plant_png(media_id: int) -> bytes:
+    w, h = PNG_PLANT_W, PNG_PLANT_H
+    raw = bytearray()
+    for y in range(h):
+        for x in range(w):
+            raw.append((media_id + 3 * x + 5 * y) % 256)
+            raw.append((2 * media_id + 7 * x + y) % 256)
+            raw.append((5 * media_id + x + 11 * y) % 256)
+    return encode_png(bytes(raw), w, h, color_type=2)
+
+
+def plant_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-PNG generator (Arrow-batched, zero shuffle):
+    one synthetic RGB PNG per input id, built by the REAL encoder with the
+    full five-filter cycle. Fixture-side counterpart of
+    :func:`extract_png_features` — its planted statistics are what the
+    q-entry's SQL oracle replays."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_png(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)

@@ -267,6 +267,13 @@ def pack_by_token_budget(
     total order (one task holds the sort tail) — correct, but only for
     corpus slices that fit a task; the operator exists for both because
     the oracle needs the deterministic global form.
+
+    **Scale default**: for a global (unpartitioned) pack at real corpus
+    sizes, use :func:`pack_sequences_global` instead — it computes the
+    same running token offset via the two-phase distributed prefix sum
+    (`operators/prefix.py`), so no single task ever holds the sort tail.
+    This function's unpartitioned form is retained for the DuckDB oracle
+    and small bounded slices only.
     """
     from pyspark.sql import Window
 

@@ -114,6 +114,7 @@ def stage_write(
     stage: str,
     cfg: S3Config,
     sort_within: list[str] | None = None,
+    fault_injection=None,
 ) -> dict:
     """Materialize ``df`` to the object store and PUBLISH it atomically.
 
@@ -132,6 +133,18 @@ def stage_write(
     Scale: data bytes never touch the driver; the driver sees
     |partitions| manifest rows. P prefix shards give the store P
     independent rate-limit buckets.
+
+    ``fault_injection`` (test-only seam, round-10): a picklable
+    ``callable(partition_id, task_attempt_number)`` invoked in-task AFTER
+    the object upload and BEFORE the manifest row is emitted — the worst
+    executor-death point (bytes uploaded, nothing committed). Raising
+    there simulates the reference's failure scenario
+    (`S3ShuffleWriter.scala:10-18`): Spark retries the task, the retry
+    re-uploads the SAME key (the attempt token is per stage_write call,
+    driver-side), the full-object PUT is last-writer-wins, and the
+    manifest only ever records the surviving attempt — so the crashed
+    attempt's bytes can never tear the stage. Proven in
+    `tests/test_s3exchange.py::test_task_death_mid_write_replays_idempotently`.
     """
     import pyarrow as pa
 
@@ -180,6 +193,8 @@ def stage_write(
             )
         else:
             client.put_object(Bucket=cfg.bucket, Key=key, Body=data)
+        if fault_injection is not None:
+            fault_injection(pid, TaskContext.get().attemptNumber())
         yield pa2.RecordBatch.from_pydict(
             {"key": pa2.array([key]),
              "rows": pa2.array([table.num_rows], pa2.int64()),
@@ -296,6 +311,7 @@ def stage_read(
     num_tasks: int | None = None,
     adaptive: bool = True,
     simulated_latency_ms: float = 0.0,
+    fault_injection=None,
 ) -> DataFrame:
     """Read a committed stage back as a DataFrame: the manifest's keys
     are sliced round-robin across ``num_tasks`` reader tasks; each task
@@ -306,7 +322,15 @@ def stage_read(
 
     ``simulated_latency_ms`` adds a fixed per-GET sleep — moto responds
     in microseconds, so tests use it to give the hill-climber a real
-    latency floor to climb against (documented test-only knob)."""
+    latency floor to climb against (documented test-only knob).
+
+    ``fault_injection`` (test-only seam, round-10): picklable
+    ``callable(partition_id, task_attempt_number)`` invoked in-task after
+    each object is parsed and yielded — raising there simulates a reader
+    dying mid-stream. Reads are pure functions of the committed manifest,
+    so Spark's task retry re-fetches the slice and the query result is
+    byte-identical (the failed attempt's partial output is discarded by
+    the scheduler)."""
     manifest = read_manifest(stage, cfg)
     if manifest is None:
         raise FileNotFoundError(f"stage {stage} has no committed manifest")
@@ -342,6 +366,11 @@ def stage_read(
         for _key, payload in stream:
             table = pq.read_table(pa.BufferReader(payload))
             yield from table.to_batches()
+            if fault_injection is not None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                fault_injection(ctx.partitionId(), ctx.attemptNumber())
 
     return kdf.mapInArrow(read_partition, schema)
 

@@ -14,9 +14,12 @@ Scale notes (100 TB mindset):
 - ``spark.sql.files.maxPartitionBytes`` controls scan-side parallelism; at
   128 MiB a 100 TB table yields ~800k input splits — fine for a
   1000-executor cluster, and AQE keeps the downstream stages right-sized.
-- Broadcast threshold is left at Spark's default (10 MiB) and the engine's
-  join helpers add explicit ``broadcast()`` hints for dimension tables, so
-  dim joins never shuffle the fact side.
+- Broadcast thresholds are raised (32 MiB static, 64 MiB AQE runtime) so
+  dimension-bounded join sides broadcast even through the SQL-text front
+  door, where no DataFrame ``broadcast()`` hint exists — the sf10 sweep
+  measured the 10 MiB default flipping 12 MB dims into fact-side shuffles
+  (SHUFFLE_SF10_r10: ds5 2 MB -> 4.3 GB). The engine's join helpers still
+  hint dims explicitly, so DataFrame plans never depended on the threshold.
 """
 
 from __future__ import annotations
@@ -112,6 +115,35 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Broadcast thresholds (round-10): Spark's 10 MiB default is tuned
+        # for small executors; the sf10 shuffle-volume sweep measured ds5's
+        # shuffle exploding 2 MB -> 4.3 GB the moment the 12 MB dims crossed
+        # it (SHUFFLE_SF10_r10) — the fact started shuffling for dim joins.
+        # Static threshold 32 MiB: covers real dimension tables (TPC-DS
+        # SF1000's item parquet is ~30-80 MB; stores/dates far less) and is
+        # measured SAFE against estimate misfires on this fixture — at 64
+        # MiB Catalyst broadcast a column-pruned 208 MB fact (orders, whose
+        # pruned ESTIMATE slipped under the bar) and blew the driver heap;
+        # at 32 MiB no fact side broadcasts at any tested SF. The adaptive
+        # twin at 64 MiB converts SMJ->BHJ at runtime from MEASURED sizes
+        # (estimate-proof — this is what catches derived/aggregated dims
+        # whose static estimates are fact-sized). SQL-text queries (no
+        # DataFrame broadcast hints) are the beneficiaries; the DataFrame
+        # helpers already hint dims explicitly.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE partition sizing (round-10): with coalescing ON, the initial
+        # partition count is a CEILING — AQE merges small partitions but
+        # never splits an exchange beyond it (skew-join aside), so
+        # max(cpus, 32) silently capped sf10's 4 GB fact-fact shuffles at
+        # 32 partitions of ~128 MB and pushed the SMJ sorts into 3.4 GB of
+        # spill (SHUFFLE_SF10_r10, ds75). Start wide (8x parallelism);
+        # AQE's advisoryPartitionSize coalesces small stages back down, so
+        # small queries pay nothing and big shuffles right-size themselves.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * max(cpus, shuffle_partitions)),
+        )
         # AppStatusStore retention: the executed-plan shuffle metering
         # (plans/inspect.py executed_shuffle_metrics) reads per-stage task
         # metrics from the store after the fact; Spark's default of 1000

@@ -1411,3 +1411,80 @@ def test_quantize_vectors_null_and_ragged_propagate(spark):
     assert rows[2] is None and rows[4] is None
     assert rows[1] == [127, -64, 32]
     assert rows[3] == [127, -127]
+
+
+def test_png_codec_roundtrip_all_color_types():
+    """B51 round-10: the PNG seam is CLOSED — stdlib-zlib decode with
+    CRC-checked chunks and full five-filter reconstruction. The encoder
+    cycles every row filter (None/Sub/Up/Average/Paeth), so a round trip
+    at height >= 5 proves every un-filter path against exact per-channel
+    sums; corrupt/unsupported streams must fail closed (ok=False), never
+    decode silently."""
+    import random
+
+    rng = random.Random(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        w, h = 13, 11  # odd stride, h > 5: all five filters hit real deltas
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        d = MM.decode_png(MM.encode_png(raw, w, h, ct))
+        assert d["ok"] and (d["width"], d["height"]) == (w, h), (ct, d)
+        assert d["sum_r"] == sum(raw[0::ch])
+        if ct in (2, 6):
+            assert (d["sum_g"], d["sum_b"]) == (sum(raw[1::ch]), sum(raw[2::ch]))
+        else:  # gray: r=g=b
+            assert d["sum_g"] == d["sum_b"] == d["sum_r"]
+        if ct in (4, 6):  # alpha mean present and exact
+            a = raw[ch - 1 :: ch]
+            assert d["mean_a"] == sum(a) / (w * h)
+        else:
+            assert d["mean_a"] is None
+    # palette (color type 3): sums resolve THROUGH the palette
+    pal = bytes(range(48))
+    idx = bytes(i % 16 for i in range(13 * 11))
+    d = MM.decode_png(MM.encode_png(idx, 13, 11, 3, palette=pal))
+    assert d["ok"] and d["sum_r"] == sum(pal[(i % 16) * 3] for i in range(13 * 11))
+    # failure modes: CRC tamper, truncation, junk, None
+    good = bytearray(MM.encode_png(bytes(range(48)) * 2, 4, 8, 2))
+    tampered = bytearray(good)
+    tampered[45] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    assert MM.decode_png(bytes(tampered))["ok"] is False
+    assert MM.decode_png(bytes(good[:40]))["ok"] is False
+    assert MM.decode_png(b"not a png")["ok"] is False
+    assert MM.decode_png(None)["ok"] is False
+    # unsupported shapes fail closed: 16-bit depth / Adam7 interlace flags
+    import struct
+    import zlib
+
+    def rechunk(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        body = zlib.compress(b"\x00\x01\x02\x00\x03\x04")
+        png = MM._PNG_SIG
+        for ctype, data in ((b"IHDR", ihdr), (b"IDAT", body), (b"IEND", b"")):
+            png += (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        return png
+
+    assert MM.decode_png(rechunk(16, 0))["ok"] is False
+    assert MM.decode_png(rechunk(8, 1))["ok"] is False
+
+
+def test_png_decode_spark_path(spark):
+    """The planted-PNG generator + extractor compose through the Arrow
+    mapInPandas path with exact planted statistics, and corrupt payloads
+    ride the same scan as ok=False rows (no task failure)."""
+    df = spark.createDataFrame([(5,), (1234,)], "doc_id long")
+    feats = {
+        r["media_id"]: r
+        for r in MM.extract_png_features(MM.plant_png_media(df, "doc_id")).collect()
+    }
+    for mid in (5, 1234):
+        exp_r = sum((mid + 3 * x + 5 * y) % 256 for y in range(8) for x in range(16))
+        assert feats[mid]["ok"] == "true"
+        assert (feats[mid]["width"], feats[mid]["height"], feats[mid]["color_type"]) == (16, 8, 2)
+        assert feats[mid]["sum_r"] == exp_r and feats[mid]["mean_r"] == exp_r / 128
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG\r\n\x1a\nbroken")), (10, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ok"] for r in MM.extract_png_features(bad).collect()}
+    assert got == {9: "false", 10: "false"}

@@ -160,3 +160,103 @@ def test_ds_pack_covers_all_99_official_numbers():
     assert "q132b_sql_text_ds23" in QUERIES
     covered.add(23)
     assert covered == set(range(1, 100)), sorted(set(range(1, 100)) - covered)
+
+
+def _duck(sf_dir):
+    """DuckDB connection with the ten base fixture views registered — the
+    oracle engine runs the SAME composed text the Spark leg runs."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_ds64_preagg_grain_deviation_is_confined(sf_dir):
+    """ds64 (round-10, per round-9 advice): the cs_ui legs pre-aggregate
+    both catalog channels to the (item, order) grain before joining,
+    where the official text joins raw rows then aggregates. This pins
+    the fixture assumption that makes the adaptation honest:
+
+    1. the fixture's (item, order) grain genuinely repeats on both
+       channel sides (the restructure is load-bearing — the official
+       join-then-agg form would multiply sale lines by return lines);
+    2. the deviation is EXACTLY confined to repeated-grain items: on
+       every item whose matched (item, order) pairs are unique on both
+       sides, pre-agg-then-join and join-then-agg sums agree to the
+       cent, and every differing item touches a repeated grain.
+    """
+    con = _duck(sf_dir)
+    sql = tpcds.compose("""
+WITH official AS (
+  SELECT cs_item_sk AS item, SUM(cs_ext_list_price) AS sale,
+         SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+  GROUP BY 1),
+preagg AS (
+  SELECT g.cs_item_sk AS item, SUM(g.elp) AS sale, SUM(r.rf) AS refund
+  FROM (SELECT cs_item_sk, cs_order_number, SUM(cs_ext_list_price) AS elp
+        FROM catalog_sales GROUP BY 1,2) g
+  JOIN (SELECT cr_item_sk, cr_order_number,
+               SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS rf
+        FROM catalog_returns GROUP BY 1,2) r
+    ON g.cs_item_sk = r.cr_item_sk AND g.cs_order_number = r.cr_order_number
+  GROUP BY 1),
+dup_items AS (
+  SELECT DISTINCT item FROM (
+    SELECT cs_item_sk AS item FROM catalog_sales cs
+    WHERE EXISTS (SELECT 1 FROM catalog_returns cr
+                  WHERE cr.cr_item_sk = cs.cs_item_sk
+                    AND cr.cr_order_number = cs.cs_order_number)
+    GROUP BY cs_item_sk, cs_order_number HAVING COUNT(*) > 1
+    UNION ALL
+    SELECT cr_item_sk AS item FROM catalog_returns
+    GROUP BY cr_item_sk, cr_order_number HAVING COUNT(*) > 1) t),
+diff AS (
+  SELECT o.item FROM official o JOIN preagg p ON o.item = p.item
+  WHERE o.sale <> p.sale OR o.refund <> p.refund)
+SELECT (SELECT COUNT(*) FROM dup_items) AS n_dup_items,
+       (SELECT COUNT(*) FROM diff) AS n_diff,
+       (SELECT COUNT(*) FROM diff
+        WHERE item NOT IN (SELECT item FROM dup_items)) AS diff_outside_dup,
+       (SELECT COUNT(*) FROM official) AS n_items
+""")
+    n_dup_items, n_diff, diff_outside_dup, n_items = con.execute(sql).fetchone()
+    assert n_dup_items > 0, "fixture grain no longer repeats — ds64's pre-agg restructure is now cosmetic; re-verify vs the official form"
+    assert diff_outside_dup == 0, "pre-agg deviates on a unique-grain item — the forms are no longer comparable"
+    assert n_diff <= n_dup_items
+    assert n_items > n_dup_items, "deviation covers every item — adaptation no longer confined"
+
+
+def test_ds14b_week_lookup_nonempty(sf_dir):
+    """ds14b (round-10, per round-9 advice): its d_week_seq scalar
+    subqueries (Oct 11 of 1996/1997) return NULL if that calendar date
+    drifts out of the fixture's observed order/ship dates — both legs
+    then go empty and the oracle comparison trivially passes while
+    testing nothing. Pin both: the week lookups resolve on the smoke
+    fixture, and the full official text is non-empty at sf0.01 — the
+    smallest SF the driver's oracle gate actually sweeps (at sf0.001
+    the HAVING > all-channel-average filter legitimately empties the
+    legs; the gate never runs there)."""
+    import os
+
+    from spark_s3_shuffle_spark.queries.registry import QUERIES
+
+    con = _duck(sf_dir)
+    for year in (1996, 1997):
+        wk = con.execute(tpcds.compose(
+            f"SELECT d_week_seq FROM date_dim WHERE d_year = {year} AND d_moy = 10 AND d_dom = 11"
+        )).fetchall()
+        assert len(wk) == 1 and wk[0][0] is not None, (
+            f"Oct 11 {year} missing from date_dim — ds14b legs would go empty"
+        )
+    gate_sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(gate_sf):
+        pytest.skip("oracle-gate fixture not present")
+    rows = _duck(gate_sf).execute(QUERIES["q316_sql_text_ds14b"].oracle).fetchall()
+    assert len(rows) > 0, "ds14b returned no rows at the oracle-gate SF — fixture drift degraded the query"
