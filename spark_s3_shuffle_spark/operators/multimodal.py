@@ -9,10 +9,11 @@ oracle-checked by q47), binary PPM images (:func:`decode_ppm`), RIFF/WAVE
 PCM audio (:func:`decode_wav`), and — round 10 — PNG
 (:func:`decode_png`: stdlib-zlib inflate, CRC-checked chunks, full
 five-filter reconstruction, palette support; encoder counterpart
-:func:`encode_png`). Only JPEG and video decode remain STUBBED (the
-container ships no media libraries) behind ``decode_stub``: a
-deterministic fake that a deployment replaces with PIL/ffmpeg calls of
-the same signature.
+:func:`encode_png`) and baseline JPEG (`operators/jpeg.py`: numpy
+DCT/Huffman/zigzag per ITU-T T.81 with the Annex K tables, 4:4:4 and
+4:2:0). Only VIDEO decode remains STUBBED (the container ships no media
+libraries) behind ``decode_stub``: a deterministic fake that a
+deployment replaces with an ffmpeg call of the same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -672,6 +673,99 @@ def plant_png_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [_plant_png(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (second seam): REAL baseline JPEG decode (operators/jpeg.py —
+# pure numpy DCT/Huffman/zigzag per ITU-T T.81 + Annex K tables). With PNG
+# and JPEG closed, VIDEO is the last deployment stub.
+# ---------------------------------------------------------------------------
+
+JPEG_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("sum_r", LongType(), True),
+    StructField("sum_g", LongType(), True),
+    StructField("sum_b", LongType(), True),
+    StructField("mean_r", DoubleType(), True),
+    StructField("mean_g", DoubleType(), True),
+    StructField("mean_b", DoubleType(), True),
+])
+
+
+def extract_jpeg_features(df: DataFrame) -> DataFrame:
+    """Decode baseline JPEG payloads + feature-extract through the same
+    Arrow-batched ``mapInPandas`` scan as every other decoder — zero
+    shuffle, one Arrow batch in memory per task."""
+    import pandas as pd
+
+    from spark_s3_shuffle_spark.operators.jpeg import decode_jpeg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_jpeg(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ok": [str(d["ok"]).lower() for d in decoded],
+                "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+                "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+                "channels": pd.array([d["channels"] for d in decoded], dtype="Int32"),
+                "sum_r": pd.array([d["sum_r"] for d in decoded], dtype="Int64"),
+                "sum_g": pd.array([d["sum_g"] for d in decoded], dtype="Int64"),
+                "sum_b": pd.array([d["sum_b"] for d in decoded], dtype="Int64"),
+                "mean_r": pd.array([d["mean_r"] for d in decoded], dtype="Float64"),
+                "mean_g": pd.array([d["mean_g"] for d in decoded], dtype="Float64"),
+                "mean_b": pd.array([d["mean_b"] for d in decoded], dtype="Float64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=JPEG_FEATURE_SCHEMA)
+
+
+#: Planted-JPEG geometry shared by the Spark leg and the SQL oracle: a
+#: 32x16 grayscale image of 4x2 CONSTANT 8x8 blocks, encoded with the
+#: flat-8 quant table. A constant block's only nonzero coefficient is
+#: DC = 8*(v-128); with step 8 its quantization is exact and the IDCT
+#: returns the constant — so the round trip is LOSSLESS and per-channel
+#: sums are pure integer functions of (media_id, block) replayable in
+#: ANSI SQL, even though baseline JPEG is lossy in general.
+JPEG_PLANT_BX, JPEG_PLANT_BY = 4, 2
+
+
+def _plant_jpeg(media_id: int) -> bytes:
+    import numpy as np
+
+    from spark_s3_shuffle_spark.operators.jpeg import QTAB_FLAT8, encode_jpeg
+
+    blocks = np.array([
+        [(media_id * 11 + 37 * bx + 73 * by) % 256 for bx in range(JPEG_PLANT_BX)]
+        for by in range(JPEG_PLANT_BY)
+    ])
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype("uint8")
+    return encode_jpeg(img, quant_luma=QTAB_FLAT8)
+
+
+def plant_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-JPEG generator (Arrow-batched, zero shuffle):
+    one block-constant grayscale JPEG per input id, built by the REAL
+    encoder (full DCT/quantize/Huffman path). Fixture-side counterpart of
+    :func:`extract_jpeg_features`."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_jpeg(int(i)) for i in pdf["media_id"]],
             })
 
     schema = StructType([

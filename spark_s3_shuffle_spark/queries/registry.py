@@ -7776,6 +7776,43 @@ def q318(spark, sf_dir):
     return MM.extract_png_features(media).orderBy("media_id")
 
 
+_Q319_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       32 AS width, 16 AS height, 1 AS channels,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS BIGINT) AS sum_b,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS DOUBLE) / 512 AS mean_r,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS DOUBLE) / 512 AS mean_g,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by) % 256)) AS DOUBLE) / 512 AS mean_b
+FROM documents, range(4) bxs(bx), range(2) bys(by)
+GROUP BY doc_id ORDER BY media_id"""
+
+
+@_register(
+    "q319_jpeg_decode",
+    _Q319_SQL,
+    "B51 round-10 (second seam): REAL baseline JPEG decode — numpy"
+    " DCT/Huffman/zigzag/dequant per ITU-T T.81 with the Annex K table"
+    " set (operators/jpeg.py) — through the same Arrow-batched"
+    " mapInPandas scan as the PNG/PPM/WAV/text decoders. FULL oracle via"
+    " the lossless tier: each doc_id becomes a 32x16 grayscale JPEG of"
+    " 4x2 CONSTANT 8x8 blocks under a flat step-8 quant table, where the"
+    " only nonzero coefficient per block is DC = 8*(v-128) and its"
+    " quantization is exact — the full encode/decode path (FDCT,"
+    " quantize, zigzag, Huffman entropy coding, byte stuffing, marker"
+    " framing, IDCT) executes losslessly, so DuckDB replays per-channel"
+    " sums from integer arithmetic alone. Lossy-path accuracy is"
+    " tolerance-tested in tests/test_operators.py. With PNG and JPEG"
+    " closed, video is the last decode stub. Zero shuffle; scales as a"
+    " pure scan.",
+)
+def q319(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_jpeg_media(d, "doc_id")
+    return MM.extract_jpeg_features(media).orderBy("media_id")
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

@@ -1488,3 +1488,72 @@ def test_png_decode_spark_path(spark):
     )
     got = {r["media_id"]: r["ok"] for r in MM.extract_png_features(bad).collect()}
     assert got == {9: "false", 10: "false"}
+
+
+def test_jpeg_codec_tiers():
+    """B51 round-10 (second seam): baseline JPEG per ITU-T T.81 on pure
+    numpy — three tiers: (1) the LOSSLESS tier (block-constant image,
+    flat step-8 quant table) round-trips EXACTLY (DC-only blocks, exact
+    quantization — the q319 oracle contract); (2) the lossy tier (Annex K
+    tables) lands within tight mean tolerance on gray/color/4:2:0;
+    (3) unsupported/corrupt streams fail closed."""
+    import numpy as np
+
+    from spark_s3_shuffle_spark.operators.jpeg import (
+        QTAB_FLAT8, decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, size=(3, 4))
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quant_luma=QTAB_FLAT8))
+    assert d["ok"] and (d["width"], d["height"], d["channels"]) == (32, 24, 1)
+    assert d["sum_r"] == int(img.sum())  # EXACT through the full codec
+
+    # lossy tier: smooth gray + flat color, 4:4:4 and 4:2:0, odd dims
+    x = np.linspace(0, 4 * np.pi, 64)
+    smooth = (127 + 100 * np.sin(x)[None, :] * np.cos(x)[:, None]).astype(np.uint8)
+    d2 = decode_jpeg(encode_jpeg(smooth))
+    assert d2["ok"] and abs(d2["mean_r"] - smooth.mean()) < 2.0
+    rgb = np.zeros((19, 11, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 50, 120
+    for sub in (False, True):
+        d3 = decode_jpeg(encode_jpeg(rgb, subsample=sub))
+        assert d3["ok"] and (d3["width"], d3["height"], d3["channels"]) == (11, 19, 3)
+        assert abs(d3["mean_r"] - 200) < 3 and abs(d3["mean_g"] - 50) < 3
+        assert abs(d3["mean_b"] - 120) < 3
+
+    # fail closed: None / junk / truncation / progressive marker
+    assert decode_jpeg(None)["ok"] is False
+    assert decode_jpeg(b"not a jpeg")["ok"] is False
+    good = encode_jpeg(img, quant_luma=QTAB_FLAT8)
+    assert decode_jpeg(good[:40])["ok"] is False
+    progressive = bytearray(good)
+    sof = progressive.find(b"\xFF\xC0")
+    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
+    assert decode_jpeg(bytes(progressive))["ok"] is False
+
+
+def test_jpeg_decode_spark_path(spark):
+    """Planted-JPEG generator + extractor through the Arrow mapInPandas
+    path: exact planted sums, and corrupt payloads ride the same scan as
+    ok=False rows."""
+    df = spark.createDataFrame([(3,), (7331,)], "doc_id long")
+    feats = {
+        r["media_id"]: r
+        for r in MM.extract_jpeg_features(MM.plant_jpeg_media(df, "doc_id")).collect()
+    }
+    for mid in (3, 7331):
+        exp = sum(
+            64 * ((mid * 11 + 37 * bx + 73 * by) % 256)
+            for by in range(2) for bx in range(4)
+        )
+        assert feats[mid]["ok"] == "true"
+        assert (feats[mid]["width"], feats[mid]["height"], feats[mid]["channels"]) == (32, 16, 1)
+        assert feats[mid]["sum_r"] == exp and feats[mid]["mean_r"] == exp / 512
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\xFF\xD8broken")), (10, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ok"] for r in MM.extract_jpeg_features(bad).collect()}
+    assert got == {9: "false", 10: "false"}

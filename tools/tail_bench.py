@@ -86,11 +86,10 @@ KNOWN_SUPERLINEAR: dict[str, str] = {
         "output itself is O(N) ranked rows (4.5M at sf10); collect-bound"
     ),
     "q74_salted_topk_per_group": "same O(N) ranked output as q18",
-    "q62_scalar_breadth": (
-        "scalar-function breadth projection returns ALL N rows (1.5M at"
-        " sf10); the single-threaded driver collect dominates — compute"
-        " is scan-linear"
-    ),
+    # q62_scalar_breadth was listed here through round 9 (data-sized
+    # output, driver-collect bound); round 10 bounded its contract with a
+    # deterministic LIMIT 1000, so a reappearing flag would be a real
+    # regression — intentionally NOT pre-explained anymore.
 }
 
 
