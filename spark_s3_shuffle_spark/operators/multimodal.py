@@ -9,11 +9,14 @@ oracle-checked by q47), binary PPM images (:func:`decode_ppm`), RIFF/WAVE
 PCM audio (:func:`decode_wav`), and — round 10 — PNG
 (:func:`decode_png`: stdlib-zlib inflate, CRC-checked chunks, full
 five-filter reconstruction, palette support; encoder counterpart
-:func:`encode_png`) and baseline JPEG (`operators/jpeg.py`: numpy
+:func:`encode_png`), baseline JPEG (`operators/jpeg.py`: numpy
 DCT/Huffman/zigzag per ITU-T T.81 with the Annex K tables, 4:4:4 and
-4:2:0). Only VIDEO decode remains STUBBED (the container ships no media
-libraries) behind ``decode_stub``: a deterministic fake that a
-deployment replaces with an ffmpeg call of the same signature.
+4:2:0), and uncompressed AVI video (:func:`decode_avi`: RIFF chunk walk,
+raw 24-bit DIB frames, per-frame/whole-clip stats; writer counterpart
+:func:`encode_avi_rgb`). The ONLY remaining deployment stub is
+COMPRESSED video codecs (h264/vp9 — '00dc' frames fail closed), behind
+``decode_stub``: a deterministic fake a deployment replaces with an
+ffmpeg call of the same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -766,6 +769,220 @@ def plant_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [_plant_jpeg(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (third seam): REAL uncompressed-video decode. AVI is RIFF — the
+# same chunk grammar decode_wav already parses — and its '00db' frames are
+# raw bottom-up BGR DIBs, so the uncompressed tier of VIDEO closes with
+# zero dependencies exactly the way PPM closed images and WAV closed
+# audio. Compressed codecs (h264 etc., '00dc' chunks) remain the one
+# deployment stub, tagged ok=False here.
+# ---------------------------------------------------------------------------
+
+def encode_avi_rgb(frames, width: int, height: int, us_per_frame: int = 40000) -> bytes:
+    """Minimal-but-conformant AVI writer: RIFF('AVI ') -> LIST hdrl
+    (avih + one 'vids'/DIB strl) -> LIST movi with one '00db' raw
+    24-bit DIB per frame (bottom-up rows, BGR, 4-byte row padding) ->
+    idx1. ``frames`` is a list of ``bytes`` of packed top-down RGB
+    (width*height*3 each) — the writer does the DIB flip/swizzle."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+
+    def dib(rgb: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = rgb[y * width * 3:(y + 1) * width * 3]
+            bgr = bytearray()
+            for x in range(width):
+                r, g, b = row[x * 3:x * 3 + 3]
+                bgr += bytes((b, g, r))
+            rows.append(bytes(bgr) + pad)
+        return b"".join(rows)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_size = stride * height
+    avih = struct.pack("<14I", us_per_frame, frame_size * 1_000_000 // max(us_per_frame, 1),
+                       0, 0x10, len(frames), 0, 1, frame_size, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            us_per_frame, 1_000_000, 0, len(frames), frame_size, 0xFFFFFFFF, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = [chunk(b"00db", dib(f)) for f in frames]
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx, off = [], 4
+    for mf in movi_frames:
+        idx.append(b"00db" + struct.pack("<III", 0x10, off, len(mf) - 8))
+        off += len(mf)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi(payload: bytes | None) -> dict:
+    """REAL uncompressed-AVI decoder (stdlib struct only): RIFF chunk
+    walk, avih/strh/strf validation (one 'vids' stream, 24-bit
+    BI_RGB DIB), '00db' frame parse with bottom-up/BGR/row-padding
+    reconstruction, exact per-channel sums over ALL frames. Compressed
+    streams ('00dc' or a non-DIB/biCompression != 0 format) and
+    malformed containers return ``ok=False`` — never silent garbage."""
+    import struct
+
+    bad = {
+        "ok": False, "width": None, "height": None, "n_frames": None,
+        "fps": None, "sum_r": None, "sum_g": None, "sum_b": None,
+        "mean_r": None, "mean_g": None, "mean_b": None,
+    }
+    if payload is None or len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return bad
+
+    def walk(data, pos, end):
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated chunk")
+            yield cid, body_start, size
+            pos = body_start + size + (size & 1)
+
+    width = height = None
+    us_per_frame = None
+    compression = None
+    frames = []
+    try:
+        for cid, start, size in walk(payload, 12, len(payload)):
+            if cid != b"LIST":
+                continue
+            kind = payload[start:start + 4]
+            if kind == b"hdrl":
+                for c2, s2, z2 in walk(payload, start + 4, start + size):
+                    if c2 == b"avih":
+                        vals = struct.unpack("<14I", payload[s2:s2 + 56])
+                        us_per_frame = vals[0]
+                        width, height = vals[8], vals[9]
+                    elif c2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                        for c3, s3, z3 in walk(payload, s2 + 4, s2 + z2):
+                            if c3 == b"strh" and payload[s3:s3 + 4] != b"vids":
+                                return bad  # only single-video-stream files
+                            if c3 == b"strf":
+                                bmp = struct.unpack("<IiiHHI", payload[s3:s3 + 20])
+                                if bmp[4] != 24 or bmp[5] != 0:  # 24-bit BI_RGB only
+                                    return bad
+                                compression = bmp[5]
+            elif kind == b"movi":
+                for c2, s2, z2 in walk(payload, start + 4, start + size):
+                    if c2 == b"00dc":
+                        return bad  # compressed frames: the deployment stub
+                    if c2 == b"00db":
+                        frames.append((s2, z2))
+        if width is None or not width or not height or compression is None or not frames:
+            return bad
+        stride = (width * 3 + 3) & ~3
+        sums = [0, 0, 0]
+        for s2, z2 in frames:
+            if z2 != stride * height:
+                return bad
+            body = payload[s2:s2 + z2]
+            for y in range(height):
+                row = body[y * stride:y * stride + width * 3]
+                sums[2] += sum(row[0::3])  # B
+                sums[1] += sum(row[1::3])  # G
+                sums[0] += sum(row[2::3])  # R
+    except (struct.error, ValueError, IndexError):
+        return bad
+    n = width * height * len(frames)
+    return {
+        "ok": True, "width": width, "height": height, "n_frames": len(frames),
+        "fps": 1_000_000 / us_per_frame if us_per_frame else None,
+        "sum_r": sums[0], "sum_g": sums[1], "sum_b": sums[2],
+        "mean_r": sums[0] / n, "mean_g": sums[1] / n, "mean_b": sums[2] / n,
+    }
+
+
+VIDEO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("fps", DoubleType(), True),
+    StructField("sum_r", LongType(), True),
+    StructField("sum_g", LongType(), True),
+    StructField("sum_b", LongType(), True),
+    StructField("mean_r", DoubleType(), True),
+    StructField("mean_g", DoubleType(), True),
+    StructField("mean_b", DoubleType(), True),
+])
+
+
+def extract_video_features(df: DataFrame) -> DataFrame:
+    """Decode uncompressed-AVI payloads through the same Arrow-batched
+    ``mapInPandas`` scan as every other decoder — zero shuffle."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_avi(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ok": [str(d["ok"]).lower() for d in decoded],
+                "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+                "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+                "n_frames": pd.array([d["n_frames"] for d in decoded], dtype="Int32"),
+                "fps": pd.array([d["fps"] for d in decoded], dtype="Float64"),
+                "sum_r": pd.array([d["sum_r"] for d in decoded], dtype="Int64"),
+                "sum_g": pd.array([d["sum_g"] for d in decoded], dtype="Int64"),
+                "sum_b": pd.array([d["sum_b"] for d in decoded], dtype="Int64"),
+                "mean_r": pd.array([d["mean_r"] for d in decoded], dtype="Float64"),
+                "mean_g": pd.array([d["mean_g"] for d in decoded], dtype="Float64"),
+                "mean_b": pd.array([d["mean_b"] for d in decoded], dtype="Float64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+#: Planted-AVI geometry (q320 oracle contract): 4 frames of 16x8, frame f
+#: of media m is the constant color r=(m+7f)%256, g=(2m+13f)%256,
+#: b=(3m+29f)%256 — uncompressed, so sums are exact integer functions.
+AVI_PLANT_W, AVI_PLANT_H, AVI_PLANT_FRAMES = 16, 8, 4
+
+
+def _plant_avi(media_id: int) -> bytes:
+    frames = []
+    for f in range(AVI_PLANT_FRAMES):
+        r = (media_id + 7 * f) % 256
+        g = (2 * media_id + 13 * f) % 256
+        b = (3 * media_id + 29 * f) % 256
+        frames.append(bytes((r, g, b)) * (AVI_PLANT_W * AVI_PLANT_H))
+    return encode_avi_rgb(frames, AVI_PLANT_W, AVI_PLANT_H)
+
+
+def plant_avi_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-AVI generator (Arrow-batched, zero shuffle) —
+    fixture-side counterpart of :func:`extract_video_features`."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_avi(int(i)) for i in pdf["media_id"]],
             })
 
     schema = StructType([

@@ -7813,6 +7813,40 @@ def q319(spark, sf_dir):
     return MM.extract_jpeg_features(media).orderBy("media_id")
 
 
+_Q320_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       16 AS width, 8 AS height, 4 AS n_frames, CAST(25.0 AS DOUBLE) AS fps,
+       CAST(SUM(128 * ((doc_id + 7 * f) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(128 * ((2 * doc_id + 13 * f) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(128 * ((3 * doc_id + 29 * f) % 256)) AS BIGINT) AS sum_b,
+       CAST(SUM(128 * ((doc_id + 7 * f) % 256)) AS DOUBLE) / 512 AS mean_r,
+       CAST(SUM(128 * ((2 * doc_id + 13 * f) % 256)) AS DOUBLE) / 512 AS mean_g,
+       CAST(SUM(128 * ((3 * doc_id + 29 * f) % 256)) AS DOUBLE) / 512 AS mean_b
+FROM documents, range(4) fs(f)
+GROUP BY doc_id ORDER BY media_id"""
+
+
+@_register(
+    "q320_video_decode",
+    _Q320_SQL,
+    "B51 round-10 (third seam): REAL uncompressed-video decode — AVI is"
+    " RIFF (the same chunk grammar decode_wav parses) with raw 24-bit"
+    " DIB frames, so video's uncompressed tier closes with zero"
+    " dependencies exactly as PPM closed images and WAV closed audio"
+    " (multimodal.decode_avi: container walk, avih/strh/strf validation,"
+    " bottom-up BGR row reconstruction with 4-byte stride padding,"
+    " per-channel sums over all frames; compressed '00dc' streams fail"
+    " closed — the one remaining deployment stub). FULL oracle: each"
+    " doc_id becomes a 4-frame 16x8 clip whose frame colors are affine"
+    " functions of (id, frame), replayed in SQL over range(4). Zero"
+    " shuffle; scales as a pure scan.",
+)
+def q320(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_avi_media(d, "doc_id")
+    return MM.extract_video_features(media).orderBy("media_id")
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

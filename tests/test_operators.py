@@ -1557,3 +1557,45 @@ def test_jpeg_decode_spark_path(spark):
     )
     got = {r["media_id"]: r["ok"] for r in MM.extract_jpeg_features(bad).collect()}
     assert got == {9: "false", 10: "false"}
+
+
+def test_avi_codec_roundtrip_and_failure_modes():
+    """B51 round-10 (third seam): uncompressed AVI decode is REAL — RIFF
+    chunk walk, raw bottom-up BGR DIB frames with 4-byte stride padding.
+    Random-content round trip is EXACT (nothing is lossy); compressed
+    ('00dc') frames, truncation, and junk fail closed."""
+    import random
+
+    rng = random.Random(9)
+    w, h = 5, 3  # odd width: stride padding exercised
+    frames = [bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(2)]
+    d = MM.decode_avi(MM.encode_avi_rgb(frames, w, h))
+    assert d["ok"] and (d["width"], d["height"], d["n_frames"]) == (w, h, 2)
+    assert d["sum_r"] == sum(sum(f[0::3]) for f in frames)
+    assert d["sum_g"] == sum(sum(f[1::3]) for f in frames)
+    assert d["sum_b"] == sum(sum(f[2::3]) for f in frames)
+    assert d["fps"] == 25.0
+    assert MM.decode_avi(None)["ok"] is False
+    assert MM.decode_avi(b"RIFFxxxxWAVE")["ok"] is False
+    good = bytearray(MM.encode_avi_rgb(frames, w, h))
+    assert MM.decode_avi(bytes(good[:50]))["ok"] is False
+    compressed = bytearray(good)
+    i = compressed.find(b"00db")
+    compressed[i:i + 4] = b"00dc"  # pretend-h264: the deployment stub
+    assert MM.decode_avi(bytes(compressed))["ok"] is False
+
+
+def test_avi_decode_spark_path(spark):
+    """Planted-AVI generator + extractor through the Arrow mapInPandas
+    path with exact planted statistics."""
+    df = spark.createDataFrame([(11,), (4242,)], "doc_id long")
+    feats = {
+        r["media_id"]: r
+        for r in MM.extract_video_features(MM.plant_avi_media(df, "doc_id")).collect()
+    }
+    for mid in (11, 4242):
+        exp = sum(128 * ((mid + 7 * f) % 256) for f in range(4))
+        assert feats[mid]["ok"] == "true"
+        assert (feats[mid]["width"], feats[mid]["height"], feats[mid]["n_frames"]) == (16, 8, 4)
+        assert feats[mid]["sum_r"] == exp and feats[mid]["mean_r"] == exp / 512
+        assert feats[mid]["fps"] == 25.0
