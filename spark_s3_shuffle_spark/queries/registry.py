@@ -1209,12 +1209,12 @@ _Q42B_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 200),
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 200),
 losers AS (
-  SELECT t.doc_id
-  FROM corpus t JOIN corpus o
-    ON t.doc_id = o.doc_id + 1000000 AND t.text = o.text)
-SELECT doc_id FROM corpus
+  SELECT b.doc_id
+  FROM corpus a JOIN corpus b
+    ON a.text = b.text AND a.doc_id < b.doc_id)
+SELECT DISTINCT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id"""
 
@@ -1228,21 +1228,25 @@ ORDER BY doc_id"""
     " identical text yields an identical minhash signature, so EVERY band"
     " collides (candidate generation cannot miss), the exact-Jaccard"
     " verify confirms at 1.0, and the keep-min anti-join drops exactly"
-    " the twin ids — shingling, signatures, banding, bucket join,"
+    " the duplicate ids — shingling, signatures, banding, bucket join,"
     " confirm, and anti-join all execute, and DuckDB replays the"
-    " survivor set exactly. Threshold pinned at 1.0 (the exact-duplicate"
-    " tier): Jaccard of identical shingle sets is float-exact 1.0, while"
-    " the fixture's REAL near-dup pairs top out at 0.989 (measured) and"
-    " their candidate-ness is the probabilistic part no SQL oracle can"
-    " replay — sub-1.0 recall stays MEASURED on q42's planted truncation"
-    " twins (tests/test_recall.py, floor 0.98). This entry pins the"
+    " survivor set exactly (keep-min per text group: the oracle covers"
+    " BOTH the planted twins AND the fixture's REAL exact-text"
+    " duplicates, which appear from sf0.1 up — 8/80/800 pairs at"
+    " sf0.1/1/10 — and which the pipeline must also drop). Threshold"
+    " pinned at 1.0 (the exact-duplicate tier): Jaccard of identical"
+    " shingle sets is float-exact 1.0, while the fixture's REAL sub-1.0"
+    " near-dup pairs top out at 0.989 (measured) and their"
+    " candidate-ness is the probabilistic part no SQL oracle can replay"
+    " — sub-1.0 recall stays MEASURED on q42's planted truncation twins"
+    " (tests/test_recall.py, floor 0.98). This entry pins the"
     " deterministic half of the contract, shrinking the rows-only family"
     " to six.",
 )
 def q42b(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     twins = d.filter(F.col("doc_id") < 200).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
     )
     corpus = d.unionByName(twins)
     return (
@@ -1352,8 +1356,9 @@ def q46(spark, sf_dir):
     "B51 multimodal decode + feature extraction with a REAL text/plain"
     " decoder through the mapInPandas Arrow path: strict-decode charset"
     " detection (ascii/utf-8/binary) + byte/char/line stats per payload —"
-    " zero shuffle, batch-bounded memory; the image/audio decoders remain"
-    " deployment seams with the same signature (multimodal.decode_stub).",
+    " zero shuffle, batch-bounded memory. Round 10: the sibling decoders"
+    " are real too — PPM/WAV (round 8), PNG/JPEG/uncompressed-AVI"
+    " (q318/q319/q320); only compressed video keeps the decode_stub.",
 )
 def q47(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
