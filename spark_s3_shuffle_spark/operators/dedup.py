@@ -158,9 +158,22 @@ def minhash_lsh_candidates(
       probabilistic contract as LSH itself, measured ≥0.98 candidate
       recall (tests/test_recall.py).
 
+    EXACT duplicates are NOT left to that probabilistic contract: a third,
+    unconditional edge source — DIGEST STAR edges — pairs every member of
+    each text-digest group with the group's min id (one window exchange
+    over 16-byte (id, xxhash64(text)) rows, O(n), output bounded by the
+    duplicate count). Identical texts therefore always share a candidate
+    edge that exact verification confirms, by construction, at any scale
+    and any bucket density. Round-11 fix: before this, an exact-dup pair
+    landing in a >``dense_bucket_limit`` bucket relied on star/chain edges
+    alone, and an ``h0``-equal non-dup interloper sorting between the
+    twins broke adjacency in every band at sf10 (q42b: 60/1000 duplicates
+    survived — CORRECTNESS_SF10_r10). A 64-bit digest collision can only
+    ADD a false candidate pair, which exact verification then rejects.
+
     ``max_bucket_size`` still drops pathological buckets outright (a
     cluster that saturates a full band at that size is exact-dup-shaped —
-    the cheap digest pass should absorb it first).
+    the digest edges absorb its exact-dup members deterministically).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -216,7 +229,22 @@ def minhash_lsh_candidates(
             F.greatest("_prev", "_id").alias("b"),
         )
     )
-    return dense.unionByName(star).unionByName(chain).distinct()
+    # Digest star edges (docstring above): deterministic candidates for
+    # exact-text duplicates, independent of bucket density. xxhash64 is
+    # enough here — a collision adds a candidate that verify rejects.
+    dig = df.select(
+        F.col(id_col).alias("_id"),
+        F.xxhash64(F.col(text_col).cast("string")).alias("_dg"),
+    )
+    w_dig = Window.partitionBy("_dg")
+    digest_star = (
+        dig.select("_id", F.min("_id").over(w_dig).alias("_dm"))
+        .filter(F.col("_id") != F.col("_dm"))
+        .select(F.col("_dm").alias("a"), F.col("_id").alias("b"))
+    )
+    return (
+        dense.unionByName(star).unionByName(chain).unionByName(digest_star).distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -231,21 +259,96 @@ def ngram_jaccard_pairs(
 
     Joins the shingle sets back onto the (already-bounded) candidate list,
     so pairwise cost is O(|candidates|), not O(n²).
+
+    The threshold filter compares UNROUNDED integer counts
+    (``inter >= threshold * uni``), so a pair at true Jaccard 0.49996 is
+    NOT admitted by a 0.5 threshold the way a rounded-then-compared
+    ``round(j, 4) >= t`` filter would admit it; at ``threshold == 1.0``
+    the comparison degenerates to ``inter == uni`` — set equality,
+    float-free. The reported ``jaccard`` column stays rounded to 4
+    decimals for stable display/hashing. (Round-11, ADVICE r10 item 2.)
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    out = (
+    scored = (
         candidates.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
     )
-    return out
+    if threshold >= 1.0:
+        kept = scored.filter(
+            (F.col("uni") > 0) & (F.col("inter") == F.col("uni"))
+        )
+    else:
+        # uni > 0 keeps Jaccard defined: two below-shingle-length texts
+        # have empty sets and were never admitted by the old rounded
+        # filter either (null fails any comparison).
+        kept = scored.filter(
+            (F.col("uni") > 0)
+            & (F.col("inter").cast("double") >= F.lit(threshold) * F.col("uni"))
+        )
+    return kept.withColumn(
+        "jaccard", F.round(F.col("inter") / F.col("uni"), 4)
+    ).select("a", "b", "jaccard")
+
+
+def exact_duplicate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verify candidate (a, b) pairs by BYTE-IDENTICAL text (sha2-256
+    digest equality) — the threshold-1.0 tier's verifier.
+
+    Exact duplication is a deterministic property, not a probabilistic
+    one, so the exact tier must not inherit shingle-set edge cases:
+    distinct texts can share an identical shingle multiset (repetitive
+    boilerplate) and sub-shingle-length texts have empty sets — both are
+    Jaccard-1.0-shaped without being duplicates. Digest equality is also
+    cheaper to verify than a shingle join: the pair join carries one
+    64-hex digest per side instead of a shingle array. sha2-256 (not
+    xxhash64) because the VERIFIER must not confirm false positives.
+    NULL texts hash to NULL and NULL == NULL is false — matching the SQL
+    oracle's ``a.text = b.text`` semantics.
+    """
+    dig = df.select(
+        F.col(id_col).alias("_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("_dg"),
+    )
+    return (
+        candidates.join(dig.withColumnRenamed("_id", "a").withColumnRenamed("_dg", "dg_a"), "a")
+        .join(dig.withColumnRenamed("_id", "b").withColumnRenamed("_dg", "dg_b"), "b")
+        .filter(F.col("dg_a") == F.col("dg_b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+
+
+def _confirmed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Shared candidate+verify stage for minhash_dedup / minhash_dedup_cc.
+
+    ``jaccard_threshold >= 1.0`` selects the EXACT tier (round-11, VERDICT
+    r10 item 1): digest star candidates (always unioned in by
+    ``minhash_lsh_candidates``) + digest-equality verification make the
+    survivor set deterministic by construction — keep-min per identical
+    text, at any scale, any bucket density. Sub-1.0 thresholds keep the
+    probabilistic LSH contract (measured recall floors,
+    tests/test_recall.py)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, **lsh_kwargs)
+    if jaccard_threshold >= 1.0:
+        return exact_duplicate_pairs(df, cand, id_col, text_col)
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, 3, jaccard_threshold)
 
 
 def minhash_dedup(
@@ -255,13 +358,21 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    **lsh_kwargs,
 ) -> DataFrame:
-    """End-to-end near-dup removal: LSH candidates → exact Jaccard verify →
+    """End-to-end near-dup removal: LSH candidates → exact verify →
     drop the larger id of each confirmed pair (transitive-lite policy:
     anything confirmed-similar to a smaller id is dropped; full
-    connected-components clustering is a later milestone)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
-    confirmed = ngram_jaccard_pairs(df, cand, id_col, text_col, 3, jaccard_threshold)
+    connected-components clustering is ``minhash_dedup_cc``).
+
+    ``jaccard_threshold >= 1.0`` is the deterministic exact-duplicate
+    tier (see ``_confirmed_pairs``); ``lsh_kwargs`` pass through to
+    ``minhash_lsh_candidates`` (e.g. ``dense_bucket_limit`` — used by the
+    oversize-bucket regression test to force the sf10 regime at sf0.001).
+    """
+    confirmed = _confirmed_pairs(
+        df, id_col, text_col, num_hashes, bands, jaccard_threshold, **lsh_kwargs
+    )
     losers = confirmed.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -273,12 +384,14 @@ def minhash_dedup_cc(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    **lsh_kwargs,
 ) -> DataFrame:
     """minhash_dedup with full connected-components clustering: transitive
     chains (A~B, B~C, A≁C) collapse to one representative per cluster
     instead of the transitive-lite per-pair policy."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
-    confirmed = ngram_jaccard_pairs(df, cand, id_col, text_col, 3, jaccard_threshold)
+    confirmed = _confirmed_pairs(
+        df, id_col, text_col, num_hashes, bands, jaccard_threshold, **lsh_kwargs
+    )
     return dedup_by_components(df, confirmed, id_col)
 
 

@@ -237,8 +237,11 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
 
 def _decode_block(br: _BitReader, pred: int, dc_tab, ac_tab) -> tuple[np.ndarray, int]:
     def read_symbol(tab) -> int:
+        # max baseline code length is 16 bits (T.81 B.2.4.2) — reading a
+        # 17th bit would misreport a truncated-stream error on corrupt
+        # input that ends exactly at the boundary (ADVICE r10).
         code, length = 0, 0
-        while length <= 16:
+        while length < 16:
             code = (code << 1) | br.read_bit()
             length += 1
             sym = tab.get((length, code))

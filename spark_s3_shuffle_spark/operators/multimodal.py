@@ -11,12 +11,14 @@ PCM audio (:func:`decode_wav`), and — round 10 — PNG
 five-filter reconstruction, palette support; encoder counterpart
 :func:`encode_png`), baseline JPEG (`operators/jpeg.py`: numpy
 DCT/Huffman/zigzag per ITU-T T.81 with the Annex K tables, 4:4:4 and
-4:2:0), and uncompressed AVI video (:func:`decode_avi`: RIFF chunk walk,
-raw 24-bit DIB frames, per-frame/whole-clip stats; writer counterpart
-:func:`encode_avi_rgb`). The ONLY remaining deployment stub is
-COMPRESSED video codecs (h264/vp9 — '00dc' frames fail closed), behind
-``decode_stub``: a deterministic fake a deployment replaces with an
-ffmpeg call of the same signature.
+4:2:0), and AVI video (:func:`decode_avi`: RIFF chunk walk; raw 24-bit DIB
+'00db' frames, and — round 11 — MJPEG '00dc' frames decoded per-frame
+through `operators/jpeg.py`; per-frame/whole-clip stats; writer
+counterparts :func:`encode_avi_rgb` / :func:`encode_avi_mjpeg`). The
+ONLY remaining deployment stub is INTER-FRAME video codecs (h264/vp9 —
+non-MJPG compressed streams fail closed), behind ``decode_stub``: a
+deterministic fake a deployment replaces with an ffmpeg call of the
+same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -783,9 +785,15 @@ def plant_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
 # same chunk grammar decode_wav already parses — and its '00db' frames are
 # raw bottom-up BGR DIBs, so the uncompressed tier of VIDEO closes with
 # zero dependencies exactly the way PPM closed images and WAV closed
-# audio. Compressed codecs (h264 etc., '00dc' chunks) remain the one
-# deployment stub, tagged ok=False here.
+# audio. Round-11 (VERDICT r10 item 5) adds the MJPEG tier: an 'MJPG'
+# stream's '00dc' frames are each a complete baseline JPEG, so compressed
+# video's most common legacy case decodes through operators/jpeg.py with
+# zero new codec surface. Inter-frame codecs (h264/vp9 etc.) remain the
+# one deployment stub, tagged ok=False here.
 # ---------------------------------------------------------------------------
+
+#: 'MJPG' fourcc as the little-endian biCompression dword.
+MJPG_FOURCC = 0x47504A4D
 
 def encode_avi_rgb(frames, width: int, height: int, us_per_frame: int = 40000) -> bytes:
     """Minimal-but-conformant AVI writer: RIFF('AVI ') -> LIST hdrl
@@ -834,13 +842,54 @@ def encode_avi_rgb(frames, width: int, height: int, us_per_frame: int = 40000) -
     return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
+def encode_avi_mjpeg(jpeg_frames, width: int, height: int, us_per_frame: int = 40000) -> bytes:
+    """MJPEG AVI writer: same RIFF layout as :func:`encode_avi_rgb` but
+    the stream is fourcc 'MJPG' (strh handler + strf biCompression) and
+    each frame is a '00dc' chunk holding one COMPLETE baseline JPEG
+    verbatim — the Motion-JPEG convention. ``jpeg_frames`` is a list of
+    JPEG ``bytes`` (e.g. from ``operators.jpeg.encode_jpeg``)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    buf = max(len(f) for f in jpeg_frames) if jpeg_frames else 0
+    avih = struct.pack("<14I", us_per_frame, buf * 1_000_000 // max(us_per_frame, 1),
+                       0, 0x10, len(jpeg_frames), 0, 1, buf, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            us_per_frame, 1_000_000, 0, len(jpeg_frames), buf, 0xFFFFFFFF, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, MJPG_FOURCC, buf, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = [chunk(b"00dc", f) for f in jpeg_frames]
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx, off = [], 4
+    for mf in movi_frames:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(mf) - 8))
+        off += len(mf)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
 def decode_avi(payload: bytes | None) -> dict:
-    """REAL uncompressed-AVI decoder (stdlib struct only): RIFF chunk
-    walk, avih/strh/strf validation (one 'vids' stream, 24-bit
-    BI_RGB DIB), '00db' frame parse with bottom-up/BGR/row-padding
-    reconstruction, exact per-channel sums over ALL frames. Compressed
-    streams ('00dc' or a non-DIB/biCompression != 0 format) and
-    malformed containers return ``ok=False`` — never silent garbage."""
+    """REAL AVI decoder (stdlib struct + operators/jpeg.py): RIFF chunk
+    walk, avih/strh/strf validation (one 'vids' stream), then one of two
+    frame tiers keyed on strf biCompression:
+
+    - BI_RGB (0): '00db' raw 24-bit DIB frames, bottom-up/BGR/row-padding
+      reconstruction — the round-10 uncompressed tier.
+    - 'MJPG': '00dc' frames each holding a complete baseline JPEG,
+      decoded through :func:`operators.jpeg.decode_jpeg` — the round-11
+      compressed tier (VERDICT r10 item 5). Every frame must decode ok
+      and match the container geometry, else the whole clip fails.
+
+    Exact per-channel sums over ALL frames either way. Anything else —
+    inter-frame codecs (h264/vp9/…), frame-type/stream mismatches,
+    malformed containers — returns ``ok=False``, never silent garbage."""
     import struct
 
     bad = {
@@ -882,20 +931,34 @@ def decode_avi(payload: bytes | None) -> dict:
                                 return bad  # only single-video-stream files
                             if c3 == b"strf":
                                 bmp = struct.unpack("<IiiHHI", payload[s3:s3 + 20])
-                                if bmp[4] != 24 or bmp[5] != 0:  # 24-bit BI_RGB only
-                                    return bad
+                                if bmp[5] == 0 and bmp[4] != 24:
+                                    return bad  # BI_RGB tier is 24-bit only
+                                if bmp[5] not in (0, MJPG_FOURCC):
+                                    return bad  # inter-frame codecs: the stub
                                 compression = bmp[5]
             elif kind == b"movi":
                 for c2, s2, z2 in walk(payload, start + 4, start + size):
-                    if c2 == b"00dc":
-                        return bad  # compressed frames: the deployment stub
-                    if c2 == b"00db":
-                        frames.append((s2, z2))
+                    if c2 in (b"00db", b"00dc"):
+                        frames.append((c2, s2, z2))
         if width is None or not width or not height or compression is None or not frames:
             return bad
         stride = (width * 3 + 3) & ~3
         sums = [0, 0, 0]
-        for s2, z2 in frames:
+        for cid, s2, z2 in frames:
+            if compression == MJPG_FOURCC:
+                if cid != b"00dc":
+                    return bad  # raw frame in an MJPG stream: malformed
+                from spark_s3_shuffle_spark.operators.jpeg import decode_jpeg
+
+                d = decode_jpeg(payload[s2:s2 + z2])
+                if not d["ok"] or d["width"] != width or d["height"] != height:
+                    return bad  # one bad frame fails the clip closed
+                sums[0] += d["sum_r"]
+                sums[1] += d["sum_g"]
+                sums[2] += d["sum_b"]
+                continue
+            if cid != b"00db":
+                return bad  # compressed frame in a BI_RGB stream: malformed
             if z2 != stride * height:
                 return bad
             body = payload[s2:s2 + z2]
@@ -983,6 +1046,52 @@ def plant_avi_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [_plant_avi(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+
+
+#: Planted-MJPEG geometry (q321 oracle contract): 4 frames, each a 32x16
+#: grayscale baseline JPEG of 4x2 CONSTANT 8x8 blocks with block value
+#: (11*m + 37*bx + 73*by + 97*f) % 256 under the flat step-8 quant table
+#: — the same lossless tier as the q319 still-image oracle, so frame sums
+#: are exact integer functions of (id, block, frame).
+MJPEG_PLANT_W, MJPEG_PLANT_H, MJPEG_PLANT_FRAMES = 32, 16, 4
+
+
+def _plant_avi_mjpeg(media_id: int) -> bytes:
+    import numpy as np
+
+    from spark_s3_shuffle_spark.operators.jpeg import QTAB_FLAT8, encode_jpeg
+
+    frames = []
+    for f in range(MJPEG_PLANT_FRAMES):
+        blocks = np.array([
+            [(media_id * 11 + 37 * bx + 73 * by + 97 * f) % 256
+             for bx in range(MJPEG_PLANT_W // 8)]
+            for by in range(MJPEG_PLANT_H // 8)
+        ])
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype("uint8")
+        frames.append(encode_jpeg(img, quant_luma=QTAB_FLAT8))
+    return encode_avi_mjpeg(frames, MJPEG_PLANT_W, MJPEG_PLANT_H)
+
+
+def plant_avi_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-MJPEG generator (Arrow-batched, zero shuffle):
+    each id becomes a 4-frame MJPEG AVI whose '00dc' frames are REAL
+    encoder output (full DCT/quantize/Huffman path per frame). Fixture-
+    side counterpart of :func:`extract_video_features`'s MJPG tier."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_avi_mjpeg(int(i)) for i in pdf["media_id"]],
             })
 
     schema = StructType([

@@ -1224,10 +1224,16 @@ ORDER BY doc_id"""
     _Q42B_SQL,
     "B48 round-10 (VERDICT r9 item 5): the MinHash-LSH dedup PIPELINE"
     " under a FULL-HASH oracle. Planted exact-duplicate twins make the"
-    " probabilistic machinery's outcome provable, not just measured: an"
-    " identical text yields an identical minhash signature, so EVERY band"
-    " collides (candidate generation cannot miss), the exact-Jaccard"
-    " verify confirms at 1.0, and the keep-min anti-join drops exactly"
+    " machinery's outcome provable, not just measured — and round-11"
+    " made the threshold-1.0 tier deterministic BY CONSTRUCTION after"
+    " sf10 falsified the round-10 wording: digest STAR candidate edges"
+    " (dedup.py minhash_lsh_candidates) pair every member of a text-"
+    "digest group with the group min regardless of LSH bucket density"
+    " (the sf10 failure was h0-interlopers breaking chain adjacency in"
+    " oversize buckets, CORRECTNESS_SF10_r10), and the 1.0 tier verifies"
+    " by sha2 digest equality (dedup.py exact_duplicate_pairs), not"
+    " shingle Jaccard, so identical-shingle-set non-identical texts"
+    " cannot false-confirm. The keep-min anti-join then drops exactly"
     " the duplicate ids — shingling, signatures, banding, bucket join,"
     " confirm, and anti-join all execute, and DuckDB replays the"
     " survivor set exactly (keep-min per text group: the oracle covers"
@@ -7849,6 +7855,41 @@ GROUP BY doc_id ORDER BY media_id"""
 def q320(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_avi_media(d, "doc_id")
+    return MM.extract_video_features(media).orderBy("media_id")
+
+
+_Q321_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       32 AS width, 16 AS height, 4 AS n_frames, CAST(25.0 AS DOUBLE) AS fps,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS BIGINT) AS sum_b,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS DOUBLE) / 2048 AS mean_r,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS DOUBLE) / 2048 AS mean_g,
+       CAST(SUM(64 * ((doc_id * 11 + 37 * bx + 73 * by + 97 * f) % 256)) AS DOUBLE) / 2048 AS mean_b
+FROM documents, range(4) bxs(bx), range(2) bys(by), range(4) fs(f)
+GROUP BY doc_id ORDER BY media_id"""
+
+
+@_register(
+    "q321_mjpeg_video_decode",
+    _Q321_SQL,
+    "B51/B75 round-11 (VERDICT r10 item 5): COMPRESSED-video decode, the"
+    " MJPEG tier — an 'MJPG' AVI stream's '00dc' frames are each a"
+    " complete baseline JPEG, decoded per-frame through the round-10"
+    " operators/jpeg.py codec inside the same Arrow-batched mapInPandas"
+    " scan (multimodal.decode_avi MJPG branch; writer counterpart"
+    " encode_avi_mjpeg). FULL oracle via the lossless tier: each doc_id"
+    " becomes a 4-frame clip of 32x16 grayscale block-constant JPEGs"
+    " under the flat step-8 quant table (the q319 determinism recipe"
+    " extended over a frame axis), so DuckDB replays all-frame channel"
+    " sums from integer arithmetic. One corrupt/mismatched frame fails"
+    " the whole clip closed; inter-frame codecs (h264/vp9) remain the"
+    " only media deployment stub. Zero shuffle; scales as a pure scan.",
+)
+def q321(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_avi_mjpeg_media(d, "doc_id")
     return MM.extract_video_features(media).orderBy("media_id")
 
 

@@ -130,6 +130,14 @@ def get_spark(
         # whose static estimates are fact-sized). SQL-text queries (no
         # DataFrame broadcast hints) are the beneficiaries; the DataFrame
         # helpers already hint dims explicitly.
+        # DEPLOYMENT FLOOR (ADVICE r10): a static threshold is
+        # ESTIMATE-based, so it shares the 64 MiB misfire's failure mode
+        # on data whose pruned estimates undershoot reality. 32 MiB is
+        # measured safe on these fixtures with an 8g driver; deployments
+        # with <4g drivers or wildly skewed column stats should drop
+        # spark.sql.autoBroadcastJoinThreshold back to the 10 MiB default
+        # (or -1) and rely on the AQE adaptive threshold below, which
+        # converts from MEASURED sizes and cannot misfire this way.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # AQE partition sizing (round-10): with coalescing ON, the initial

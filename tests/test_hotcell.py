@@ -166,3 +166,110 @@ def test_chain_edges_only_within_oversize_buckets(spark):
     edges = {(r["a"], r["b"]) for r in cand.collect() if r["a"] < 30 and r["b"] < 30}
     clique = {(a, b) for a in range(30) for b in range(a + 1, 30)}
     assert edges == clique
+
+
+# ---------------------------------------------------------------------------
+# Round-11 (VERDICT r10 item 1): exact-duplicate determinism in the
+# oversize-bucket regime — the q42b-at-sf10 failure, reproduced at toy scale.
+# ---------------------------------------------------------------------------
+
+def _dup_corpus():
+    """40 exact-dup groups over a SHARED boilerplate prefix (so LSH buckets
+    mix groups — the interloper condition behind the sf10 loss), sizes
+    2..6, plus 30 singleton docs. Returns (rows, expected_survivor_ids)."""
+    boiler = " ".join(f"common{i}" for i in range(60))
+    rows, expected = [], set()
+    nid = 0
+    for g in range(40):
+        text = f"{boiler} groupmark{g}"
+        size = 2 + (g % 5)
+        ids = list(range(nid, nid + size))
+        nid += size
+        rows += [(i, text) for i in ids]
+        expected.add(min(ids))
+    for s in range(30):
+        rows.append((10_000 + s, " ".join(f"solo{s}w{j}" for j in range(50))))
+        expected.add(10_000 + s)
+    return rows, expected
+
+
+def test_exact_tier_deterministic_in_oversize_regime(spark):
+    """dense_bucket_limit=2 forces EVERY bucket into the star+chain regime
+    (the sf10 failure regime: CORRECTNESS_SF10_r10 q42b, 60/1000 dups
+    survived). With round-11 digest star candidates + digest verify, the
+    threshold-1.0 survivor set must equal keep-min-per-text EXACTLY, by
+    construction — no probabilistic slack allowed."""
+    rows, expected = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, "doc_id", "text", jaccard_threshold=1.0, dense_bucket_limit=2
+        ).collect()
+    }
+    assert kept == expected
+
+
+def test_exact_tier_deterministic_cc_variant(spark):
+    """Same contract through the connected-components pipeline."""
+    rows, expected = _dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in D.minhash_dedup_cc(
+            df, "doc_id", "text", jaccard_threshold=1.0, dense_bucket_limit=2
+        ).collect()
+    }
+    assert kept == expected
+
+
+def test_exact_tier_ignores_identical_shingle_sets(spark):
+    """ADVICE r10 item 2: distinct texts with IDENTICAL word-3-shingle sets
+    ("a b a b a" vs "a b a b a b a" both shingle to {aba, bab}) are
+    Jaccard 1.0 but NOT exact duplicates; the 1.0 tier verifies by text
+    digest, so both must survive."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b a b a b a"), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.minhash_dedup(df, "doc_id", "text", jaccard_threshold=1.0).collect()
+    }
+    assert kept == {1, 2}  # 3 is a true byte-dup of 1; 2 survives
+
+
+def test_digest_star_edges_cover_dropped_buckets(spark):
+    """max_bucket_size drops a saturated bucket outright, but digest star
+    edges must still connect its exact-dup members: 20 byte-identical docs
+    with max_bucket_size=10 lose ALL band buckets, yet keep-min must hold."""
+    text = " ".join(f"tok{i}" for i in range(80))
+    docs = [(i, text) for i in range(20)]
+    docs += [(1000 + i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            df, "doc_id", "text", jaccard_threshold=1.0, max_bucket_size=10
+        ).collect()
+    }
+    assert kept == {0} | {1000 + i for i in range(10)}
+
+
+def test_subthreshold_filter_no_rounding_slack(spark):
+    """ADVICE r10 item 2 (rounding): the threshold filter now compares
+    unrounded integer counts. A pair at exactly j = 1/3 against threshold
+    1/3 must be KEPT — the old ``round(j, 4) >= t`` filter rounded 1/3
+    down to 0.3333 < 0.333333… and dropped an at-threshold pair. And a
+    pair strictly under the threshold must be dropped even when its
+    4-decimal rounding would meet it."""
+    # 3-shingles: a -> {w1w2w3, w2w3w4}, b -> {w1w2w3, w2w3z4}:
+    # inter = 1, uni = 3, j = 1/3 exactly.
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 z4")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    keep = D.ngram_jaccard_pairs(df, cand, "doc_id", "text", 3, 1 / 3).collect()
+    assert len(keep) == 1 and abs(keep[0]["jaccard"] - 0.3333) < 1e-9
+    drop = D.ngram_jaccard_pairs(df, cand, "doc_id", "text", 3, 0.3334).collect()
+    assert drop == []
