@@ -111,11 +111,17 @@ MAX_EXCHANGES = {
     # group-size aggregate (broadcast back); the shared vector-join
     # lineage re-prints once per branch in the textual plan
 
-    "q42_minhash_dedup": 12,  # r8 chain edges: +1 sort-window exchange over
+    "q42_minhash_dedup": 14,  # r8 chain edges: +1 sort-window exchange over
     # the oversize-bucket SUBSET (never the full banded frame) + its
-    # union-distinct re-print
+    # union-distinct re-print; r11 digest star edges: +1 window over
+    # (id, xxhash64(text)) rows — measured 13 at sf0.001
+    "q42b_minhash_dedup_planted": 28,  # the corpus is a UNION (docs +
+    # planted twins) whose lineage re-PRINTS per reference: banded frame,
+    # digest-edge frame, and both sides of the digest-verify join — the
+    # textual count multiplies (measured 25 at sf0.001); every exchange
+    # is id+digest-width, none fact-sized
     "q43_simhash_dedup": 10,
-    "q44_ngram_jaccard": 10,
+    "q44_ngram_jaccard": 12,  # +1 r11 digest-star window (measured 11)
     "q59_minhash_dedup_cc": 14,
     "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
     "q109_tpch_q21": 8,  # Q21: late-pairs distinct + two per-order aggregates + final rank

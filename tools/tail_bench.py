@@ -70,6 +70,15 @@ DEFAULT_TAILS = [
     "q223_sql_text_ds5",
     "q236_sql_text_ds75",
     "q238_sql_text_ds67",
+    # Round-11 (VERDICT r10 item 7): the media decoders and the rebuilt
+    # exact-dup tier joined after the r10 tail ran — their cost is pure
+    # per-document CPU (Python codecs inside mapInPandas), so the thing
+    # to confirm at 10x docs is that the constant stays LINEAR.
+    "q318_png_decode",
+    "q319_jpeg_decode",
+    "q320_video_decode",
+    "q321_mjpeg_video_decode",
+    "q42b_minhash_dedup_planted",
 ]
 
 
