@@ -16,27 +16,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    out_path, shard_paths = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    expect = None
+    if "--expect" in argv:
+        i = argv.index("--expect")
+        expect = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    out_path, shard_paths = argv[0], argv[1:]
     merged: dict = {}
-    meta = {"completed": 0, "total": 0, "aborted": None}
+    shard_aborts: list[str] = []
     for p in shard_paths:
         with open(p) as fh:
             shard = json.load(fh)
-        # fold shard _meta headers (round-11 self-describing artifacts):
-        # completeness sums across shards; any shard abort taints the merge.
+        # Later shards OVERRIDE earlier entries — the redo protocol: a
+        # crashed/contended shard's failures are re-run in a fresh shard
+        # whose results supersede. Shard _meta aborts are kept as
+        # provenance; the merged header's completeness is recomputed from
+        # the UNIQUE entries (summing shard totals would double-count
+        # re-requested names).
         sm = shard.pop("_meta", None)
-        if sm:
-            meta["completed"] += sm.get("completed", 0)
-            meta["total"] += sm.get("total", 0)
-            if sm.get("aborted"):
-                ab = f"{p}: {sm['aborted']}"
-                meta["aborted"] = f"{meta['aborted']}; {ab}" if meta["aborted"] else ab
-        else:  # pre-r11 shard without a header: infer from its entries
-            meta["completed"] += len(shard)
-            meta["total"] += len(shard)
+        if sm and sm.get("aborted"):
+            shard_aborts.append(f"{p}: {sm['aborted']}")
         merged.update(shard)
     from spark_s3_shuffle_spark.queries.registry import QUERIES
 
+    total = expect if expect is not None else len(QUERIES)
+    meta = {
+        "completed": len(merged),
+        "total": total,
+        "aborted": None if len(merged) >= total else
+        f"only {len(merged)}/{total} queries present",
+        "shard_aborts": shard_aborts,
+    }
     ordered: dict = {"_meta": meta}
     ordered.update({name: merged[name] for name in QUERIES if name in merged})
     extra = {k: v for k, v in merged.items() if k not in ordered}
@@ -48,12 +59,12 @@ def main() -> int:
     ]
     with open(out_path, "w") as fh:
         json.dump(ordered, fh, indent=2)
-    n_q = len(ordered) - 1
     print(
-        f"wrote {out_path}: {n_q} queries ({meta['completed']}/{meta['total']}"
-        f" ran, aborted={meta['aborted']}), {len(bad)} failing: {bad[:10]}"
+        f"wrote {out_path}: {meta['completed']}/{meta['total']} queries"
+        f" (aborted={meta['aborted']}, shard_aborts={len(shard_aborts)}),"
+        f" {len(bad)} failing: {bad[:10]}"
     )
-    return 1 if bad or meta["aborted"] or meta["completed"] < meta["total"] else 0
+    return 1 if bad or meta["aborted"] else 0
 
 
 if __name__ == "__main__":
