@@ -6,7 +6,9 @@ partition-parallel Arrow batching through ``mapInPandas``, batch shape — is
 real and tested. REAL zero-dependency decoders cover ``text/plain``
 (:func:`decode_text`: charset detection + byte/char/line stats,
 oracle-checked by q47), binary PPM images (:func:`decode_ppm`), RIFF/WAVE
-PCM audio (:func:`decode_wav`), and — round 10 — PNG
+audio (:func:`decode_wav`: PCM, and — round 11, the compressed-audio tier
+— IMA ADPCM per the public IMA step/index tables, with writer counterpart
+:func:`encode_adpcm_wav`), and — round 10 — PNG
 (:func:`decode_png`: stdlib-zlib inflate, CRC-checked chunks, full
 five-filter reconstruction, palette support; encoder counterpart
 :func:`encode_png`), baseline JPEG (`operators/jpeg.py`: numpy
@@ -15,10 +17,10 @@ DCT/Huffman/zigzag per ITU-T T.81 with the Annex K tables, 4:4:4 and
 '00db' frames, and — round 11 — MJPEG '00dc' frames decoded per-frame
 through `operators/jpeg.py`; per-frame/whole-clip stats; writer
 counterparts :func:`encode_avi_rgb` / :func:`encode_avi_mjpeg`). The
-ONLY remaining deployment stub is INTER-FRAME video codecs (h264/vp9 —
-non-MJPG compressed streams fail closed), behind ``decode_stub``: a
-deterministic fake a deployment replaces with an ffmpeg call of the
-same signature.
+remaining deployment stubs are INTER-FRAME video codecs (h264/vp9 —
+non-MJPG compressed streams fail closed) and PERCEPTUAL audio codecs
+(mp3/aac/opus), behind ``decode_stub``: a deterministic fake a
+deployment replaces with an ffmpeg call of the same signature.
 
 Scale notes: payloads never pass through a groupBy — dedup is digest-first
 (hash the bytes, shuffle 32-byte digests). Feature extraction is a
@@ -307,14 +309,85 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — the
+#: public DVI/IMA algorithm (IMA "Recommended Practices for Enhancing
+#: Digital Audio Compatibility", rev 3.00; WAVE format tag 0x0011).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step — shared verbatim by the decoder
+    and the encoder (the encoder must mirror the decoder's integer
+    arithmetic exactly or the streams drift)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if nibble & 1:
+        delta += step >> 2
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 4:
+        delta += step
+    predictor = predictor - delta if nibble & 8 else predictor + delta
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble]))
+    return predictor, index
+
+
+def _ima_decode_blocks(data: bytes, channels: int, block_align: int) -> list[int]:
+    """Decode an IMA-ADPCM ``data`` chunk into interleaved int16 frames.
+
+    WAV block layout (tag 0x0011): each ``block_align``-sized block opens
+    with a 4-byte header PER CHANNEL (int16 predictor, uint8 step index,
+    reserved), which IS the first output sample; the remainder interleaves
+    4-byte words per channel, each holding 8 nibbles low-first.
+    """
+    import struct
+
+    out: list[int] = []
+    for base in range(0, len(data) - 4 * channels + 1, block_align):
+        block = data[base : base + block_align]
+        pred = [0] * channels
+        idx = [0] * channels
+        for ch in range(channels):
+            pred[ch] = struct.unpack_from("<h", block, 4 * ch)[0]
+            idx[ch] = min(88, block[4 * ch + 2])
+        out.extend(pred)  # header predictor is the block's first frame
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            frame_samples = [[0] * 8 for _ in range(channels)]
+            for ch in range(channels):
+                word = block[pos + 4 * ch : pos + 4 * ch + 4]
+                for k in range(8):
+                    nib = (word[k // 2] >> (4 * (k % 2))) & 0xF
+                    pred[ch], idx[ch] = _ima_step(pred[ch], idx[ch], nib)
+                    frame_samples[ch][k] = pred[ch]
+            for k in range(8):
+                for ch in range(channels):
+                    out.append(frame_samples[ch][k])
+            pos += 4 * channels
+    return out
+
+
 def decode_wav(payload: bytes | None) -> dict:
-    """REAL audio decoder for RIFF/WAVE PCM — like binary PPM on the image
-    side, uncompressed WAV is parseable with zero media libraries, so the
-    audio seam narrows to COMPRESSED codecs only (mp3/aac/opus keep the
-    deployment stub; same signature, same output keys). Parses the RIFF
-    chunk tree (fmt + data, skipping unknown chunks), validates PCM
-    (format tag 1) at 8- or 16-bit, and computes duration, peak, and RMS
-    over the raw samples — real statistics from a real decode.
+    """REAL audio decoder for RIFF/WAVE — like binary PPM on the image
+    side, WAV is parseable with zero media libraries. Parses the RIFF
+    chunk tree (fmt + fact + data, skipping unknown chunks) and decodes
+    PCM (format tag 1, 8/16-bit) AND — round 11, the compressed-audio
+    tier — IMA ADPCM (format tag 0x0011, 4-bit: per-block header
+    predictor/step-index then nibble reconstruction through the public
+    IMA step/index tables), honouring the ``fact`` chunk's frame count.
+    Computes duration, peak, and RMS over the decoded samples — real
+    statistics from a real decode. Perceptual codecs (mp3/aac/opus) keep
+    the deployment stub (same signature, same output keys).
     """
     import struct
 
@@ -325,7 +398,7 @@ def decode_wav(payload: bytes | None) -> dict:
     }
     if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return bad
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     try:
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
@@ -335,20 +408,31 @@ def decode_wav(payload: bytes | None) -> dict:
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and len(body) >= 4:
+                (fact,) = struct.unpack("<I", body[:4])
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             return bad
-        tag, channels, rate, _byterate, _align, bits = fmt
-        if tag != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        tag, channels, rate, _byterate, align, bits = fmt
+        if channels < 1 or rate <= 0:
             return bad
-        if bits == 16:
-            n = len(data) // 2
-            samples = struct.unpack(f"<{n}h", data[: n * 2])
+        if tag == 1 and bits in (8, 16):
+            if bits == 16:
+                n = len(data) // 2
+                samples = struct.unpack(f"<{n}h", data[: n * 2])
+                scale = 32768.0
+            else:
+                samples = tuple(b - 128 for b in data)
+                scale = 128.0
+        elif tag == 0x0011 and bits == 4 and align >= 4 * channels:
+            samples = _ima_decode_blocks(data, channels, align)
             scale = 32768.0
         else:
-            samples = tuple(b - 128 for b in data)
-            scale = 128.0
+            return bad
         n_frames = len(samples) // channels
+        if tag == 0x0011 and fact is not None and fact < n_frames:
+            n_frames = fact  # fact chunk trims encoder padding
+            samples = samples[: n_frames * channels]
         if n_frames == 0:
             return bad
         peak = max(abs(s) for s in samples) / scale
@@ -397,6 +481,119 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             })
 
     return df.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def encode_adpcm_wav(samples: list[int], rate: int, block_align: int = 256) -> bytes:
+    """REAL mono IMA-ADPCM encoder — writer counterpart of the tag-0x0011
+    branch in :func:`decode_wav`, mirroring the decoder's integer
+    reconstruction exactly (via the shared :func:`_ima_step`): the
+    encoder quantizes each delta against its CURRENT reconstructed
+    predictor, so decode output equals the encoder's internal
+    reconstruction bit-for-bit (asserted in tests). Each block re-seeds
+    the stream with an exact int16 predictor + step index header; a
+    ``fact`` chunk records the true frame count so decoder-side padding
+    trim is exercised."""
+    import struct
+
+    spb = (block_align - 4) * 2 + 1  # samples per (mono) block
+    predictor, index = 0, 0
+    blocks = []
+    pos = 0
+    while pos < len(samples):
+        chunk = list(samples[pos : pos + spb])
+        pos += spb
+        predictor = max(-32768, min(32767, int(chunk[0])))
+        header = struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            target = int(s)
+            step = _IMA_STEPS[index]
+            diff = target - predictor
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            predictor, index = _ima_step(predictor, index, nib)
+            nibbles.append(nib)
+        # pad the block's nibble area to its full size (decoder trims via fact)
+        nibbles.extend(0 for _ in range((spb - 1) - len(nibbles)))
+        body = bytearray()
+        for k in range(0, len(nibbles), 2):
+            body.append(nibbles[k] | (nibbles[k + 1] << 4))
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHH", 0x0011, 1, rate, rate * block_align // spb, block_align, 4)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: Planted-ADPCM geometry (q322 oracle contract): mono 8 kHz, 4 blocks of
+#: block_align 12 -> 17 samples each (68 frames). Block b's header seeds
+#: predictor +/-M with M = 512 * ((id % 63) + 1) and step index 0; every
+#: data byte is 0x08 (nibble pair 8,0 — one subtract step, one add step),
+#: and at index 0 the step size is 7, whose delta 7>>3 == 0, so BOTH
+#: branches of the reconstruction run while every decoded sample stays
+#: exactly +/-M and the index re-clamps to 0. peak == rms == M/32768 ==
+#: (id%63+1)/64 — a dyadic rational that is exact in float AND in 6-decimal
+#: rounding, so DuckDB replays the whole decode from integer arithmetic.
+ADPCM_PLANT_RATE, ADPCM_PLANT_BLOCKS, ADPCM_PLANT_ALIGN = 8000, 4, 12
+
+
+def _plant_adpcm(media_id: int) -> bytes:
+    import struct
+
+    m = 512 * ((media_id % 63) + 1)
+    spb = (ADPCM_PLANT_ALIGN - 4) * 2 + 1
+    blocks = []
+    for b in range(ADPCM_PLANT_BLOCKS):
+        pred = m if b % 2 == 0 else -m
+        blocks.append(struct.pack("<hBB", pred, 0, 0) + b"\x08" * (ADPCM_PLANT_ALIGN - 4))
+    data = b"".join(blocks)
+    n_frames = ADPCM_PLANT_BLOCKS * spb
+    fmt = struct.pack(
+        "<HHIIHH", 0x0011, 1, ADPCM_PLANT_RATE,
+        ADPCM_PLANT_RATE * ADPCM_PLANT_ALIGN // spb, ADPCM_PLANT_ALIGN, 4,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def plant_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-ADPCM generator (Arrow-batched, zero shuffle)
+    — fixture-side counterpart of :func:`extract_audio_features`'s
+    compressed tier."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_adpcm(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------

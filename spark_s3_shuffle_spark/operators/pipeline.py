@@ -453,6 +453,56 @@ def shard_assign(
     return df.withColumn(out, (h % n_shards).cast("int"))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    cuts: tuple[int, int] = (96, 98),
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak duplicates across splits.
+
+    Hashing each DOCUMENT id into a split (the naive formulation) puts the
+    two copies of a duplicated document into independent buckets — at a
+    4% eval fraction, a corpus with 10% duplication leaks ~0.8% of eval
+    into training, which is exactly the contamination a held-out set
+    exists to rule out. The leakage-proof grain is the exact-duplicate
+    CLUSTER: group by content digest (sha2 — ~90-byte shuffle rows
+    regardless of document size, the same digest-first shape as
+    ``exact_dedup``), take the cluster's min id as its root, and hash the
+    ROOT into percentile buckets (portable md5 arithmetic, `_hash_u32`).
+    Every member inherits the root's bucket, so a cluster lands in ONE
+    split by construction. Near-dup clusters compose the same way: feed
+    the connected-component root from the LSH tier in as ``content_cols``.
+
+    Returns ``(id, root, bucket, split)`` per document. Two shuffles
+    total, both bounded: the digest groupBy (distinct contents) and the
+    broadcast-free root join back. ``cuts=(96, 98)`` → train <96, val
+    96–97, test 98–99.
+    """
+    parts = [
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("<null>"))
+        for c in content_cols
+    ]
+    digest = F.sha2(F.concat_ws("\x1f", *parts), 256)
+    with_digest = df.select(F.col(id_col), digest.alias("_digest"))
+    roots = with_digest.groupBy("_digest").agg(F.min(id_col).alias("_root"))
+    bucket = (_hash_u32(F.col("_root"), salt) % 100).cast("int")
+    train_cut, val_cut = cuts
+    return (
+        with_digest.join(roots, "_digest")
+        .select(
+            F.col(id_col),
+            F.col("_root").alias("root"),
+            bucket.alias("bucket"),
+            F.when(bucket < train_cut, "train")
+            .when(bucket < val_cut, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

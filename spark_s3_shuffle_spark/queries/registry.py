@@ -7893,6 +7893,90 @@ def q321(spark, sf_dir):
     return MM.extract_video_features(media).orderBy("media_id")
 
 
+_Q322_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       1 AS channels, 8000 AS sample_rate, 4 AS bits, 68 AS n_samples,
+       CAST(0.0085 AS DOUBLE) AS duration_s,
+       CAST((doc_id % 63) + 1 AS DOUBLE) / 64 AS peak,
+       CAST((doc_id % 63) + 1 AS DOUBLE) / 64 AS rms
+FROM documents ORDER BY media_id"""
+
+
+@_register(
+    "q322_adpcm_audio_decode",
+    _Q322_SQL,
+    "B51/B75 round-11: COMPRESSED-audio decode, the IMA-ADPCM tier —"
+    " WAVE format tag 0x0011's 4-bit nibble streams reconstructed"
+    " per-block through the public IMA step/index tables"
+    " (multimodal.decode_wav ADPCM branch, shared _ima_step recurrence;"
+    " writer counterpart encode_adpcm_wav), honouring the fact chunk,"
+    " inside the same Arrow-batched mapInPandas scan as every other"
+    " decoder. FULL oracle via the lossless tier: each doc_id becomes a"
+    " 4-block mono clip whose block headers seed predictor +/-M (M ="
+    " 512*((id%63)+1)) at step index 0, where every 0x08 data byte runs"
+    " one subtract and one add step of delta 7>>3 == 0 — the full"
+    " header/nibble/clamp path executes while each decoded sample stays"
+    " exactly +/-M, so peak == rms == M/32768 is a dyadic rational"
+    " DuckDB replays from integer arithmetic. Lossy-path accuracy"
+    " (encoder round-trip vs a sine-ramp waveform) is tolerance-tested"
+    " in tests/test_operators.py; perceptual codecs (mp3/aac/opus)"
+    " remain the audio deployment stub. Zero shuffle; scales as a pure"
+    " scan.",
+)
+def q322(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_adpcm_media(d, "doc_id")
+    return MM.extract_audio_features(media).orderBy("media_id")
+
+
+_Q323_SQL = """
+WITH c AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS root FROM documents
+), b AS (
+  SELECT doc_id, root,
+         CAST(CAST(concat('0x', substring(md5('split' || CAST(root AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 AS INT) AS bucket
+  FROM c
+)
+SELECT CASE WHEN bucket < 96 THEN 'train' WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY 1 ORDER BY split"""
+
+
+@_register(
+    "q323_leakage_safe_split",
+    _Q323_SQL,
+    "B78/B47 round-11: LEAKAGE-SAFE train/val/test split — the naive"
+    " hash-the-doc-id split puts copies of a duplicated document into"
+    " independent buckets, leaking eval text into training (at 10%"
+    " duplication and a 4% eval fraction, ~0.8% of eval is contaminated)."
+    " pipeline.leakage_safe_split hashes the exact-dup CLUSTER root"
+    " instead (digest-first groupBy, min-id root, portable md5 bucket —"
+    " the q129 _hash_u32 arithmetic), so every cluster lands in ONE split"
+    " by construction; near-dup roots from the LSH tier compose through"
+    " the same interface. FULL oracle: DuckDB replays root assignment"
+    " (MIN OVER text partition), the md5 percentile bucket, and the"
+    " per-split doc/cluster/id-sum profile. Cluster-atomicity is also"
+    " asserted directly on planted duplicates in tests/test_pipeline.py."
+    " Two bounded shuffles (distinct-content digests + root join); the"
+    " 100 TB shape is exact_dedup's.",
+)
+def q323(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        PL.leakage_safe_split(docs, ["text"], "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("root").cast("long").alias("n_clusters"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

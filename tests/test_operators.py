@@ -994,6 +994,118 @@ def test_wav_audio_decode_real_values(spark):
     assert got[3]["ok"] == "false" and got[4]["ok"] == "false"
 
 
+def test_adpcm_encode_decode_roundtrip_exact_and_tolerant():
+    """B51 round-11 compressed-audio tier: the IMA-ADPCM decoder is checked
+    two ways against the ENCODER on a sine ramp — (1) EXACTLY against an
+    independent re-implementation of the public IMA recurrence (table
+    lookups + clamps written out longhand here, not shared with the
+    module), and (2) tolerantly against the original waveform (ADPCM is
+    lossy; on a smooth signal it tracks within a few step sizes)."""
+    import math
+    import struct
+
+    samples = [
+        int(12000 * math.sin(i / 40.0) + 6000 * math.sin(i / 7.0))
+        for i in range(2000)
+    ]
+    payload = MM.encode_adpcm_wav(samples, 8000, block_align=256)
+    got = MM.decode_wav(payload)
+    assert got["ok"] and got["bits"] == 4 and got["channels"] == 1
+    assert got["n_samples"] == 2000 and got["sample_rate"] == 8000
+
+    # Independent reference decode: walk the same payload with a longhand
+    # IMA recurrence and the spec tables, then compare statistics.
+    steps = MM._IMA_STEPS
+    adj = MM._IMA_INDEX_ADJ
+    data_off = payload.index(b"data") + 8
+    (data_len,) = struct.unpack_from("<I", payload, data_off - 4)
+    data = payload[data_off : data_off + data_len]
+    ref = []
+    for base in range(0, len(data), 256):
+        block = data[base : base + 256]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        idx = block[2]
+        ref.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = steps[idx]
+                delta = step >> 3
+                if nib & 1:
+                    delta += step >> 2
+                if nib & 2:
+                    delta += step >> 1
+                if nib & 4:
+                    delta += step
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + adj[nib]))
+                ref.append(pred)
+    ref = ref[:2000]  # fact-chunk trim
+    peak_ref = max(abs(s) for s in ref) / 32768.0
+    rms_ref = (sum(s * s for s in ref) / len(ref)) ** 0.5 / 32768.0
+    assert got["peak"] == round(peak_ref, 6)
+    assert got["rms"] == round(rms_ref, 6)
+
+    # Lossy tolerance vs the ORIGINAL waveform: RMS error under 2% of
+    # full scale on this smooth signal.
+    err = (sum((a - b) ** 2 for a, b in zip(ref, samples)) / len(ref)) ** 0.5
+    assert err < 0.02 * 32768
+
+
+def test_adpcm_stereo_block_interleave():
+    """Stereo IMA-ADPCM interleaves one 4-byte header then 4-byte nibble
+    words PER CHANNEL; a two-channel constant-tier block must decode to
+    per-channel constants (interleave bugs would mix them)."""
+    import struct
+
+    channels, align = 2, 16  # 4+4 header bytes + one 4-byte word per channel
+    block = (
+        struct.pack("<hBB", 1000, 0, 0)
+        + struct.pack("<hBB", -2000, 0, 0)
+        + b"\x08" * 4  # channel-0 word: nibbles 8,0,... delta 0 at index 0
+        + b"\x08" * 4  # channel-1 word
+    )
+    fmt = struct.pack("<HHIIHH", 0x0011, channels, 8000, 8000, align, 4)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = MM.decode_wav(payload)
+    assert got["ok"] and got["channels"] == 2 and got["n_samples"] == 9
+    assert got["peak"] == round(2000 / 32768.0, 6)
+    # RMS over both channels: 9 samples at 1000 and 9 at -2000
+    rms = ((9 * 1000**2 + 9 * 2000**2) / 18) ** 0.5 / 32768.0
+    assert got["rms"] == round(rms, 6)
+
+
+def test_adpcm_planted_tier_matches_oracle_arithmetic(spark):
+    """The q322 planted tier: decoded stats equal the closed-form the SQL
+    oracle replays — peak == rms == ((id % 63) + 1) / 64 exactly."""
+    ids = [0, 1, 62, 63, 100, 4093]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_audio_features(MM.plant_adpcm_media(df, "doc_id")).collect()
+    }
+    for i in ids:
+        r = got[i]
+        m = (i % 63) + 1
+        assert r["ok"] == "true" and r["bits"] == 4 and r["channels"] == 1
+        assert r["n_samples"] == 68 and r["sample_rate"] == 8000
+        assert r["duration_s"] == round(68 / 8000, 6)
+        assert r["peak"] == m / 64 and r["rms"] == m / 64
+
+    # Unsupported audio compression still fails closed: same fmt but a
+    # perceptual-codec tag must not decode.
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0x0055, 1, 8000, 8000, 1, 4)  # MP3 tag
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    assert MM.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)["ok"] is False
+
+
 def test_operators_degenerate_inputs(spark):
     """Production hardening: empty and degenerate inputs flow through the
     new tiers without crashing and with sensible results."""

@@ -740,3 +740,39 @@ def test_write_version_claims_are_exclusive_and_swept(spark):
     assert doomed == ["v0"]
     assert not fs.exists(P(f"{root}/.claim-v0"))
     assert fs.exists(P(f"{root}/.claim-v2"))
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """B78 round-11: every exact-duplicate cluster lands in exactly ONE
+    split (the operator's whole point), the doc-id-hash counterfactual
+    DOES leak on the same corpus (proving the test can fail), and split
+    fractions track the 96/2/2 cuts."""
+    # 400 clusters; every 4th text is duplicated across 3 ids with ids
+    # spread far apart so naive id-hashing would scatter them.
+    rows = []
+    nid = 0
+    for c in range(400):
+        copies = 3 if c % 4 == 0 else 1
+        for k in range(copies):
+            rows.append((nid + 7919 * k, f"document body number {c}"))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = PL.leakage_safe_split(df, ["text"], "doc_id").collect()
+    assert len(out) == len(rows)
+
+    by_text_root: dict[int, set] = {}
+    for r in out:
+        by_text_root.setdefault(r["root"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_text_root.values()), "cluster split across sets"
+
+    # counterfactual: hash each doc id independently (shard_assign over
+    # 100 buckets) — on this corpus at least one duplicated cluster MUST
+    # straddle the train cut, or the atomicity assertion above is vacuous.
+    naive = PL.shard_assign(df, "doc_id", n_shards=100, salt="split").collect()
+    naive_split: dict[str, set] = {}
+    for r in naive:
+        naive_split.setdefault(r["text"], set()).add("train" if r["shard"] < 96 else "eval")
+    assert any(len(s) > 1 for s in naive_split.values()), "fixture too easy to show leakage"
+
+    frac = sum(1 for r in out if r["split"] == "train") / len(out)
+    assert 0.90 <= frac <= 0.99  # binomial around 0.96

@@ -78,6 +78,7 @@ DEFAULT_TAILS = [
     "q319_jpeg_decode",
     "q320_video_decode",
     "q321_mjpeg_video_decode",
+    "q322_adpcm_audio_decode",
     "q42b_minhash_dedup_planted",
 ]
 
