@@ -8,7 +8,10 @@ a 32-core laptop and a 1000-executor cluster; this sweep pins ALL of
 them, including the hash-family rows-only queries the DuckDB oracle
 cannot value-check (their determinism matters just as much).
 
-Usage: python tools/determinism_sweep.py [--json OUT.json] [sf_dir]
+Usage: python tools/determinism_sweep.py [--json OUT.json] [sf_dir] [query ...]
+(query names restrict the sweep — used to top up an existing artifact
+after registry additions; merge the subset into the full artifact's
+``queries`` dict.)
 """
 
 from __future__ import annotations
@@ -36,12 +39,15 @@ def main() -> int:
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("determinism-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     prep = prepare_map()
     report: dict[str, dict] = {}
     failures = []
     for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
         if name in prep:
             prep[name](spark, sf_dir)
         rec = {"invariant": False, "rows": None, "err": None}
