@@ -384,7 +384,9 @@ def decode_wav(payload: bytes | None) -> dict:
     PCM (format tag 1, 8/16-bit) AND — round 11, the compressed-audio
     tier — IMA ADPCM (format tag 0x0011, 4-bit: per-block header
     predictor/step-index then nibble reconstruction through the public
-    IMA step/index tables), honouring the ``fact`` chunk's frame count.
+    IMA step/index tables), honouring the ``fact`` chunk's frame count,
+    plus the G.711 companded telephony tiers (μ-law tag 0x0007 / A-law
+    tag 0x0006, one byte per sample through the expansion tables).
     Computes duration, peak, and RMS over the decoded samples — real
     statistics from a real decode. Perceptual codecs (mp3/aac/opus) keep
     the deployment stub (same signature, same output keys).
@@ -426,6 +428,12 @@ def decode_wav(payload: bytes | None) -> dict:
                 scale = 128.0
         elif tag == 0x0011 and bits == 4 and align >= 4 * channels:
             samples = _ima_decode_blocks(data, channels, align)
+            scale = 32768.0
+        elif tag in (0x0006, 0x0007) and bits == 8:
+            # G.711 companded telephony audio: A-law (0x0006) / μ-law
+            # (0x0007), one byte per sample through the expansion tables.
+            table = _ALAW_TABLE if tag == 0x0006 else _ULAW_TABLE
+            samples = tuple(table[b] for b in data)
             scale = 32768.0
         else:
             return bad
@@ -587,6 +595,131 @@ def plant_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [_plant_adpcm(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 (second pass): G.711 companded telephony audio — μ-law (WAVE
+# format tag 0x0007) and A-law (tag 0x0006), the ITU-T G.711 logarithmic
+# 8-bit codings every telephony/VoIP corpus ships in. One byte per sample,
+# expanded through the public segment/mantissa construction (the Sun
+# Microsystems g711.c convention: 16-bit-aligned linear values, BIAS 0x84
+# for μ-law, XOR 0x55 scrambling for A-law). Pure table lookups — the
+# decode is a 256-entry table built once at import.
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_to_linear(code: int) -> int:
+    """Expand one transmitted μ-law byte to 16-bit linear PCM (G.711 §4.1;
+    Sun g711.c layout: complemented code, 3-bit segment, 4-bit mantissa,
+    BIAS 132)."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 132) << ((u & 0x70) >> 4)
+    return (132 - t) if (u & 0x80) else (t - 132)
+
+
+def _alaw_to_linear(code: int) -> int:
+    """Expand one transmitted A-law byte to 16-bit linear PCM (G.711 §4.2;
+    even-bit inversion 0x55, segment 0/1 special cases)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_TABLE = tuple(_ulaw_to_linear(b) for b in range(256))
+_ALAW_TABLE = tuple(_alaw_to_linear(b) for b in range(256))
+
+
+def encode_g711_wav(
+    samples: list[int], rate: int, law: str = "ulaw", channels: int = 1
+) -> bytes:
+    """Writer counterpart of the G.711 tiers: compress 16-bit linear PCM
+    to μ-law/A-law bytes by nearest-decoded-value quantization against the
+    SAME expansion tables the decoder uses (ties break toward the smaller
+    byte code), so ``decode(encode(x))`` is exactly the nearest
+    representable level — asserted in tests against the codec's ±step/2
+    error bound."""
+    import struct
+
+    import numpy as np
+
+    table = np.asarray(_ULAW_TABLE if law == "ulaw" else _ALAW_TABLE, dtype=np.int64)
+    tag = 0x0007 if law == "ulaw" else 0x0006
+    x = np.asarray(samples, dtype=np.int64)
+    # 256 levels x n samples: fine for writer-side use; the hot path is decode.
+    codes = np.abs(table[None, :] - x[:, None]).argmin(axis=1).astype(np.uint8)
+    data = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * channels, channels, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: Planted-G.711 geometry (q324/q325 oracle contract). μ-law: mono 8 kHz,
+#: 160 samples (20 ms) alternating +/- the segment-7 level for mantissa
+#: m = id%16 — linear value 1024*m + 16764, whose /32768 never lands on a
+#: 6-decimal rounding tie (asserted exhaustively in tests), so Python's
+#: half-even round and DuckDB's ROUND agree bit-for-bit. A-law: STEREO
+#: 8 kHz, 80 frames, both channels at the segment-7 level 1024*m + 16896
+#: — a multiple of 512, so peak == rms == (2*m + 33)/64 is exact even in
+#: 6 decimal digits. Between them the two tiers cover both laws, both
+#: signs, and the mono/stereo frame split.
+G711_PLANT_RATE, G711_ULAW_SAMPLES, G711_ALAW_FRAMES = 8000, 160, 80
+
+
+def _plant_g711(media_id: int, law: str) -> bytes:
+    import struct
+
+    m = media_id % 16
+    if law == "ulaw":
+        # positive seg-7 code: ~(0x70 | m) & 0x7F... derive from the decoder:
+        # u = ~code, want u = 0x70 | m (sign clear) / 0xF0 | m (sign set).
+        pos, neg = (~(0x70 | m)) & 0xFF, (~(0xF0 | m)) & 0xFF
+        codes = bytes(pos if i % 2 == 0 else neg for i in range(G711_ULAW_SAMPLES))
+        tag, channels = 0x0007, 1
+    else:
+        # a = code ^ 0x55, want a = 0xF0 | m (sign bit SET means positive).
+        pos = (0xF0 | m) ^ 0x55
+        codes = bytes(pos for _ in range(G711_ALAW_FRAMES * 2))
+        tag, channels = 0x0006, 2
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, G711_PLANT_RATE, G711_PLANT_RATE * channels, channels, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def plant_g711_media(df: DataFrame, id_col: str, law: str = "ulaw") -> DataFrame:
+    """Deterministic planted-G.711 generator (Arrow-batched, zero shuffle)
+    — fixture-side counterpart of :func:`extract_audio_features`'s
+    companded tiers."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_g711(int(i), law) for i in pdf["media_id"]],
             })
 
     schema = StructType([

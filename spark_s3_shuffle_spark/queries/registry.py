@@ -7977,6 +7977,69 @@ def q323(spark, sf_dir):
     )
 
 
+_Q324_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       1 AS channels, 8000 AS sample_rate, 8 AS bits, 160 AS n_samples,
+       CAST(0.02 AS DOUBLE) AS duration_s,
+       ROUND((1024 * (doc_id % 16) + 16764) / 32768.0, 6) AS peak,
+       ROUND((1024 * (doc_id % 16) + 16764) / 32768.0, 6) AS rms
+FROM documents ORDER BY media_id"""
+
+
+@_register(
+    "q324_ulaw_audio_decode",
+    _Q324_SQL,
+    "B51/B75 round-11 (second pass): G.711 μ-law telephony audio — WAVE"
+    " format tag 0x0007, one companded byte per sample expanded through"
+    " the public segment/mantissa construction (Sun g711.c convention,"
+    " BIAS 132; multimodal._ulaw_to_linear / the 256-entry import-time"
+    " table), inside the same Arrow-batched mapInPandas scan as every"
+    " other decoder. FULL oracle: each doc_id becomes a mono 8 kHz 20 ms"
+    " clip alternating +/- the segment-7 level for mantissa id%16 —"
+    " linear 1024*(id%16)+16764, whose /32768 provably never lands on a"
+    " 6-decimal rounding tie (exhaustively asserted in tests), so"
+    " Python's half-even round and DuckDB's ROUND produce the identical"
+    " double and peak == rms replays from integer arithmetic. The"
+    " alternating sign exercises both branches of the expansion."
+    " Writer counterpart encode_g711_wav (nearest-decoded-level"
+    " quantization) round-trips in tests. Zero shuffle; scales as a"
+    " pure scan.",
+)
+def q324(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_g711_media(d, "doc_id", law="ulaw")
+    return MM.extract_audio_features(media).orderBy("media_id")
+
+
+_Q325_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       2 AS channels, 8000 AS sample_rate, 8 AS bits, 80 AS n_samples,
+       CAST(0.01 AS DOUBLE) AS duration_s,
+       CAST(2 * (doc_id % 16) + 33 AS DOUBLE) / 64 AS peak,
+       CAST(2 * (doc_id % 16) + 33 AS DOUBLE) / 64 AS rms
+FROM documents ORDER BY media_id"""
+
+
+@_register(
+    "q325_alaw_audio_decode",
+    _Q325_SQL,
+    "B51/B75 round-11 (second pass): G.711 A-law telephony audio — WAVE"
+    " format tag 0x0006, XOR-0x55 scrambled segment/mantissa bytes"
+    " (multimodal._alaw_to_linear), STEREO interleave: the planted tier"
+    " is a 2-channel 8 kHz clip whose 80 frames sit at the segment-7"
+    " level 1024*(id%16)+16896 — a multiple of 512, so peak == rms =="
+    " (2*(id%16)+33)/64 is a dyadic rational exact even in 6 decimal"
+    " digits, replayed by DuckDB from integer arithmetic. Covers the"
+    " A-law expansion, stereo frame accounting, and (with q324) both"
+    " G.711 laws; perceptual codecs (mp3/aac/opus) remain the only"
+    " audio deployment stub. Zero shuffle; scales as a pure scan.",
+)
+def q325(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_g711_media(d, "doc_id", law="alaw")
+    return MM.extract_audio_features(media).orderBy("media_id")
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

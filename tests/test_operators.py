@@ -1106,6 +1106,97 @@ def test_adpcm_planted_tier_matches_oracle_arithmetic(spark):
     assert MM.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)["ok"] is False
 
 
+def test_g711_expansion_tables_match_longhand_spec():
+    """B51 round-11 (second pass): the μ-law/A-law expansion tables are
+    checked exhaustively against a longhand re-derivation of G.711 —
+    segment-by-segment interval arithmetic, not a copy of the module's
+    bit expression — plus the spec's landmark values (μ-law ±0 codes
+    0xFF/0x7F; A-law's no-true-zero ±8 at codes 0xD5/0x55)."""
+    assert MM._ulaw_to_linear(0xFF) == 0 and MM._ulaw_to_linear(0x7F) == 0
+    assert MM._ulaw_to_linear(0x80) == 32124 and MM._ulaw_to_linear(0x00) == -32124
+    assert MM._alaw_to_linear(0xD5) == 8 and MM._alaw_to_linear(0x55) == -8
+    assert MM._alaw_to_linear(0xAA) == 32256 and MM._alaw_to_linear(0x2A) == -32256
+
+    for code in range(256):
+        # μ-law longhand: u = complement; magnitude (2*m+33)*2^seg - 33,
+        # in quarter-steps of the 14-bit spec value (16-bit alignment).
+        u = ~code & 0xFF
+        seg, m = (u >> 4) & 7, u & 0xF
+        mag = ((2 * m + 33) * (1 << seg) - 33) * 4
+        assert MM._ULAW_TABLE[code] == (-mag if u & 0x80 else mag), code
+        # A-law longhand: a = code ^ 0x55; seg 0 is linear (2m+1 half-steps),
+        # higher segments are (m+16.5)*2^seg in the same half-step unit.
+        a = code ^ 0x55
+        seg, m = (a >> 4) & 7, a & 0xF
+        half = (2 * m + 1) if seg == 0 else (2 * m + 33) * (1 << (seg - 1))
+        mag = half * 8
+        assert MM._ALAW_TABLE[code] == (mag if a & 0x80 else -mag), code
+
+    # both laws are symmetric: every magnitude appears with both signs
+    for tab in (MM._ULAW_TABLE, MM._ALAW_TABLE):
+        assert sorted(tab) == sorted(-v for v in tab)
+
+
+def test_g711_planted_tier_matches_oracle_arithmetic(spark):
+    """The q324/q325 planted tiers: decoded stats equal the closed forms
+    the SQL oracles replay, and the μ-law magnitudes provably avoid
+    6-decimal rounding ties (so Python round-half-even and DuckDB ROUND
+    agree) — asserted exhaustively over all 16 mantissas."""
+    for m in range(16):
+        n = 1024 * m + 16764
+        assert (n * 10**6) % 32768 != 16384, m  # no .5 tie at 6 decimals
+        assert (1024 * m + 16896) % 512 == 0, m  # A-law level is dyadic k/64
+
+    ids = [0, 3, 15, 16, 31, 4093]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ulaw = {
+        r["media_id"]: r
+        for r in MM.extract_audio_features(
+            MM.plant_g711_media(df, "doc_id", law="ulaw")
+        ).collect()
+    }
+    alaw = {
+        r["media_id"]: r
+        for r in MM.extract_audio_features(
+            MM.plant_g711_media(df, "doc_id", law="alaw")
+        ).collect()
+    }
+    for i in ids:
+        m = i % 16
+        r = ulaw[i]
+        assert (r["ok"], r["channels"], r["bits"], r["sample_rate"]) == ("true", 1, 8, 8000)
+        assert r["n_samples"] == 160 and r["duration_s"] == 0.02
+        exp = round((1024 * m + 16764) / 32768, 6)
+        assert r["peak"] == exp and r["rms"] == exp
+        r = alaw[i]
+        assert (r["ok"], r["channels"], r["bits"], r["sample_rate"]) == ("true", 2, 8, 8000)
+        assert r["n_samples"] == 80 and r["duration_s"] == 0.01
+        exp = (2 * m + 33) / 64
+        assert r["peak"] == exp and r["rms"] == exp
+
+
+def test_g711_encoder_roundtrip_nearest_level():
+    """encode_g711_wav quantizes to the nearest decodable level: decoding
+    its output must reproduce exactly the per-sample nearest table value
+    (computed independently here), for both laws, across the full range."""
+    import numpy as np
+
+    samples = [int(x) for x in np.linspace(-32000, 32000, 257)]
+    for law, table in (("ulaw", MM._ULAW_TABLE), ("alaw", MM._ALAW_TABLE)):
+        payload = MM.encode_g711_wav(samples, 16000, law=law)
+        got = MM.decode_wav(payload)
+        assert got["ok"] and got["bits"] == 8 and got["sample_rate"] == 16000
+        assert got["n_samples"] == len(samples)
+        tab = np.asarray(table, dtype=np.int64)
+        nearest = [int(tab[np.abs(tab - s).argmin()]) for s in samples]
+        peak = max(abs(v) for v in nearest) / 32768.0
+        rms = (sum(v * v for v in nearest) / len(nearest)) ** 0.5 / 32768.0
+        assert got["peak"] == round(peak, 6) and got["rms"] == round(rms, 6)
+        # companding error bound: within half the local step everywhere
+        # (G.711 step at |x| is at most 1024 in 16-bit units at segment 7)
+        assert max(abs(a - b) for a, b in zip(nearest, samples)) <= 512
+
+
 def test_operators_degenerate_inputs(spark):
     """Production hardening: empty and degenerate inputs flow through the
     new tiers without crashing and with sensible results."""
