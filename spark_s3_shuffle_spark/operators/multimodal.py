@@ -1125,6 +1125,70 @@ def plant_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
 #: 'MJPG' fourcc as the little-endian biCompression dword.
 MJPG_FOURCC = 0x47504A4D
 
+#: BITMAPINFOHEADER biCompression for Microsoft 8-bit run-length coding
+#: (the BMP/AVI 'MRLE' tier — Windows Metafile Format spec §2.1.1.7).
+BI_RLE8 = 1
+
+
+def _decode_rle8_frame(data: bytes, width: int, height: int) -> dict[int, int]:
+    """Decode one BI_RLE8 frame to a palette-index histogram.
+
+    Microsoft RLE8 (public spec): ``(count, index)`` encoded runs;
+    ``count == 0`` escapes to end-of-line (0), end-of-bitmap (1), delta
+    (2: skip dx,dy — skipped pixels keep palette index 0), or absolute
+    mode (n >= 3 literal indices, word-padded). Rows are bottom-up like
+    every DIB. The decoder tracks (x, y) strictly — runs crossing a row
+    boundary, cursor escapes past the grid, or trailing garbage raise
+    and fail the clip closed. Only the index HISTOGRAM is materialized
+    (the channel-sum features are palette-weighted counts), so a frame
+    costs O(pixels) time but O(palette) memory."""
+    counts: dict[int, int] = {}
+    x = y = 0  # y counts DIB rows, bottom-up
+    painted = 0
+    pos = 0
+    ended = False
+    while pos + 2 <= len(data):
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            if y >= height or x + b0 > width:
+                raise ValueError("RLE8 run crosses row boundary")
+            counts[b1] = counts.get(b1, 0) + b0
+            painted += b0
+            x += b0
+        elif b1 == 0:  # end of line
+            if y >= height:
+                raise ValueError("RLE8 EOL past last row")
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            ended = True
+            break
+        elif b1 == 2:  # delta: skipped pixels stay index 0
+            if pos + 2 > len(data):
+                raise ValueError("RLE8 truncated delta")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            if y + dy >= height or x + dx > width:
+                raise ValueError("RLE8 delta escapes grid")
+            x, y = x + dx, y + dy
+        else:  # absolute mode: b1 literal indices, word-padded
+            if y >= height or x + b1 > width or pos + b1 > len(data):
+                raise ValueError("RLE8 absolute run crosses row boundary")
+            for v in data[pos:pos + b1]:
+                counts[v] = counts.get(v, 0) + 1
+            painted += b1
+            x += b1
+            pos += b1 + (b1 & 1)
+    if not ended:
+        raise ValueError("RLE8 frame missing end-of-bitmap")
+    # pixels never painted (delta skips / short rows) default to index 0
+    skipped = width * height - painted
+    if skipped < 0:
+        raise ValueError("RLE8 painted more pixels than the grid holds")
+    if skipped:
+        counts[0] = counts.get(0, 0) + skipped
+    return counts
+
 def encode_avi_rgb(frames, width: int, height: int, us_per_frame: int = 40000) -> bytes:
     """Minimal-but-conformant AVI writer: RIFF('AVI ') -> LIST hdrl
     (avih + one 'vids'/DIB strl) -> LIST movi with one '00db' raw
@@ -1216,6 +1280,10 @@ def decode_avi(payload: bytes | None) -> dict:
       decoded through :func:`operators.jpeg.decode_jpeg` — the round-11
       compressed tier (VERDICT r10 item 5). Every frame must decode ok
       and match the container geometry, else the whole clip fails.
+    - BI_RLE8 (1): '00dc' frames of Microsoft 8-bit run-length coding
+      over the strf palette (:func:`_decode_rle8_frame`) — the round-11
+      second-pass palette tier; channel sums are palette-weighted index
+      histograms, so per-frame memory is O(palette), not O(pixels).
 
     Exact per-channel sums over ALL frames either way. Anything else —
     inter-frame codecs (h264/vp9/…), frame-type/stream mismatches,
@@ -1243,6 +1311,7 @@ def decode_avi(payload: bytes | None) -> dict:
     width = height = None
     us_per_frame = None
     compression = None
+    palette = None
     frames = []
     try:
         for cid, start, size in walk(payload, 12, len(payload)):
@@ -1263,7 +1332,21 @@ def decode_avi(payload: bytes | None) -> dict:
                                 bmp = struct.unpack("<IiiHHI", payload[s3:s3 + 20])
                                 if bmp[5] == 0 and bmp[4] != 24:
                                     return bad  # BI_RGB tier is 24-bit only
-                                if bmp[5] not in (0, MJPG_FOURCC):
+                                if bmp[5] == BI_RLE8:
+                                    if bmp[4] != 8:
+                                        return bad  # RLE8 is 8-bit palette only
+                                    (clrused,) = struct.unpack(
+                                        "<I", payload[s3 + 32:s3 + 36]
+                                    )
+                                    clrused = clrused or 256
+                                    pal_raw = payload[s3 + 40:s3 + 40 + 4 * clrused]
+                                    if len(pal_raw) < 4 * clrused:
+                                        return bad  # truncated palette
+                                    palette = [
+                                        (pal_raw[4 * i + 2], pal_raw[4 * i + 1], pal_raw[4 * i])
+                                        for i in range(clrused)
+                                    ]  # RGBQUAD is (b, g, r, reserved)
+                                elif bmp[5] not in (0, MJPG_FOURCC):
                                     return bad  # inter-frame codecs: the stub
                                 compression = bmp[5]
             elif kind == b"movi":
@@ -1275,6 +1358,18 @@ def decode_avi(payload: bytes | None) -> dict:
         stride = (width * 3 + 3) & ~3
         sums = [0, 0, 0]
         for cid, s2, z2 in frames:
+            if compression == BI_RLE8:
+                if cid != b"00dc" or palette is None:
+                    return bad  # raw frame in an RLE stream: malformed
+                counts = _decode_rle8_frame(payload[s2:s2 + z2], width, height)
+                for idx, cnt in counts.items():
+                    if idx >= len(palette):
+                        return bad  # index beyond declared palette
+                    r, g, b = palette[idx]
+                    sums[0] += r * cnt
+                    sums[1] += g * cnt
+                    sums[2] += b * cnt
+                continue
             if compression == MJPG_FOURCC:
                 if cid != b"00dc":
                     return bad  # raw frame in an MJPG stream: malformed
@@ -1422,6 +1517,133 @@ def plant_avi_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": [_plant_avi_mjpeg(int(i)) for i in pdf["media_id"]],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+
+
+def encode_avi_rle8(
+    index_frames, palette, width: int, height: int, us_per_frame: int = 40000
+) -> bytes:
+    """BI_RLE8 AVI writer — the palette-video counterpart of
+    :func:`encode_avi_rgb`: 8-bit palette-indexed frames compressed with
+    Microsoft RLE8 into '00dc' chunks (runs for repeats >= 3, absolute
+    mode for literal stretches >= 3, count-1 pairs otherwise, EOL per
+    row, EOB per frame), palette appended to strf as RGBQUADs.
+    ``index_frames`` is a list of ``bytes`` of packed TOP-DOWN palette
+    indices (width*height each — the writer does the bottom-up flip);
+    ``palette`` is a list of (r, g, b) tuples."""
+    import struct
+
+    def rle8_row(row: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            j = i
+            while j < len(row) and row[j] == row[i] and j - i < 255:
+                j += 1
+            if j - i >= 3:
+                out += bytes((j - i, row[i]))
+                i = j
+                continue
+            # literal stretch: scan forward until a >=3 run begins
+            k = i
+            while k < len(row) and k - i < 255:
+                r = k
+                while r < len(row) and row[r] == row[k] and r - k < 3:
+                    r += 1
+                if r - k >= 3:
+                    break
+                k = r
+            lits = row[i:k]
+            if len(lits) >= 3:
+                out += bytes((0, len(lits))) + lits
+                if len(lits) & 1:
+                    out += b"\x00"  # absolute mode is word-padded
+            else:
+                for v in lits:
+                    out += bytes((1, v))
+            i = k
+        return bytes(out)
+
+    def rle8_frame(idx: bytes) -> bytes:
+        rows = [
+            idx[y * width:(y + 1) * width] for y in range(height - 1, -1, -1)
+        ]  # bottom-up
+        body = bytearray()
+        for n, row in enumerate(rows):
+            body += rle8_row(row)
+            body += b"\x00\x01" if n == len(rows) - 1 else b"\x00\x00"
+        return bytes(body)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    encoded = [rle8_frame(f) for f in index_frames]
+    buf = max(len(f) for f in encoded) if encoded else 0
+    avih = struct.pack("<14I", us_per_frame, buf * 1_000_000 // max(us_per_frame, 1),
+                       0, 0x10, len(encoded), 0, 1, buf, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MRLE" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            us_per_frame, 1_000_000, 0, len(encoded), buf, 0xFFFFFFFF, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)  # RGBQUAD order
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, BI_RLE8, buf, 0, 0, len(palette), 0
+    ) + pal
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = [chunk(b"00dc", f) for f in encoded]
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx1_entries, off = [], 4
+    for mf in movi_frames:
+        idx1_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(mf) - 8))
+        off += len(mf)
+    idx1 = chunk(b"idx1", b"".join(idx1_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+#: Planted-RLE8 geometry (q326 oracle contract): 4 frames of 16x8 over a
+#: 256-entry palette pal[i] = ((3*id + 5*i) % 256, (7*id + 11*i) % 256,
+#: (13*id + 17*i) % 256). Frame f's every row is 8 pixels of index 2f
+#: then 8 alternating (2f, 2f+1, ...) — the encoder emits a 9-run, then
+#: absolute mode for the 7-literal tail, so BOTH RLE8 opcode families are
+#: exercised on every row while per-frame counts stay closed-form:
+#: 96 pixels of index 2f and 32 of 2f+1.
+RLE8_PLANT_W, RLE8_PLANT_H, RLE8_PLANT_FRAMES = 16, 8, 4
+
+
+def _plant_avi_rle8(media_id: int) -> bytes:
+    palette = [
+        ((3 * media_id + 5 * i) % 256, (7 * media_id + 11 * i) % 256,
+         (13 * media_id + 17 * i) % 256)
+        for i in range(256)
+    ]
+    frames = []
+    for f in range(RLE8_PLANT_FRAMES):
+        a, b = 2 * f, 2 * f + 1
+        row = bytes([a] * 8 + [a, b] * 4)
+        frames.append(row * RLE8_PLANT_H)
+    return encode_avi_rle8(frames, palette, RLE8_PLANT_W, RLE8_PLANT_H)
+
+
+def plant_avi_rle8_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic planted-RLE8 generator (Arrow-batched, zero shuffle)
+    — fixture-side counterpart of :func:`extract_video_features`'s
+    palette tier."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_plant_avi_rle8(int(i)) for i in pdf["media_id"]],
             })
 
     schema = StructType([

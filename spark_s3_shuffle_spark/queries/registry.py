@@ -8040,6 +8040,44 @@ def q325(spark, sf_dir):
     return MM.extract_audio_features(media).orderBy("media_id")
 
 
+_Q326_SQL = """
+SELECT doc_id AS media_id, 'true' AS ok,
+       16 AS width, 8 AS height, 4 AS n_frames, CAST(25.0 AS DOUBLE) AS fps,
+       CAST(SUM(96 * ((3 * doc_id + 10 * f) % 256) + 32 * ((3 * doc_id + 10 * f + 5) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(96 * ((7 * doc_id + 22 * f) % 256) + 32 * ((7 * doc_id + 22 * f + 11) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(96 * ((13 * doc_id + 34 * f) % 256) + 32 * ((13 * doc_id + 34 * f + 17) % 256)) AS BIGINT) AS sum_b,
+       CAST(SUM(96 * ((3 * doc_id + 10 * f) % 256) + 32 * ((3 * doc_id + 10 * f + 5) % 256)) AS DOUBLE) / 512 AS mean_r,
+       CAST(SUM(96 * ((7 * doc_id + 22 * f) % 256) + 32 * ((7 * doc_id + 22 * f + 11) % 256)) AS DOUBLE) / 512 AS mean_g,
+       CAST(SUM(96 * ((13 * doc_id + 34 * f) % 256) + 32 * ((13 * doc_id + 34 * f + 17) % 256)) AS DOUBLE) / 512 AS mean_b
+FROM documents, range(4) fs(f)
+GROUP BY doc_id ORDER BY media_id"""
+
+
+@_register(
+    "q326_rle8_video_decode",
+    _Q326_SQL,
+    "B51/B75 round-11 (second pass): PALETTE-video decode, the BI_RLE8"
+    " tier — Microsoft 8-bit run-length frames ('MRLE'/biCompression 1,"
+    " the Windows Metafile spec) decoded opcode-by-opcode (encoded runs,"
+    " absolute mode, EOL/EOB, delta skips defaulting to palette 0)"
+    " against the strf RGBQUAD palette, inside the same Arrow-batched"
+    " mapInPandas scan (multimodal._decode_rle8_frame; writer"
+    " counterpart encode_avi_rle8). Channel sums are palette-weighted"
+    " index HISTOGRAMS — O(palette) memory per frame regardless of"
+    " resolution. FULL oracle: each doc_id becomes a 4-frame 16x8 clip"
+    " whose rows open with a 9-pixel run then a 7-literal absolute tail"
+    " (both opcode families on every row) over an id-affine palette, so"
+    " DuckDB replays all-frame sums from integer arithmetic. RLE is"
+    " lossless, so no quantization caveats; cursor-escape/missing-EOB/"
+    " oversized-index streams fail the clip closed. Zero shuffle;"
+    " scales as a pure scan.",
+)
+def q326(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.plant_avi_rle8_media(d, "doc_id")
+    return MM.extract_video_features(media).orderBy("media_id")
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

@@ -1197,6 +1197,77 @@ def test_g711_encoder_roundtrip_nearest_level():
         assert max(abs(a - b) for a, b in zip(nearest, samples)) <= 512
 
 
+def test_rle8_opcode_families_and_fail_closed():
+    """B51 round-11 (second pass) RLE8 tier: every opcode family decodes
+    per the public spec — encoded runs, absolute mode (word-padded),
+    EOL, EOB, and delta (skipped pixels default to palette index 0) —
+    and malformed streams (row-crossing runs, cursor escapes, missing
+    EOB, truncated palettes) fail the whole clip closed."""
+    # handcrafted 4x2 frame: delta to (2,1), 2-run of index 3, EOB —
+    # 6 pixels skipped -> index 0
+    counts = MM._decode_rle8_frame(bytes([0, 2, 2, 1, 2, 3, 0, 1]), 4, 2)
+    assert counts == {3: 2, 0: 6}
+    # absolute mode with odd literal count consumes its pad byte; the
+    # unpainted 4th pixel of the first row defaults to index 0
+    counts = MM._decode_rle8_frame(
+        bytes([0, 3, 7, 8, 9, 0, 0, 0, 4, 1, 0, 1]), 4, 2
+    )
+    assert counts == {7: 1, 8: 1, 9: 1, 1: 4, 0: 1}
+    import pytest
+
+    for stream in (
+        bytes([5, 1, 0, 1]),        # run crosses the 4-wide row
+        bytes([4, 1, 0, 0]),        # EOL but no EOB
+        bytes([0, 2, 9, 9, 0, 1]),  # delta escapes the grid
+        bytes([0, 5, 1, 2, 3, 4, 5, 0, 0, 1]),  # absolute crosses row
+    ):
+        with pytest.raises(ValueError):
+            MM._decode_rle8_frame(stream, 4, 2)
+
+    # container level: palette index beyond declared biClrUsed fails closed
+    pal = [(10, 20, 30), (40, 50, 60)]
+    avi = MM.encode_avi_rle8([bytes([0, 1, 1, 0, 0, 0, 1, 1])], pal, 4, 2)
+    assert MM.decode_avi(avi)["ok"]
+    avi_bad = MM.encode_avi_rle8([bytes([0, 1, 5, 0, 0, 0, 1, 1])], pal, 4, 2)
+    assert MM.decode_avi(avi_bad)["ok"] is False
+
+
+def test_rle8_roundtrip_and_planted_tier(spark):
+    """encode_avi_rle8 -> decode_avi round-trips exact channel sums on a
+    random-ish indexed clip (independent longhand sums), and the q326
+    planted tier equals the closed form its SQL oracle replays."""
+    w, h = 12, 6
+    pal = [((i * 31) % 256, (i * 57) % 256, (i * 93) % 256) for i in range(64)]
+    frames = [
+        bytes((x * 7 + y * 13 + f * 29) % 64 for y in range(h) for x in range(w))
+        for f in range(3)
+    ]
+    d = MM.decode_avi(MM.encode_avi_rle8(frames, pal, w, h))
+    assert d["ok"] and (d["width"], d["height"], d["n_frames"]) == (w, h, 3)
+    exp = [0, 0, 0]
+    for fr in frames:
+        for v in fr:
+            for c in range(3):
+                exp[c] += pal[v][c]
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(exp)
+
+    ids = [0, 1, 17, 255, 4093]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_video_features(
+            MM.plant_avi_rle8_media(df, "doc_id")
+        ).collect()
+    }
+    for mid in ids:
+        r = got[mid]
+        exp_r = sum(
+            96 * ((3 * mid + 10 * f) % 256) + 32 * ((3 * mid + 10 * f + 5) % 256)
+            for f in range(4)
+        )
+        assert r["ok"] == "true" and r["sum_r"] == exp_r and r["mean_r"] == exp_r / 512
+
+
 def test_operators_degenerate_inputs(spark):
     """Production hardening: empty and degenerate inputs flow through the
     new tiers without crashing and with sensible results."""
