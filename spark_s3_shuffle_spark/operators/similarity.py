@@ -755,3 +755,116 @@ def extend_ivf_index(
         index.cells,
         index.centroid_matrix,
     )
+
+
+def _quantize_vec(vec_col: str, scale: int, offset: int) -> Column:
+    """array<float> -> array<bigint>: q_i = floor(x_i * scale + 0.5) +
+    offset. Every step is exact IEEE arithmetic (float->double widening,
+    multiply by a power of two, add 0.5 — all dyadic), so Spark and any
+    replaying engine produce identical integers; ``offset`` shifts the
+    lattice non-negative so floor-division semantics can't diverge on
+    negatives."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long") + offset,
+    )
+
+
+def _nearest_centroid_expr(vec: str, centroids: list[list[int]]) -> Column:
+    """argmin_j of the exact integer L2^2 distance to each centroid, ties
+    broken toward the smaller cluster index — all JVM expressions
+    (zip_with + aggregate inside whole-stage codegen, no Python on the
+    hot path), one term per centroid."""
+    candidates = []
+    for j, cent in enumerate(centroids):
+        lits = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+        dist = F.aggregate(
+            F.zip_with(F.col(vec), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        candidates.append(F.struct(dist.alias("d"), F.lit(j).alias("c")))
+    return F.array_min(F.array(*candidates)).getField("c")
+
+
+def kmeans_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    scale: int = 512,
+    offset: int = 512,
+) -> DataFrame:
+    """EXACT integer-lattice Lloyd k-means — the cluster-curation sibling
+    of :func:`kmeans_like_centroids`, built so that every step is
+    deterministic integer arithmetic a SQL engine can replay bit-for-bit
+    (registry q328's DuckDB oracle re-runs the whole iteration in CTEs):
+
+    - vectors quantize to a non-negative integer lattice
+      (:func:`_quantize_vec` — exact dyadic float ops, then bigints);
+    - seeds are the ``k`` lowest-id vectors (cluster j = rank j);
+    - each of ``iterations`` rounds assigns by exact integer L2^2
+      (ties -> smaller cluster index) and re-quantizes centroids as
+      elementwise ``sum DIV count`` (floor division over non-negative
+      ints — identical in Spark, Python, and DuckDB); a cluster that
+      loses all members keeps its previous centroid;
+    - the returned frame is the FINAL assignment profile: one row per
+      surviving cluster with exact ``(cluster, n_members, sum_ids,
+      min_id, centroid_checksum)`` where the checksum is
+      sum_pos((pos+1) * centroid[pos]).
+
+    Scale shape: assignment is pure whole-stage-codegen expression work
+    (k * dim literal terms — right for curation-sized k; at k in the
+    thousands switch to the Arrow matmul path IVF uses); each round's
+    update shuffles only (k * dim) partial sums per upstream partition
+    (posexplode then map-side-combined groupBy), and the driver holds
+    k * dim integers per round — O(1) in the corpus. Input is re-scanned
+    once per round (iterations is small and fixed; no lineage-breaking
+    cache needed).
+    """
+    q = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _quantize_vec(vec_col, scale, offset).alias("_v"),
+    )
+    seed_rows = q.orderBy("_id").limit(k).collect()  # O(k) driver, documented
+    centroids = [list(r["_v"]) for r in sorted(seed_rows, key=lambda r: r["_id"])]
+
+    for _ in range(max(0, iterations)):
+        assigned = q.withColumn("_c", _nearest_centroid_expr("_v", centroids))
+        sums = (
+            assigned.select("_c", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_c", "_pos")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # O(k * dim) rows — the round's only driver traffic
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["_c"], {})[r["_pos"]] = (r["_s"], r["_n"])
+        centroids = [
+            [by_cluster[j][p][0] // by_cluster[j][p][1] for p in range(len(cent))]
+            if j in by_cluster else cent  # empty cluster: keep previous
+            for j, cent in enumerate(centroids)
+        ]
+
+    final = q.withColumn("_c", _nearest_centroid_expr("_v", centroids))
+    checksums = {
+        j: sum((p + 1) * v for p, v in enumerate(cent))
+        for j, cent in enumerate(centroids)
+    }
+    checksum_map = F.create_map(
+        *[F.lit(x) for j in checksums for x in (j, checksums[j])]
+    )
+    return (
+        final.groupBy(F.col("_c").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("_id").cast("long").alias("sum_ids"),
+            F.min("_id").cast("long").alias("min_id"),
+        )
+        .withColumn(
+            "centroid_checksum",
+            F.element_at(checksum_map, F.col("cluster")).cast("long"),
+        )
+        .orderBy("cluster")
+    )

@@ -8078,6 +8078,141 @@ def q326(spark, sf_dir):
     return MM.extract_video_features(media).orderBy("media_id")
 
 
+_Q327_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_partkey % 7 = 0 AND y.l_partkey % 7 = 0
+), deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) t GROUP BY n
+), tri AS (
+  SELECT COUNT(*) AS t
+  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+       JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+       CAST((SELECT 3 * t * 1000000 FROM tri)
+            // (SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS clustering_ppm"""
+
+
+@_register(
+    "q327_triangle_census",
+    _Q327_SQL,
+    "B83+ round-11 (second pass): exact TRIANGLE CENSUS + global"
+    " clustering coefficient over the part co-purchase graph (parts in"
+    " the %7 key stratum sharing an order; the same bounded-fanout"
+    " co-occurrence shape as q93's span pairs — each order contributes"
+    " <= C(items,2) edges, so the edge build is linear in lineitem)."
+    " graph.triangle_stats counts via DEGREE-ORDERED ORIENTATION"
+    " (Schank-Wagner forward algorithm / Suri-Vassilvitskii MapReduce"
+    " form): every triangle is generated once from its lowest-"
+    " (degree,id) vertex and the wedge fan-out is bounded by"
+    " sum(outdeg^2) = O(E^1.5) — on a power-law graph at 100 TB the"
+    " difference between the hub exploding quadratically and sqrt(E)"
+    " per vertex. The count is orientation-independent, so the oracle"
+    " replays it with the naive a<b<c join and must agree exactly —"
+    " the SQL is an independent algorithm, not a transcription. All"
+    " counts exact integers; clustering_ppm is one fixed-point DIV."
+    " Shuffles: degree build, wedge self-join on src, closing join on"
+    " (v,w) — all key-bounded, zero driver-side iteration.",
+)
+def q327(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 7 == 0).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.ok") == F.col("y.ok"))
+        .where(F.col("x.pk") < F.col("y.pk"))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+    )
+    return GR.triangle_stats(pairs)
+
+
+_Q328_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT) + 512) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM q ORDER BY vec_id LIMIT 8
+), a0 AS (
+  SELECT q.vec_id, q.v,
+         (SELECT s.c FROM seeds s
+          ORDER BY list_sum(list_transform(list_zip(q.v, s.v), p -> (p[1]-p[2])*(p[1]-p[2]))), s.c
+          LIMIT 1) AS c
+  FROM q
+), u1 AS (
+  SELECT a0.c, r.pos, SUM(a0.v[r.pos]) // COUNT(*) AS cv
+  FROM a0, range(1, 65) r(pos) GROUP BY a0.c, r.pos
+), c1 AS (
+  SELECT s.c, COALESCE(u.v, s.v) AS v
+  FROM seeds s LEFT JOIN (SELECT c, LIST(cv ORDER BY pos) AS v FROM u1 GROUP BY c) u USING (c)
+), a1 AS (
+  SELECT q.vec_id, q.v,
+         (SELECT s.c FROM c1 s
+          ORDER BY list_sum(list_transform(list_zip(q.v, s.v), p -> (p[1]-p[2])*(p[1]-p[2]))), s.c
+          LIMIT 1) AS c
+  FROM q
+), u2 AS (
+  SELECT a1.c, r.pos, SUM(a1.v[r.pos]) // COUNT(*) AS cv
+  FROM a1, range(1, 65) r(pos) GROUP BY a1.c, r.pos
+), c2 AS (
+  SELECT s.c, COALESCE(u.v, s.v) AS v
+  FROM c1 s LEFT JOIN (SELECT c, LIST(cv ORDER BY pos) AS v FROM u2 GROUP BY c) u USING (c)
+), a2 AS (
+  SELECT q.vec_id,
+         (SELECT s.c FROM c2 s
+          ORDER BY list_sum(list_transform(list_zip(q.v, s.v), p -> (p[1]-p[2])*(p[1]-p[2]))), s.c
+          LIMIT 1) AS c
+  FROM q
+)
+SELECT a2.c AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a2.vec_id) AS BIGINT) AS sum_ids,
+       CAST(MIN(a2.vec_id) AS BIGINT) AS min_id,
+       (SELECT CAST(SUM(c2.v[r.pos] * r.pos) AS BIGINT)
+        FROM c2, range(1, 65) r(pos) WHERE c2.c = a2.c) AS centroid_checksum
+FROM a2 GROUP BY a2.c ORDER BY cluster"""
+
+
+@_register(
+    "q328_kmeans_quantized",
+    _Q328_SQL,
+    "B73+ round-11 (second pass): EXACT integer-lattice Lloyd k-means"
+    " over the embeddings table (similarity.kmeans_quantized) — the"
+    " cluster-curation primitive (cluster-balanced sampling, corpus"
+    " cartography) built so a SQL engine can replay the ENTIRE"
+    " iteration bit-for-bit: dyadic quantization floor(x*512+0.5)+512"
+    " (exact in IEEE on both engines), k=8 lowest-id seeds, two Lloyd"
+    " rounds of exact-integer L2^2 assignment (ties -> smaller cluster)"
+    " with centroids re-quantized as elementwise sum DIV count, then a"
+    " final assignment profile with an exact centroid checksum. The"
+    " DuckDB oracle replays all of it in CTEs — a genuinely iterative"
+    " ML algorithm under a FULL-HASH oracle, not a rows-only waiver."
+    " Scale shape: assignment is whole-stage-codegen expression work"
+    " (zero Python on the hot path); each round shuffles only k*dim"
+    " partial sums per partition (posexplode + map-side combine) and"
+    " the driver holds k*dim ints — O(1) in corpus size; input is"
+    " re-scanned once per round instead of cached (bounded, small"
+    " iteration count).",
+)
+def q328(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_quantized(emb, k=8, iterations=2)
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

@@ -94,6 +94,10 @@ NESTED_LOOP_OK: dict[str, int] = {
     "q307_sql_text_ds80": 64,
     "q312_sql_text_ds91": 64,
     "q314_sql_text_ds85": 64,
+    # r11 second pass: triangle census cross-joins its two 1-row
+    # aggregate frames (degree profile x triangle count) — the build
+    # sides are single rows by construction (measured 1).
+    "q327_triangle_census": 2,
     "q281_sql_text_ds88": 64,  # hd VALUES chain inside each scalar count
     "q282_sql_text_ds90": 64,  # hd + web_page VALUES chains
     "q288_sql_text_ds34": 64,  # hd VALUES chain
@@ -107,6 +111,10 @@ NESTED_LOOP_OK: dict[str, int] = {
 #: within a handful of exchanges.
 MAX_EXCHANGES_DEFAULT = 6
 MAX_EXCHANGES = {
+    "q327_triangle_census": 14,  # persisted deg/oriented frames re-print
+    # their build lineage per reference (the q137 caveat); the executed
+    # job pays: edge distinct, degree agg, wedge self-join on src,
+    # closing join on (v,w), 1-row aggregates — measured 10 at sf0.001
     "q81_semantic_dedup": 8,  # r8 hot-cell bound: +1 map-side-combined
     # group-size aggregate (broadcast back); the shared vector-join
     # lineage re-prints once per branch in the textual plan
