@@ -11,6 +11,8 @@ size.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringized hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -303,4 +305,158 @@ def bigram_coverage(
                 4,
             ).alias("coverage"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 (second pass): REAL byte-pair encoding — the "BPE-ish regex"
+# above is a counting proxy; this is the actual algorithm (Sennrich,
+# Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+# Subword Units"), trained distributed and applied distributed.
+# ---------------------------------------------------------------------------
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over whitespace words — BPE trains on the DISTINCT-word
+    frequency table, which is vocabulary-sized, not corpus-sized: the one
+    property that makes corpus-scale BPE training cheap."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a corpus, fully distributed.
+
+    Each round: explode every distinct word's current symbol array into
+    adjacent pairs weighted by word count (map-side-combined aggregate —
+    shuffle bounded by |distinct pairs|, not corpus size), pick the most
+    frequent pair with a DETERMINISTIC total order (count desc, then the
+    pair lexicographically asc — frequency ties cannot make two runs or
+    two engines diverge), and rewrite the symbol arrays through one
+    Arrow-batched pandas UDF (the rewrite is a stateful left-to-right
+    scan, which Column algebra can't express). The evolving word frame is
+    vocabulary-sized; each round persists its frame and unpersists the
+    previous one, so lineage stays one round deep.
+
+    Driver traffic per round: exactly ONE (pair, count) row. Returns the
+    merge list in rank order — O(num_merges) strings, the model artifact.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    words = _word_counts(df, text_col).select(
+        F.expr("split(word, '')").alias("syms"), "cnt"
+    ).persist()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(max(0, num_merges)):
+        pairs = (
+            words.select(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                ).alias("ps"),
+                "cnt",
+            )
+            .select(F.explode("ps").alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        @pandas_udf(ArrayType(StringType()))
+        def apply_merge(col: pd.Series) -> pd.Series:
+            def one(syms):
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+
+            return col.map(one)
+
+        prev = words
+        words = words.select(apply_merge("syms").alias("syms"), "cnt").persist()
+        words.count()  # materialize before dropping the parent frame
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE apply to one word: repeatedly merge the LOWEST-RANK
+    adjacent pair (the canonical inference rule — training order, not
+    left-to-right scan order). Pure function shared by the distributed
+    encoder and the tests' longhand replays."""
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best:best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens) under a trained BPE model.
+
+    Encodes each DISTINCT word once (mapInPandas over the vocabulary-
+    sized word frame, merge table broadcast in the closure) and joins the
+    per-word token lengths back onto the exploded corpus — so the
+    Python-side work is O(|vocab| * word_len^2), independent of corpus
+    size, and the corpus-side cost is one explode + one vocabulary-keyed
+    join + one map-side-combined count."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_words(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "n_sub": [len(bpe_segment(w, ranks)) for w in pdf["word"]],
+            })
+
+    schema = StructType([
+        StructField("word", StringType(), False),
+        StructField("n_sub", IntegerType(), False),
+    ])
+    word_len = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .mapInPandas(encode_words, schema=schema)
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        exploded.join(word_len, "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_sub").cast("long").alias("n_tokens"))
     )

@@ -8213,6 +8213,57 @@ def q328(spark, sf_dir):
     return SIM.kmeans_quantized(emb, k=8, iterations=2)
 
 
+_Q329_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 1 END
+            AS BIGINT) AS n_tokens,
+       'ab|aa|bb|ba' AS model
+FROM documents ORDER BY doc_id"""
+
+
+@_register(
+    "q329_bpe_train_encode",
+    _Q329_SQL,
+    "B50+ round-11 (second pass): REAL byte-pair encoding — the actual"
+    " Sennrich et al. 2016 algorithm (text.bpe_train / bpe_token_counts),"
+    " not the bpe_ish regex proxy. Training is distributed over the"
+    " vocabulary-sized distinct-word frame: per round one map-side-"
+    " combined pair count (shuffle bounded by |distinct pairs|), ONE"
+    " (pair,count) row to the driver, and an Arrow-batched rewrite of"
+    " the symbol arrays; encode segments each distinct word once and"
+    " joins subword counts back onto the corpus, so Python-side work is"
+    " O(vocab), independent of corpus size. FULL oracle via a planted"
+    " corpus: class c = doc_id%4 gets text {'aa aa aa','bb bb',"
+    " 'ab ab ab ab','ba'} whose pair frequencies 4*n2 > 3*n0 > 2*n1 >"
+    " n3 keep the learned merge ORDER [ab, aa, bb, ba] invariant at"
+    " every SF (strict margins once every class holds >= 4 docs, i.e."
+    " any corpus of >= 16 — the smallest fixture has 500; ties would"
+    " anyway break by the deterministic count-desc/pair-asc rule, and"
+    " the n>=16 bound is asserted in tests), so DuckDB replays both"
+    " the per-doc token counts AND the learned model fingerprint."
+    " Real-corpus training (no closed form, hence no oracle) is"
+    " invariant-tested in tests/test_operators.py.",
+)
+def q329(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("aa aa aa"), F.lit("bb bb"), F.lit("ab ab ab ab"), F.lit("ba")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("text"),
+    )
+    merges = TX.bpe_train(planted, num_merges=4)
+    fingerprint = "|".join(a + b for a, b in merges)
+    return (
+        TX.bpe_token_counts(planted, merges)
+        .withColumn("model", F.lit(fingerprint))
+        .orderBy("doc_id")
+    )
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

@@ -1410,6 +1410,57 @@ def test_kmeans_quantized_assignment_is_codegen(spark):
     assert "EvalPython" not in plan
 
 
+def test_bpe_train_learns_planted_merge_order(spark):
+    """B50 real BPE: on the q329 planted corpus the merge sequence is
+    forced to [ab, aa, bb, ba] by construction (margins 4*n2 > 3*n0 >
+    2*n1 > n3, strict once every class has >= 4 docs, i.e. n >= 16 —
+    the smallest fixture has 500), under the deterministic tie rule."""
+    from spark_s3_shuffle_spark.operators import text as TX
+
+    for n in (16, 40, 41, 42, 43):  # class-count remainders 0..3 covered
+        rows = [
+            (i, ["aa aa aa", "bb bb", "ab ab ab ab", "ba"][i % 4]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = TX.bpe_train(df, num_merges=4)
+        assert merges == [("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")], (n, merges)
+
+
+def test_bpe_segment_matches_canonical_rule():
+    """bpe_segment applies the LOWEST-RANK pair first (canonical BPE
+    inference), not left-to-right: with ranks {bc:0, ab:1}, 'abc' must
+    become [a, bc] — a left-to-right scan would produce [ab, c]."""
+    from spark_s3_shuffle_spark.operators import text as TX
+
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert TX.bpe_segment("abc", ranks) == ["a", "bc"]
+    # chained merges: ab + c only if ('ab','c') itself has a rank
+    ranks2 = {("a", "b"): 0, ("ab", "c"): 1}
+    assert TX.bpe_segment("abc", ranks2) == ["abc"]
+    assert TX.bpe_segment("x", ranks2) == ["x"]
+    assert TX.bpe_segment("", ranks2) == []
+
+
+def test_bpe_real_corpus_invariants(spark, sf_dir):
+    """Training on the real documents table: merges are distinct ordered
+    pairs of existing symbols; encoding is a proper coarsening — every
+    doc's BPE token count is <= its character count and >= its word
+    count, and re-segmenting each word longhand reproduces the
+    distributed counts exactly."""
+    from spark_s3_shuffle_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = TX.bpe_train(docs, num_merges=6)
+    assert len(merges) == 6 and len(set(merges)) == 6
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {r["doc_id"]: r["n_tokens"] for r in TX.bpe_token_counts(docs, merges).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row["text"].lower().split(" ") if w]
+        exp = sum(len(TX.bpe_segment(w, ranks)) for w in words)
+        assert got[row["doc_id"]] == exp
+        assert len(words) <= exp <= sum(len(w) for w in words)
+
+
 def test_operators_degenerate_inputs(spark):
     """Production hardening: empty and degenerate inputs flow through the
     new tiers without crashing and with sensible results."""
