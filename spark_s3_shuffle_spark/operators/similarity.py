@@ -868,3 +868,102 @@ def kmeans_quantized(
         )
         .orderBy("cluster")
     )
+
+
+def label_centroid_profile(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 512,
+    offset: int = 512,
+) -> DataFrame:
+    """Corpus cartography: one exact profile row per label —
+    ``(label, n_vecs, sum_ids, centroid_checksum, intra_ss, nn_label)``.
+
+    The workhorse report behind cluster-balanced sampling and embedding
+    drift monitoring: per-label quantized centroid (elementwise
+    ``sum DIV count`` on the :func:`_quantize_vec` lattice — exact
+    integers, so the q330 DuckDB oracle replays every value), total
+    within-label squared dispersion ``intra_ss`` (sum over members of
+    integer L2^2 to the label centroid), and ``nn_label`` — the nearest
+    OTHER label by centroid distance (ties -> smaller label), the
+    between-label separation signal.
+
+    Scale shape: one posexplode + map-side-combined (label, pos)
+    aggregate (|labels| * dim rows per partition), centroid arrays
+    rebuilt with sort_array(collect_list) over the bounded (label, pos)
+    frame, one broadcast-sized join back onto the vectors for the
+    dispersion pass, and a |labels|^2 centroid self-join for nn_label —
+    nothing driver-side, nothing quadratic in the corpus.
+    """
+    q = df.select(
+        F.col(label_col).cast("int").alias("_l"),
+        F.col(id_col).cast("long").alias("_id"),
+        _quantize_vec(vec_col, scale, offset).alias("_v"),
+    )
+    sums = (
+        q.select("_l", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("_l", "_pos")
+        .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    cent = (
+        sums.select("_l", "_pos", F.expr("_s DIV _n").alias("_cv"))
+        .groupBy("_l")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_cv"))),
+                lambda s: s.getField("_cv"),
+            ).alias("_cent")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    per_label = (
+        q.join(F.broadcast(cent), "_l")
+        .groupBy("_l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("_id").cast("long").alias("sum_ids"),
+            F.sum(dist).cast("long").alias("intra_ss"),
+        )
+    )
+    checksum = cent.select(
+        "_l",
+        F.aggregate(
+            F.zip_with(
+                F.col("_cent"),
+                F.sequence(F.lit(1), F.size("_cent")),
+                lambda v, p: v * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        ).alias("centroid_checksum"),
+    )
+    a, b = cent.alias("ca"), cent.alias("cb")
+    cdist = F.aggregate(
+        F.zip_with(F.col("ca._cent"), F.col("cb._cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    nn = (
+        a.join(b, F.col("ca._l") != F.col("cb._l"))
+        .select(
+            F.col("ca._l").alias("_l"),
+            F.struct(cdist.alias("d"), F.col("cb._l").alias("l")).alias("_cand"),
+        )
+        .groupBy("_l")
+        .agg(F.min("_cand").getField("l").alias("nn_label"))
+    )
+    return (
+        per_label.join(F.broadcast(checksum), "_l")
+        .join(F.broadcast(nn), "_l", "left")
+        .select(
+            F.col("_l").alias("label"),
+            "n_vecs", "sum_ids", "centroid_checksum", "intra_ss", "nn_label",
+        )
+        .orderBy("label")
+    )

@@ -8264,6 +8264,107 @@ def q329(spark, sf_dir):
     )
 
 
+_Q330_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT) + 512) AS v
+  FROM embeddings
+), u AS (
+  SELECT label, r.pos, SUM(v[r.pos]) // COUNT(*) AS cv
+  FROM q, range(1, 65) r(pos) GROUP BY label, r.pos
+), cent AS (
+  SELECT label, LIST(cv ORDER BY pos) AS v FROM u GROUP BY label
+), per AS (
+  SELECT q.label, COUNT(*) AS n_vecs, SUM(q.vec_id) AS sum_ids,
+         SUM(list_sum(list_transform(list_zip(q.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS intra_ss
+  FROM q JOIN cent c USING (label) GROUP BY q.label
+), chk AS (
+  SELECT label, SUM(cent.v[r.pos] * r.pos) AS checksum
+  FROM cent, range(1, 65) r(pos) GROUP BY label
+), nn AS (
+  SELECT a.label,
+         (SELECT b.label FROM cent b WHERE b.label <> a.label
+          ORDER BY list_sum(list_transform(list_zip(a.v, b.v), p -> (p[1]-p[2])*(p[1]-p[2]))), b.label
+          LIMIT 1) AS nn_label
+  FROM cent a
+)
+SELECT per.label AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sum_ids AS BIGINT) AS sum_ids,
+       CAST(chk.checksum AS BIGINT) AS centroid_checksum,
+       CAST(intra_ss AS BIGINT) AS intra_ss,
+       CAST(nn.nn_label AS INT) AS nn_label
+FROM per JOIN chk USING (label) JOIN nn USING (label) ORDER BY label"""
+
+
+@_register(
+    "q330_label_centroid_profile",
+    _Q330_SQL,
+    "B99+ round-11 (second pass): CORPUS CARTOGRAPHY — per-label"
+    " embedding profile (similarity.label_centroid_profile): quantized"
+    " centroid (elementwise sum DIV count on the q328 integer lattice),"
+    " exact within-label squared dispersion intra_ss, and nn_label (the"
+    " nearest OTHER label by centroid L2^2, ties -> smaller label) —"
+    " the between/within separation report behind cluster-balanced"
+    " sampling and drift monitoring. All values exact integers; FULL"
+    " oracle. Scale shape: one map-side-combined (label, pos) aggregate"
+    " (|labels|*dim rows per partition), bounded centroid rebuild,"
+    " broadcast join back for the dispersion pass, |labels|^2 centroid"
+    " self-join — nothing driver-side, nothing quadratic in corpus"
+    " size.",
+)
+def q330(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroid_profile(emb)
+
+
+_Q331_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY segment"""
+
+
+@_register(
+    "q331_salted_join",
+    _Q331_SQL,
+    "B7+ round-11 (second pass): SKEW-SALTED equi join"
+    " (relational.salted_join) — the plan-level counterpart of AQE's"
+    " sort-merge skew split: every skewed-side row gets a deterministic"
+    " xxhash64(row)%B salt appended to the join key and the dim side is"
+    " replicated B ways, so a hot key's rows spread over B reducers"
+    " instead of one straggler task. Row-content salting (never rand())"
+    " keeps retries and both engines deterministic. The operator is a"
+    " pure physical rewrite — q331's oracle is the UNSALTED join"
+    " aggregated per segment, which the salted plan must reproduce"
+    " exactly; the skew-balance property itself (hot-key rows spread"
+    " within binomial bounds across salts) is unit-tested. At 100 TB"
+    " this is the tool for the null-key bucket / viral-item joins AQE"
+    " can only repair after a stage has already materialized skewed.",
+)
+def q331(spark, sf_dir):
+    from spark_s3_shuffle_spark.operators import relational as R
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = R.salted_join(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        c,
+        on="c_custkey",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast("long").alias("cents"),
+        )
+        .orderBy("segment")
+    )
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     """Registry in driver-facing order: priority window first, then the
     remaining entries in registration order."""

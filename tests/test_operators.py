@@ -1461,6 +1461,74 @@ def test_bpe_real_corpus_invariants(spark, sf_dir):
         assert len(words) <= exp <= sum(len(w) for w in words)
 
 
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    """salted_join is a pure physical rewrite: result == plain join on a
+    planted-skew input (one key carrying 90% of rows), for inner AND
+    left-outer (unmatched rows surface exactly once); and the hot key's
+    rows actually spread across all salt buckets within a loose
+    binomial band — the property the operator exists for."""
+    from pyspark.sql import functions as F
+
+    from spark_s3_shuffle_spark.operators import relational as R
+
+    n_hot, buckets = 4000, 8
+    rows = [(1, i) for i in range(n_hot)] + [(k, 10_000 + k) for k in range(2, 50)]
+    fact = spark.createDataFrame(rows, "k long, payload long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 40)], "k long, attr string"
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in R.salted_join(fact, dim, "k", buckets, how=how).collect()
+        )
+        exp = sorted(tuple(r) for r in fact.join(dim, "k", how).collect())
+        assert got == exp, how
+
+    # spread: per-salt share of the hot key within [1/4x, 4x] of n/B
+    salts = (
+        fact.where(F.col("k") == 1)
+        .select(((F.xxhash64("k", "payload") % buckets + buckets) % buckets).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    assert len(salts) == buckets
+    for r in salts:
+        assert n_hot / buckets / 4 <= r["count"] <= n_hot / buckets * 4
+
+    # determinism: two runs derive identical salted assignments
+    a = R.salted_join(fact, dim, "k", buckets).orderBy("payload").collect()
+    b = R.salted_join(fact, dim, "k", buckets).orderBy("payload").collect()
+    assert a == b
+
+
+def test_label_centroid_profile_longhand(spark):
+    """label_centroid_profile on a tiny planted frame vs a longhand
+    integer replay: centroids, checksum, dispersion, and the nn_label
+    tie rule (equidistant other-labels -> smaller label id)."""
+    from spark_s3_shuffle_spark.operators import similarity as SIM
+
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [0.0, 0.25]),      # label 0: q = (512,512),(512,640) -> cent (512,576)
+        (2, 1, [0.25, 0.0]),      # label 1: cent (640,512)
+        (3, 2, [-0.25, 0.0]),     # label 2: cent (384,512)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {r["label"]: r for r in SIM.label_centroid_profile(df).collect()}
+    assert got[0]["n_vecs"] == 2 and got[0]["sum_ids"] == 1
+    # label 0 dispersion: (512,512) and (512,640) to (512,576): 64^2 each
+    assert got[0]["intra_ss"] == 2 * 64 * 64
+    assert got[1]["intra_ss"] == 0 and got[2]["intra_ss"] == 0
+    assert got[0]["centroid_checksum"] == 512 * 1 + 576 * 2
+    # nn: label 1 (640,512) vs label 0 (512,576): 128^2+64^2 = 20480;
+    # vs label 2 (384,512): 256^2 = 65536 -> nn_label 0
+    assert got[1]["nn_label"] == 0
+    # label 0 is EQUIDISTANT from 1 and 2? d(0,1)=20480, d(0,2)=128^2+64^2
+    # = 20480 -> tie -> smaller label 1
+    assert got[0]["nn_label"] == 1
+    assert got[2]["nn_label"] == 0
+
+
 def test_operators_degenerate_inputs(spark):
     """Production hardening: empty and degenerate inputs flow through the
     new tiers without crashing and with sensible results."""
