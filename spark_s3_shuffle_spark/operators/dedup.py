@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_s3_shuffle_spark.operators.text import shingles
+from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
 
 
 # ---------------------------------------------------------------------------
@@ -79,11 +80,21 @@ def drop_exact_dups(df: DataFrame, content_cols: list[str], id_col: str) -> Data
 # ---------------------------------------------------------------------------
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int, distinct: bool = True) -> DataFrame:
-    """(id, shingle) rows — one explode, shingles built exactly once."""
-    sh = shingles(F.col(text_col), shingle_n)
+    """(id, shingle) rows — one explode, shingles built exactly once.
+
+    The (id, text) projection is widened BEFORE the explode (r11): shingle
+    construction + hashing is the CPU bulk of every signature pass, and a
+    small corpus parquet is a single scan split — un-widened, the whole
+    explode→hash→partial-agg map side ran on one core. Repartitioning the
+    un-exploded rows shuffles only (id, text), never the shingle blowup.
+    """
+    src = widen_small_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    sh = shingles(F.col("_t"), shingle_n)
     if distinct:
         sh = F.array_distinct(sh)
-    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_s"))
+    return src.select("_id", F.explode(sh).alias("_s"))
 
 
 # ---------------------------------------------------------------------------
@@ -503,9 +514,14 @@ def simhash_frame(
     documents are simhashed over their first 30k shingles — standard
     practice, and far beyond where a near-dup signal saturates.
     """
-    sh = shingles(F.col(text_col), shingle_n)
-    rows = df.select(
-        F.col(id_col).alias("_id"), F.explode(F.slice(sh, 1, max_shingles)).alias("_s")
+    # widen before the explode (same rationale as _shingle_rows: the
+    # shingle+hash map side of a one-split scan must not run on one core)
+    src = widen_small_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    sh = shingles(F.col("_t"), shingle_n)
+    rows = src.select(
+        "_id", F.explode(F.slice(sh, 1, max_shingles)).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_hh"))
     # the hash is materialized as a projected column FIRST: the 16 packed
     # aggregates below reference it 64 times, and Catalyst does not CSE a

@@ -28,6 +28,7 @@ covered by tolerance round-trip tests instead.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -46,6 +47,12 @@ ZIGZAG = sorted(
     ((r, c) for r in range(8) for c in range(8)),
     key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
 )
+#: flat (row-major) position of the i-th zigzag coefficient — lets whole
+#: (nblocks, 64) coefficient matrices zigzag/de-zigzag in one numpy scatter
+#: instead of a 64-iteration Python loop per block.
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG])
+#: MSB-first weights for packing a 16-bit sliding window in one matmul.
+_POW16 = (1 << np.arange(15, -1, -1)).astype(np.int32)
 
 #: Annex K quantization tables (luminance / chrominance), row-major.
 QTAB_LUMA = np.array([
@@ -126,12 +133,36 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int
     return out
 
 
-def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, huffval).items()
-    }
+#: Encoder code tables, built once at import (the encoder always emits the
+#: Annex K set; rebuilding them per encode_jpeg call cost ~10% of encode).
+_ENC_DC_CODES = {0: _canonical_codes(*_DC_LUMA), 1: _canonical_codes(*_DC_CHROMA)}
+_ENC_AC_CODES = {0: _canonical_codes(*_AC_LUMA), 1: _canonical_codes(*_AC_CHROMA)}
+
+
+@lru_cache(maxsize=64)
+def _decode_lut(bits: tuple[int, ...], huffval: tuple[int, ...]):
+    """16-bit Huffman lookup table: for every possible 16-bit window the
+    decoded symbol and its code length (0 = invalid prefix). One array
+    index replaces the old bit-at-a-time dict walk; cached per table
+    content, so repeated decodes of streams carrying the same DHT (the
+    Annex K set in practice) never rebuild it."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            if hi > (1 << 16):
+                raise ValueError("overfull Huffman table")
+            sym[lo:hi] = huffval[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    # plain lists: C-speed indexing from the symbol loop (numpy scalar
+    # indexing costs ~10x a list index at this granularity)
+    return sym.tolist(), ln.tolist()
 
 
 class _BitWriter:
@@ -156,39 +187,84 @@ class _BitWriter:
             self.write(0x7F, 8 - self._n)  # pad with 1s per the spec
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
+def _split_scan(data: bytes) -> list[bytes]:
+    """Split raw entropy-coded scan bytes into restart-interval segments,
+    unstuffing 0xFF00 -> 0xFF as we go. Segments are delimited by RSTn
+    markers; any other marker (EOI, next SOS, garbage) ends the scan.
+    A trailing lone 0xFF is treated as end-of-scan (it can only be pad)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = 0, len(data)
+    while True:
+        j = data.find(0xFF, i)
+        if j < 0 or j + 1 >= n:
+            cur += data[i:] if j < 0 else data[i:j]
+            break
+        cur += data[i:j]
+        nxt = data[j + 1]
+        if nxt == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:  # EOI / any other marker terminates the scan
+            break
+    segs.append(bytes(cur))
+    return segs
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("bitstream exhausted")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated stuffing")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:
-                    raise ValueError(f"unexpected marker 0xFF{marker:02X} in scan")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+
+class _ScanReader:
+    """Vectorized entropy-scan reader. Per restart segment the bitstream is
+    unpacked ONCE into a sliding 16-bit-window array, so a Huffman symbol
+    is a single LUT index and an amplitude is a shift — no per-bit Python
+    calls (the old reader cost ~100 Python calls per 8x8 block; this one
+    costs ~6). Reads that would cross the end of the segment raise, which
+    preserves the old reader's fail-closed behavior on truncated streams."""
+
+    __slots__ = ("segs", "si", "win", "nbits", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.segs = _split_scan(data)
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        if i >= len(self.segs):
+            raise ValueError("bitstream exhausted")
+        self.si = i
+        bits = np.unpackbits(np.frombuffer(self.segs[i], dtype=np.uint8))
+        self.nbits = int(bits.size)
+        padded = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
+        sw = np.lib.stride_tricks.sliding_window_view(padded, 16)
+        win = sw.astype(np.int32) @ _POW16
+        # list form for C-speed scalar indexing; keep the numpy array for
+        # very large scans where materializing Python ints would dominate.
+        self.win = win.tolist() if self.nbits < (1 << 20) else win
+        self.pos = 0
+
+    def next_segment(self) -> None:
+        self._load(self.si + 1)
+
+    def read_symbol(self, lut) -> int:
+        sym, ln = lut
+        w = self.win[self.pos]
+        length = ln[w]
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        if self.pos + length > self.nbits:
+            raise ValueError("bitstream exhausted")
+        self.pos += length
+        return sym[w]
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("bitstream exhausted")
+        v = int(self.win[self.pos]) >> (16 - n)
+        self.pos += n
         return v
-
-    def align(self) -> None:
-        self._n = 0
 
 
 def _size_cat(v: int) -> int:
@@ -205,9 +281,8 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
-                  dc_codes, ac_codes) -> int:
-    zz = [int(coeffs[r, c]) for r, c in ZIGZAG]
+def _encode_block(bw: _BitWriter, zz: list[int], pred: int,
+                  dc_codes, ac_codes, last_nz: int) -> int:
     diff = zz[0] - pred
     size = _size_cat(diff)
     code, length = dc_codes[size]
@@ -215,7 +290,6 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
     if size:
         bw.write(_amplitude_bits(diff, size), size)
     run = 0
-    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
     for i in range(1, last_nz + 1):
         if zz[i] == 0:
             run += 1
@@ -235,27 +309,23 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
     return zz[0]
 
 
-def _decode_block(br: _BitReader, pred: int, dc_tab, ac_tab) -> tuple[np.ndarray, int]:
-    def read_symbol(tab) -> int:
-        # max baseline code length is 16 bits (T.81 B.2.4.2) — reading a
-        # 17th bit would misreport a truncated-stream error on corrupt
-        # input that ends exactly at the boundary (ADVICE r10).
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+def _last_nonzero(zz: np.ndarray) -> np.ndarray:
+    """Per-row index of the last nonzero AC coefficient (0 if none) for a
+    (nblocks, 64) zigzag matrix — vectorized replacement of the per-block
+    generator max()."""
+    ac = zz[:, 1:] != 0
+    return np.where(ac.any(axis=1), 63 - np.argmax(ac[:, ::-1], axis=1), 0)
 
-    zz = [0] * 64
-    size = read_symbol(dc_tab)
+
+def _decode_block_into(br: _ScanReader, zz: np.ndarray, pred: int, dc_lut, ac_lut) -> int:
+    """Entropy-decode one block's zigzag coefficients into ``zz`` (a 64-wide
+    int row of a batch matrix). The inverse DCT happens batched afterwards."""
+    size = br.read_symbol(dc_lut)
     dc = pred + _extend(br.read_bits(size), size)
     zz[0] = dc
     i = 1
     while i < 64:
-        sym = read_symbol(ac_tab)
+        sym = br.read_symbol(ac_lut)
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
@@ -267,18 +337,29 @@ def _decode_block(br: _BitReader, pred: int, dc_tab, ac_tab) -> tuple[np.ndarray
             raise ValueError("AC run past block end")
         zz[i] = _extend(br.read_bits(size), size)
         i += 1
-    block = np.zeros((8, 8))
-    for idx, (r, c) in enumerate(ZIGZAG):
-        block[r, c] = zz[idx]
-    return block, dc
+    return dc
 
 
-def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    return np.round((_DCT @ (plane - 128.0) @ _DCT.T) / qtab)
+def _fdct_quant_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag an entire component at once: (H, W) plane
+    -> (nblocks, 64) int zigzag rows in row-major block order."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coeffs = np.round(np.matmul(_DCT, np.matmul(blocks, _DCT.T)) / qtab)
+    return coeffs.reshape(-1, 64)[:, _ZZ_FLAT].astype(np.int64)
 
 
-def _dequant_idct(coeffs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(_DCT.T @ (coeffs * qtab) @ _DCT + 128.0), 0, 255)
+def _dequant_idct_blocks(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """De-zigzag + dequantize + inverse-DCT a whole component's (nblocks,
+    64) zigzag rows in three batched numpy ops -> (nblocks, 8, 8) pixels."""
+    flat = np.zeros((zz.shape[0], 64))
+    flat[:, _ZZ_FLAT] = zz
+    coeffs = flat.reshape(-1, 8, 8) * qtab
+    spatial = np.matmul(_DCT.T, np.matmul(coeffs, _DCT))
+    return np.clip(np.round(spatial + 128.0), 0, 255)
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
@@ -319,6 +400,8 @@ def encode_jpeg(
     def pad(plane: np.ndarray, mult: int) -> np.ndarray:
         ph = (-plane.shape[0]) % mult
         pw = (-plane.shape[1]) % mult
+        if not (ph or pw):
+            return plane
         return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
     if gray:
@@ -362,37 +445,42 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
 
-    dc_codes = {0: _canonical_codes(*_DC_LUMA), 1: _canonical_codes(*_DC_CHROMA)}
-    ac_codes = {0: _canonical_codes(*_AC_LUMA), 1: _canonical_codes(*_AC_CHROMA)}
+    dc_codes, ac_codes = _ENC_DC_CODES, _ENC_AC_CODES
     bw = _BitWriter()
     preds = [0] * ncomp
+    # FDCT+quantize+zigzag every component in one batched numpy pass; the
+    # sequential loop below only does entropy coding over the int rows.
+    comp_zz = [_fdct_quant_blocks(plane, qtab) for plane, qtab, _, _ in comps]
+    comp_last = [_last_nonzero(zz).tolist() for zz in comp_zz]
+    comp_rows = [zz.tolist() for zz in comp_zz]
     if gray or not subsample:
         mcu_h = comps[0][0].shape[0] // 8
         mcu_w = comps[0][0].shape[1] // 8
         for by in range(mcu_h):
             for bx in range(mcu_w):
-                for ci, (plane, qtab, _, _) in enumerate(comps):
+                k = by * mcu_w + bx
+                for ci in range(ncomp):
                     tid = 0 if ci == 0 else 1
-                    coeffs = _fdct_quant(
-                        plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], qtab)
                     preds[ci] = _encode_block(
-                        bw, coeffs, preds[ci], dc_codes[tid], ac_codes[tid])
+                        bw, comp_rows[ci][k], preds[ci],
+                        dc_codes[tid], ac_codes[tid], comp_last[ci][k])
     else:  # 4:2:0 MCU = 4 luma blocks + 1 Cb + 1 Cr
-        y, cb, cr = comps[0][0], comps[1][0], comps[2][0]
+        y = comps[0][0]
+        nbx_y = y.shape[1] // 8
+        nbx_c = comps[1][0].shape[1] // 8
         for my in range(y.shape[0] // 16):
             for mx in range(y.shape[1] // 16):
                 for sy in range(2):
                     for sx in range(2):
-                        by, bx = my * 2 + sy, mx * 2 + sx
-                        coeffs = _fdct_quant(
-                            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], qly)
+                        k = (my * 2 + sy) * nbx_y + (mx * 2 + sx)
                         preds[0] = _encode_block(
-                            bw, coeffs, preds[0], dc_codes[0], ac_codes[0])
-                for ci, plane in ((1, cb), (2, cr)):
-                    coeffs = _fdct_quant(
-                        plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8], qlc)
+                            bw, comp_rows[0][k], preds[0],
+                            dc_codes[0], ac_codes[0], comp_last[0][k])
+                kc = my * nbx_c + mx
+                for ci in (1, 2):
                     preds[ci] = _encode_block(
-                        bw, coeffs, preds[ci], dc_codes[1], ac_codes[1])
+                        bw, comp_rows[ci][kc], preds[ci],
+                        dc_codes[1], ac_codes[1], comp_last[ci][kc])
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"  # EOI
@@ -433,20 +521,18 @@ def decode_jpeg(payload: bytes | None) -> dict:
                     pq, tq = body[i] >> 4, body[i] & 0xF
                     if pq != 0:
                         return bad  # 16-bit tables: out of baseline scope
-                    vals = body[i + 1:i + 65]
-                    q = np.zeros((8, 8))
-                    for idx, (r, c) in enumerate(ZIGZAG):
-                        q[r, c] = vals[idx]
-                    qtabs[tq] = q
+                    qf = np.zeros(64)
+                    qf[_ZZ_FLAT] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                    qtabs[tq] = qf.reshape(8, 8)
                     i += 65
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i < len(body):
                     tc_th = body[i]
-                    bits = list(body[i + 1:i + 17])
+                    bits = tuple(body[i + 1:i + 17])
                     n = sum(bits)
-                    huffval = list(body[i + 17:i + 17 + n])
-                    htabs[tc_th] = _decode_table(bits, huffval)
+                    huffval = tuple(body[i + 17:i + 17 + n])
+                    htabs[tc_th] = _decode_lut(bits, huffval)
                     i += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -485,32 +571,46 @@ def decode_jpeg(payload: bytes | None) -> dict:
         mcu_w, mcu_h = 8 * hmax, 8 * vmax
         mcus_x = (w + mcu_w - 1) // mcu_w
         mcus_y = (h + mcu_h - 1) // mcu_h
-        planes = []
-        for _, ch, cv, _ in comps:
-            planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8)))
-        br = _BitReader(data)
+        n_mcus = mcus_y * mcus_x
+        # entropy pass: decode every block's zigzag row into a per-component
+        # batch matrix; the IDCT runs batched afterwards (3 numpy ops per
+        # component instead of one small matmul per block).
+        comp_zz = [
+            np.zeros((n_mcus * ch * cv, 64), dtype=np.int32)
+            for _, ch, cv, _ in comps
+        ]
+        comp_luts = [
+            (htabs[0x00 | td], htabs[0x10 | ta]) for _, td, ta in scan_comps
+        ]
+        cursors = [0] * len(comps)
+        br = _ScanReader(data)
         preds = [0] * len(comps)
         mcu_index = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                    br.align()
-                    # expect RSTn in the raw stream
-                    while br.pos + 1 < len(br.data) and br.data[br.pos] == 0xFF and \
-                            0xD0 <= br.data[br.pos + 1] <= 0xD7:
-                        br.pos += 2
+                    br.next_segment()
                     preds = [0] * len(comps)
-                for ci, (comp, plane) in enumerate(zip(comps, planes)):
-                    _, ch, cv, tq = comp
-                    _, td, ta = scan_comps[ci]
-                    for sy in range(cv):
-                        for sx in range(ch):
-                            coeffs, preds[ci] = _decode_block(
-                                br, preds[ci], htabs[0x00 | td], htabs[0x10 | ta])
-                            block = _dequant_idct(coeffs, qtabs[tq])
-                            py, px_ = (my * cv + sy) * 8, (mx * ch + sx) * 8
-                            plane[py:py + 8, px_:px_ + 8] = block
+                for ci, comp in enumerate(comps):
+                    _, ch, cv, _ = comp
+                    dc_lut, ac_lut = comp_luts[ci]
+                    zzc, k = comp_zz[ci], cursors[ci]
+                    for _ in range(ch * cv):
+                        preds[ci] = _decode_block_into(
+                            br, zzc[k], preds[ci], dc_lut, ac_lut)
+                        k += 1
+                    cursors[ci] = k
                 mcu_index += 1
+        planes = []
+        for (_, ch, cv, tq), zzc in zip(comps, comp_zz):
+            blocks = _dequant_idct_blocks(zzc, qtabs[tq])
+            # block order is (my, mx, sy, sx); reassemble the plane grid
+            plane = (
+                blocks.reshape(mcus_y, mcus_x, cv, ch, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcus_y * cv * 8, mcus_x * ch * 8)
+            )
+            planes.append(plane)
     except (ValueError, KeyError, IndexError, struct.error):
         return bad
 

@@ -35,6 +35,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -601,7 +603,9 @@ def plant_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +730,9 @@ def plant_g711_media(df: DataFrame, id_col: str, law: str = "ulaw") -> DataFrame
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1014,7 +1020,9 @@ def plant_png_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1107,7 +1115,9 @@ def plant_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1477,7 +1487,9 @@ def plant_avi_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 #: Planted-MJPEG geometry (q321 oracle contract): 4 frames, each a 32x16
@@ -1523,7 +1535,9 @@ def plant_avi_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)
 
 
 def encode_avi_rle8(
@@ -1650,4 +1664,6 @@ def plant_avi_rle8_media(df: DataFrame, id_col: str) -> DataFrame:
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(run, schema=schema)
+    return widen_small_scan(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    ).mapInPandas(run, schema=schema)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
+
 from spark_s3_shuffle_spark.operators.text import tokens
 
 
@@ -72,6 +74,7 @@ def repetition_signals(
     One scan, zero shuffle: the per-doc max-frequency is a sorted-array
     run-length fold (see ``_max_run_length``), not an explode/groupBy.
     """
+    df = widen_small_scan(df)  # r11: one-split-scan CPU guard
     toks = tokens(F.col(text_col))
     grams = _bigrams(toks)
     stats = df.select(
@@ -330,8 +333,11 @@ def duplicated_spans(
 
     key = key_fn or (lambda c: F.xxhash64(c))
     spans = F.array_distinct(shingles(F.col(text_col), span_tokens))
+    # r11: widen the un-exploded (id, text) rows — span construction is the
+    # CPU bulk and a one-split corpus scan would run it on a single core
     keyed = (
-        df.select(F.col(id_col).alias("_id"), spans.alias("_spans"))
+        widen_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias(text_col)))
+        .select(F.col("_id"), spans.alias("_spans"))
         .select("_id", F.explode("_spans").alias("_span"))
         .select("_id", key(F.col("_span")).alias("_k"))
     )

@@ -16,6 +16,8 @@ import pandas as pd  # module-level: pandas_udf resolves stringized hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
+
 #: Tiny deterministic English stoplist for quality scoring / lang-id.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -140,6 +142,8 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     - symbol ratio (#/…/ellipsis) ≤ 0.1
     - contains ≥ 1 stopword (proxy for "is running text")
     """
+    df = widen_small_scan(df)  # r11: token/aggregate exprs are the CPU
+    # bulk; a one-split corpus scan must not evaluate them on one core
     t = F.col(text_col)
     toks = tokens(t)
     n = F.size(toks)
@@ -216,7 +220,12 @@ def decontaminate(
     n-gram set broadcasts, so the training scan never shuffles. Collisions
     are counted per train doc with a hash-agg bounded by |train docs|.
     """
-    tr = train.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("_s"))
+    # r11: widen the (id, text) projection before the n-gram explode —
+    # same one-split-scan rationale as dedup._shingle_rows
+    tr_src = widen_small_scan(
+        train.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    tr = tr_src.select("_id", F.explode(F.array_distinct(shingles(F.col("_t"), ngram))).alias("_s"))
     te = test.select(F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("_s")).distinct()
     tr_h = tr.select("_id", F.xxhash64("_s").alias("_h"))
     te_h = F.broadcast(te.select(F.xxhash64("_s").alias("_h")).distinct())

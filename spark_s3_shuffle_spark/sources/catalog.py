@@ -68,6 +68,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """CPU-parallelism guard for Python-heavy map chains (media codecs,
+    signature computation) whose input scan has fewer partitions than the
+    cluster has cores.
+
+    A small Parquet file is one scan split, so every downstream
+    ``mapInPandas`` stage — where the cost is per-row Python CPU, not I/O —
+    runs on a single core (the r11 profile measured q321's whole
+    plant+decode chain serialized on 1 of 32 cores). Round-robin
+    repartition of the *narrow* input (ids only — never payloads, per the
+    move-heavy-bytes-once rule) spreads that CPU across
+    ``defaultParallelism``. Scale-adaptive by construction: when the scan
+    already has at least as many partitions as cores (any realistic
+    production table), this is a no-op and adds no exchange.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible; leave as-is
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or list(TABLES))}
 

@@ -1,0 +1,44 @@
+"""Dump ``explain("formatted")`` for registry queries to files.
+
+Usage: python tools/dump_plans.py OUT_DIR SUFFIX [sf_dir] query [query ...]
+
+Writes ``OUT_DIR/<query>_<SUFFIX>.txt`` per query — the before/after plan
+evidence the optimization rounds commit under ``plans/rNN/``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_s3_shuffle_spark.queries.registry import QUERIES
+from spark_s3_shuffle_spark.session import get_spark
+
+
+def main() -> int:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    rest = sys.argv[3:]
+    if rest and os.path.isdir(rest[0]):
+        sf_dir, names = rest[0], rest[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", rest
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        spec = QUERIES[name]
+        df = spec.builder(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

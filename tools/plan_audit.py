@@ -50,6 +50,11 @@ NESTED_LOOP_OK: dict[str, int] = {
     "q141_resample_interpolate": 10_000,  # |buckets| grid (720)
     "q158_hll_set_algebra": 1,  # three 1-row sketch estimates (1)
     "q166_filtered_vector_search": 1,  # 1-row probe (1)
+    "q330_label_centroid_profile": 64,  # |labels|^2 centroid inequality
+    # self-join for nn_label: build side is the |labels|-row centroid
+    # frame (10 at every SF — label cardinality is fixed by the fixture
+    # schema, scale-independent); r11 inherited-state fix — the operator
+    # landed in the interrupted mid-build session without its audit row
     # round-6 prefix-aggregate tier: 1-row scalars (total n, leftover,
     # median/p90 rows) cross-joined into the data frame
     "q160_rfm_segmentation": 1,  # (1)
@@ -119,18 +124,22 @@ MAX_EXCHANGES = {
     # group-size aggregate (broadcast back); the shared vector-join
     # lineage re-prints once per branch in the textual plan
 
-    "q42_minhash_dedup": 14,  # r8 chain edges: +1 sort-window exchange over
+    "q42_minhash_dedup": 18,  # r8 chain edges: +1 sort-window exchange over
     # the oversize-bucket SUBSET (never the full banded frame) + its
     # union-distinct re-print; r11 digest star edges: +1 window over
-    # (id, xxhash64(text)) rows — measured 13 at sf0.001
-    "q42b_minhash_dedup_planted": 28,  # the corpus is a UNION (docs +
+    # (id, xxhash64(text)) rows; r11-opt widen_small_scan: +1 tiny
+    # round-robin exchange of (id, text) per shingle subtree re-print
+    # (measured 17) — each buys 32x map-side parallelism on a one-split
+    # corpus scan and no-ops when the scan is already wide
+    "q42b_minhash_dedup_planted": 36,  # the corpus is a UNION (docs +
     # planted twins) whose lineage re-PRINTS per reference: banded frame,
     # digest-edge frame, and both sides of the digest-verify join — the
     # textual count multiplies (measured 25 at sf0.001); every exchange
     # is id+digest-width, none fact-sized
-    "q43_simhash_dedup": 10,
-    "q44_ngram_jaccard": 12,  # +1 r11 digest-star window (measured 11)
-    "q59_minhash_dedup_cc": 14,
+    "q43_simhash_dedup": 14,  # +widen exchanges (r11-opt, measured 13)
+    "q44_ngram_jaccard": 16,  # +1 r11 digest-star window; +widen
+    # exchanges (r11-opt, measured 15)
+    "q59_minhash_dedup_cc": 16,  # +widen exchanges (r11-opt)
     "q34b_ivf_topk": 16,  # includes the cached index-build lineage in explain
     "q109_tpch_q21": 8,  # Q21: late-pairs distinct + two per-order aggregates + final rank
     "q118_resample_locf": 8,  # compaction window + grid join + fill window + sort
@@ -138,6 +147,12 @@ MAX_EXCHANGES = {
     "q120b_batch_ivf_join": 16,  # includes the cached index-build lineage in explain
     "q131_corpus_export_pipeline": 10,  # 5-stage composite: dedup agg+semi,
     # survivor counts agg, mixture join, shard agg, final sort
+    "q93_duplicated_spans": 9,  # +widen of the un-exploded (id, text)
+    # rows per keyed-subtree re-print (r11-opt, measured 8)
+    "q330_label_centroid_profile": 12,  # r11 inherited-state fix: the
+    # centroid frame lineage re-prints per branch (per-label join,
+    # checksum, nn self-join both sides) — measured 10; every exchange
+    # is (label, pos)- or |labels|-bounded, none corpus-sized
     "q137_pagerank_trade_graph": 14,  # 3-iteration loop over PERSISTED node/edge
     # frames: each InMemoryRelation reference re-prints its build lineage in the
     # plan text, so the textual count multiplies; the executed job materializes
