@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_s3_shuffle_spark.functions.vector import cosine
+from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
 
 
 def _as_double(col: Column) -> Column:
@@ -770,21 +771,37 @@ def _quantize_vec(vec_col: str, scale: int, offset: int) -> Column:
     )
 
 
-def _nearest_centroid_expr(vec: str, centroids: list[list[int]]) -> Column:
+def _nearest_centroid_udf(centroids: list[list[int]]):
     """argmin_j of the exact integer L2^2 distance to each centroid, ties
-    broken toward the smaller cluster index — all JVM expressions
-    (zip_with + aggregate inside whole-stage codegen, no Python on the
-    hot path), one term per centroid."""
-    candidates = []
-    for j, cent in enumerate(centroids):
-        lits = F.array(*[F.lit(int(c)).cast("long") for c in cent])
-        dist = F.aggregate(
-            F.zip_with(F.col(vec), lits, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-        candidates.append(F.struct(dist.alias("d"), F.lit(j).alias("c")))
-    return F.array_min(F.array(*candidates)).getField("c")
+    broken toward the smaller cluster index — one numpy int64 matmul per
+    Arrow batch (the same blocked-BLAS shape the IVF path uses).
+
+    r11-opt: this replaced a per-centroid zip_with+aggregate literal
+    expression tree. That formulation re-generated (and re-compiled) a
+    fresh whole-stage-codegen source every round because the centroid
+    LITERALS were baked into the plan (~6 s of janino per round at
+    k=8/dim=64), and higher-order-function lambdas evaluate interpreted
+    (~2 s per assignment pass even cached). The Arrow form is
+    plan-shape-stable across rounds, exact (int64 throughout: |x|^2 - 2xc
+    + |c|^2 over the non-negative lattice, values bounded far below
+    2^63), and keeps the narrow zero-shuffle assignment shape.
+
+    argmin ties: np.argmin returns the FIRST minimal index — identical to
+    the old array_min struct-ordering rule (smaller cluster index wins).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.array(centroids, dtype=np.int64)          # (k, dim)
+    cnorm = (cent * cent).sum(axis=1)                    # (k,)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.int64)     # (batch, dim)
+        d = cnorm[None, :] - 2 * (X @ cent.T)            # (batch, k), +|x|^2 const
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return nearest
 
 
 def kmeans_quantized(
@@ -814,24 +831,26 @@ def kmeans_quantized(
       min_id, centroid_checksum)`` where the checksum is
       sum_pos((pos+1) * centroid[pos]).
 
-    Scale shape: assignment is pure whole-stage-codegen expression work
-    (k * dim literal terms — right for curation-sized k; at k in the
-    thousands switch to the Arrow matmul path IVF uses); each round's
+    Scale shape: assignment is one Arrow-batched numpy matmul per
+    partition (the IVF blocked-BLAS shape — plan-stable across rounds,
+    no per-round literal recompiles); each round's
     update shuffles only (k * dim) partial sums per upstream partition
     (posexplode then map-side-combined groupBy), and the driver holds
     k * dim integers per round — O(1) in the corpus. Input is re-scanned
     once per round (iterations is small and fixed; no lineage-breaking
     cache needed).
     """
-    q = vectors.select(
-        F.col(id_col).cast("long").alias("_id"),
-        _quantize_vec(vec_col, scale, offset).alias("_v"),
+    q = widen_small_scan(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"),
+            _quantize_vec(vec_col, scale, offset).alias("_v"),
+        )
     )
     seed_rows = q.orderBy("_id").limit(k).collect()  # O(k) driver, documented
     centroids = [list(r["_v"]) for r in sorted(seed_rows, key=lambda r: r["_id"])]
 
     for _ in range(max(0, iterations)):
-        assigned = q.withColumn("_c", _nearest_centroid_expr("_v", centroids))
+        assigned = q.withColumn("_c", _nearest_centroid_udf(centroids)("_v"))
         sums = (
             assigned.select("_c", F.posexplode("_v").alias("_pos", "_val"))
             .groupBy("_c", "_pos")
@@ -847,7 +866,7 @@ def kmeans_quantized(
             for j, cent in enumerate(centroids)
         ]
 
-    final = q.withColumn("_c", _nearest_centroid_expr("_v", centroids))
+    final = q.withColumn("_c", _nearest_centroid_udf(centroids)("_v"))
     checksums = {
         j: sum((p + 1) * v for p, v in enumerate(cent))
         for j, cent in enumerate(centroids)

@@ -348,26 +348,44 @@ def bpe_train(
     shuffle bounded by |distinct pairs|, not corpus size), pick the most
     frequent pair with a DETERMINISTIC total order (count desc, then the
     pair lexicographically asc — frequency ties cannot make two runs or
-    two engines diverge), and rewrite the symbol arrays through one
-    Arrow-batched pandas UDF (the rewrite is a stateful left-to-right
-    scan, which Column algebra can't express). The evolving word frame is
-    vocabulary-sized; each round persists its frame and unpersists the
-    previous one, so lineage stays one round deep.
+    two engines diverge), and rewrite the symbol arrays in place with a
+    JVM ``aggregate`` fold. The left-to-right merge scan folds as a stack:
+    push each symbol, and when the stack top is ``a`` and the incoming
+    symbol is ``b``, replace the top with ``a+b``. The two formulations
+    are equivalent because a freshly merged token ``a+b`` can never itself
+    equal ``a`` (``b`` is non-empty), so a merge output never re-triggers
+    as the left half within the same pass — and running in Column algebra
+    (r11-opt) removes the per-round Arrow/Python worker round-trip plus
+    the per-round persist+count materialization job the Python UDF chain
+    needed: a round is now exactly ONE action (the top-pair lookup) over
+    the persisted base frame with k cheap narrow rewrites on top.
 
     Driver traffic per round: exactly ONE (pair, count) row. Returns the
     merge list in rank order — O(num_merges) strings, the model artifact.
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, StringType
-
     words = _word_counts(df, text_col).select(
         F.expr("split(word, '')").alias("syms"), "cnt"
     ).persist()
 
+    def rewrite(syms, a: str, b: str):
+        return F.aggregate(
+            syms,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, F.size(acc)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    cur = words
     merges: list[tuple[str, str]] = []
     for _ in range(max(0, num_merges)):
         pairs = (
-            words.select(
+            cur.select(
                 F.expr(
                     "transform(slice(syms, 1, size(syms) - 1),"
                     " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
@@ -383,27 +401,7 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        merged = a + b
-
-        @pandas_udf(ArrayType(StringType()))
-        def apply_merge(col: pd.Series) -> pd.Series:
-            def one(syms):
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                return out
-
-            return col.map(one)
-
-        prev = words
-        words = words.select(apply_merge("syms").alias("syms"), "cnt").persist()
-        words.count()  # materialize before dropping the parent frame
-        prev.unpersist()
+        cur = cur.select(rewrite(F.col("syms"), a, b).alias("syms"), "cnt")
     words.unpersist()
     return merges
 

@@ -1396,10 +1396,15 @@ def test_kmeans_quantized_tie_break_and_empty_cluster(spark):
     assert got2[0]["n_members"] == 3 and got2[0]["sum_ids"] == 3
 
 
-def test_kmeans_quantized_assignment_is_codegen(spark):
-    """The assignment stage must stay JVM-side: the final plan contains
-    no BatchEvalPython / ArrowEvalPython nodes (scalar-Python would be
-    the 100 TB anti-pattern here)."""
+def test_kmeans_quantized_assignment_is_vectorized(spark):
+    """The assignment stage must be VECTORIZED, never row-at-a-time
+    Python: ArrowEvalPython (the batched numpy matmul — r11-opt) is the
+    accepted shape, BatchEvalPython (scalar pickled rows) is the 100 TB
+    anti-pattern. (The previous all-JVM literal-expression form was
+    dropped after measurement: baking centroid literals into the plan
+    re-compiled a fresh codegen source every round, ~6 s of janino at
+    k=8/dim=64, and higher-order-function lambdas evaluate interpreted —
+    see _nearest_centroid_udf.)"""
     from spark_s3_shuffle_spark.operators import similarity as SIM
 
     df = spark.createDataFrame(
@@ -1407,7 +1412,8 @@ def test_kmeans_quantized_assignment_is_codegen(spark):
         "vec_id long, embedding array<float>",
     )
     plan = SIM.kmeans_quantized(df, k=2, iterations=1)._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # no scalar-Python path
+    assert "ArrowEvalPython" in plan      # the batched matmul assignment
 
 
 def test_bpe_train_learns_planted_merge_order(spark):
