@@ -563,6 +563,14 @@ def simhash_near_dup_pairs(
     zeros for half the corpus) whose within-bucket join would be quadratic —
     the skew cap that makes this safe at 100 TB. Capped pairs can still be
     found via their other k blocks.
+
+    The cap is ONE window count over the bucket key, not a groupBy +
+    semi-join (r11-opt, §2.4): the semi-join form re-evaluated the whole
+    upstream pipeline (simhash aggregation included) once more for its
+    build side on each leg of the self-join — 4 full computes of the
+    shingle explode per query, none of which AQE's exchange reuse
+    recognized. The window annotates sizes inside the same exchange the
+    self-join needs anyway, identical row-count semantics.
     """
     blocks = hamming_k + 1
     width = 64 // blocks
@@ -580,13 +588,12 @@ def simhash_near_dup_pairs(
         .select("_id", "_h", "bb.blk", "bb.bval")
     )
     if max_bucket_size:
-        ok = (
-            banded.groupBy("blk", "bval")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        bucket = Window.partitionBy("blk", "bval")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket))
             .filter(F.col("_bsz") <= max_bucket_size)
-            .select("blk", "bval")
+            .drop("_bsz")
         )
-        banded = banded.join(ok, ["blk", "bval"], "left_semi")
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(
@@ -863,13 +870,15 @@ def embedding_near_dup_pairs(
 
     banded = base.select("_id", F.posexplode(band_keys(F.col("_v"))).alias("band", "bkey"))
     if max_bucket_size:
-        ok = (
-            banded.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        # window cap, not groupBy+semi-join — the semi-join's build side
+        # re-ran the pandas_udf banding over every vector (r11-opt, §2.4;
+        # same rationale as simhash_near_dup_pairs above)
+        bucket = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket))
             .filter(F.col("_bsz") <= max_bucket_size)
-            .select("band", "bkey")
+            .drop("_bsz")
         )
-        banded = banded.join(ok, ["band", "bkey"], "left_semi")
     withv = banded.join(base, "_id")
     return _verify_pairs_within_groups(withv, ["band", "bkey"], threshold, max_group_rows)
 
