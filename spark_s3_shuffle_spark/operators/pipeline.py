@@ -341,20 +341,30 @@ def duplicated_spans(
         .select("_id", F.explode("_spans").alias("_span"))
         .select("_id", key(F.col("_span")).alias("_k"))
     )
-    dup_keys = (
-        keyed.groupBy("_k")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_k")
-    )
-    totals = keyed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    dups = (
-        keyed.join(dup_keys, "_k", "left_semi")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
+    # r11-opt (§2.3/§2.4): ONE pass over the keyed rows instead of three.
+    # The previous shape consumed ``keyed`` three times (dup-key aggregate,
+    # per-doc totals, semi-join + per-doc dup counts) and the executed plan
+    # re-ran the span explode for each consumer (5 FileScans, one reused
+    # exchange). Rolling up to (key, doc, cnt) grain first makes the
+    # per-key distinct-doc count a plain window count over already-unique
+    # rows, and both per-doc sums fold into one aggregate — exact same
+    # results: n_spans = Σ cnt, the window count over (key, doc) rows IS
+    # countDistinct(doc), and the inner join's "≥1 duplicated span" filter
+    # becomes a HAVING. Shuffles carry (52-bit key, id, cnt) rows only.
+    from pyspark.sql.window import Window
+
+    perdoc = keyed.groupBy("_k", "_id").agg(F.count(F.lit(1)).alias("_cnt"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("_k"))
     return (
-        totals.join(dups, "_id")
+        perdoc.withColumn("_nd", nd)
+        .groupBy("_id")
+        .agg(
+            F.sum("_cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_nd") >= min_docs, F.col("_cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") >= 1)
         .select(
             F.col("_id").alias(id_col),
             "n_spans",
