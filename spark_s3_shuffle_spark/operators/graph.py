@@ -60,33 +60,71 @@ def pagerank_fixed(
     engines agree). Returns ``(n, r)`` with ``r`` the scaled bigint rank.
 
     The node set, out-weights, and the joined edge frame are computed
-    once and reused across iterations; the rank frame (|nodes| rows) is
-    broadcast into each step's edge join so the edge table never
-    reshuffles after its initial build.
+    once and reused across iterations; the per-node contribution frame
+    (<= |nodes| rows) is broadcast into each step's edge join so the edge
+    table never reshuffles after its initial build.
+
+    Iteration shape (r12-opt): the rank update
+    ``r(n) = base + (num * coalesce(contrib(n), 0)) DIV den`` is folded
+    INLINE into the next step's edge join instead of materializing a
+    per-iteration rank frame — step i left-joins the edge frame with the
+    broadcast contrib of step i-1 and evaluates the rank expression on
+    the joined row. That is value-identical (pure expression
+    substitution; edges whose src earned no contribution see NULL ->
+    coalesce -> base, exactly the rank the old |nodes|-row left join
+    assigned), but it halves the serial broadcast-job chain: one
+    broadcast (contrib) per iteration instead of two (contrib + rebuilt
+    ranks). Iteration 0's rank is the uniform ``SCALE DIV nn`` so the
+    first step needs only the 1-row node-count broadcast.
     """
     nodes = (
         edges.select(F.col("src").alias("n"))
         .unionByName(edges.select(F.col("dst").alias("n")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    # The edge frame is scanned once per iteration: persist it so each
-    # step reads the materialized (src, dst, w, ow) partitions instead of
+    # The edge frame is scanned once per iteration: materialize it so each
+    # step reads the stored (src, dst, w, ow) partitions instead of
     # re-planning the whole upstream lineage (standard practice for
-    # iterative graph jobs; Spark evicts LRU if memory is tight).
+    # iterative graph jobs). localCheckpoint rather than persist(): it
+    # truncates lineage, so every per-iteration broadcast job plans over a
+    # leaf scan instead of re-analyzing the full upstream join tree, and
+    # its blocks are released by the ContextCleaner when the result frame
+    # is dropped instead of accumulating in the CacheManager for the
+    # session lifetime (same trade as operators/prefix.py — executor loss
+    # after materialization means a job-level retry).
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", "w", "ow")
+        .localCheckpoint(eager=False)
+    )
     # |nodes| as a 1-row broadcast frame — no driver-side count action.
     nn = nodes.agg(F.count(F.lit(1)).alias("nn"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "n", F.expr(f"CAST({SCALE} AS BIGINT) DIV nn").alias("r")
-    )
     base = SCALE * (damping_den - damping_num) // damping_den
+    rank_of_contrib = (
+        f"CAST({base} AS BIGINT)"
+        f" + ({damping_num} * coalesce(contrib, CAST(0 AS BIGINT)))"
+        f" DIV {damping_den}"
+    )
+    if iterations <= 0:
+        return nodes.crossJoin(F.broadcast(nn)).select(
+            "n", F.expr(f"CAST({SCALE} AS BIGINT) DIV nn").alias("r")
+        )
+    contrib = None
     for _ in range(iterations):
-        contrib = (
-            e.join(
-                F.broadcast(ranks.withColumnRenamed("n", "src")), "src"
+        if contrib is None:
+            joined = e.crossJoin(F.broadcast(nn))
+            r_sql = f"CAST({SCALE} AS BIGINT) DIV nn"
+        else:
+            joined = e.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "src")),
+                "src",
+                "left",
             )
+            r_sql = rank_of_contrib
+        contrib = (
+            joined
             # r is ~SCALE (1e12) and w an unbounded observation count, so
             # the product can exceed 2^63 at full corpus scale; accumulate
             # it in decimal(38,0) (the sketch modules' exact-arithmetic
@@ -96,27 +134,14 @@ def pagerank_fixed(
             # on.
             .select(
                 "dst",
-                F.expr("(CAST(r AS DECIMAL(38,0)) * w) DIV ow").alias("c"),
+                F.expr(f"(CAST(({r_sql}) AS DECIMAL(38,0)) * w) DIV ow").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(
-                F.broadcast(contrib), nodes["n"] == contrib["dst"], "left"
-            )
-            .select(
-                "n",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * coalesce(contrib, CAST(0 AS BIGINT)))"
-                        f" DIV {damping_den}"
-                    )
-                ).alias("r"),
-            )
-        )
-    return ranks
+    return nodes.join(
+        F.broadcast(contrib), nodes["n"] == contrib["dst"], "left"
+    ).select("n", F.expr(rank_of_contrib).cast("long").alias("r"))
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

@@ -80,7 +80,9 @@ def _with_range_pid(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
     )
 
 
-def _exclusive_prefix(summary: DataFrame, value: Column) -> DataFrame:
+def _exclusive_prefix(
+    summary: DataFrame, value: Column, total_as: str | None = None
+) -> DataFrame:
     """Fold per-shard summary rows (one per range partition) into each
     shard's EXCLUSIVE prefix aggregate over pid order. This window is
     deliberately single-task — but over |partitions| rows (thousands at
@@ -89,13 +91,80 @@ def _exclusive_prefix(summary: DataFrame, value: Column) -> DataFrame:
     left unpartitioned: the produced plan then carries a real partition
     key, so WindowExec's "Moving all data to a single partition" warning
     — the canary the plan audit greps for — only ever fires for
-    windows that genuinely funnel DATA-sized frames."""
+    windows that genuinely funnel DATA-sized frames.
+
+    ``total_as`` additionally emits the GRAND total of ``value`` under
+    that name (an unbounded frame over the same partition spec — same
+    single window pass), so callers that need both the offsets and the
+    total (NTILE's n) ride ONE broadcast instead of two.
+
+    The summary is ``coalesce(1)``'d first: it is P rows by contract, a
+    single partition trivially satisfies the window's clustering, and
+    Catalyst then plans the window with NO exchange (r12-opt: the pmod
+    exchange was a whole extra AQE stage per prefix primitive on a
+    P-row frame)."""
+    summary = summary.coalesce(1)
+    part = F.pmod(F.col(_PID), F.lit(1))
     w = (
-        Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        Window.partitionBy(part)
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return summary.select(_PID, value.over(w).alias(_PREV))
+    cols = [_PID, value.over(w).alias(_PREV)]
+    if total_as is not None:
+        wt = Window.partitionBy(part).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(value.over(wt).alias(total_as))
+    return summary.select(*cols)
+
+
+_MID = "__mono_id"
+#: monotonically_increasing_id packs the record number within a partition
+#: into the LOWER 33 BITS (partition id in the upper 31) — the documented
+#: layout since Spark 1.6, asserted by the prefix unit tests. A range
+#: shard would need > 2^33 (~8.6e9) rows to overflow the local counter;
+#: shards are ~n/P rows by construction, so that is beyond any sane
+#: deployment (and 150x the 2^31 row cap a single task's sort already has).
+_MID_BITS = 33
+
+
+def _sorted_mid_pieces(
+    df: DataFrame, order: Sequence[Column | str]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared internals of the row-POSITION primitives: the range-sharded
+    frame annotated with ``(_PID, _LOCAL)`` = (range partition id, 1-based
+    local row number in the total order), plus the per-shard counts.
+
+    r12-opt: the local row number comes from ``monotonically_increasing_id``
+    evaluated above an explicit ``sortWithinPartitions`` (pid = mid >> 33,
+    local = (mid & (2^33-1)) + 1), not from a ``row_number()`` window. The
+    window form re-SHUFFLED the data on pid — the checkpoint that pins the
+    pid erases the range exchange's partitioning info, so Catalyst planned
+    hashpartitioning(pid) + sort under the window even though every pid's
+    rows were already colocated and sorted. The mid projection reads the
+    physical (partition, position) directly: one data-sized exchange per
+    primitive (the range exchange itself) instead of two. Determinism
+    contract is unchanged from the window form: ``order`` must be a total
+    order, so the within-partition sort (and hence mid assignment) is
+    unique; the non-deterministic mid/pid projection cannot be pushed
+    below the sort or the exchange, and the checkpoint keeps both forks
+    (rows + counts) reading the SAME materialized assignment."""
+    d = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    d = d.withColumns(
+        {
+            _PID: F.shiftright(F.col(_MID), _MID_BITS),
+            _LOCAL: F.col(_MID).bitwiseAND(F.lit((1 << _MID_BITS) - 1))
+            + F.lit(1),
+        }
+    ).drop(_MID)
+    counts = d.groupBy(_PID).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    return d, counts
 
 
 def _row_number_pieces(
@@ -103,11 +172,8 @@ def _row_number_pieces(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared internals: (numbered frame, per-shard counts). The counts
     branch is a plain per-pid count over the cached pinned frame — it
-    never replays the window sort."""
-    d = _with_range_pid(df, order)
-    w = Window.partitionBy(_PID).orderBy(*order)
-    local = d.withColumn(_LOCAL, F.row_number().over(w))
-    counts = d.groupBy(_PID).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    never replays the shard sort."""
+    local, counts = _sorted_mid_pieces(df, order)
     offs = _exclusive_prefix(counts, F.sum("_cnt"))
     numbered = (
         local.join(F.broadcast(offs), _PID)
@@ -128,29 +194,16 @@ def global_row_number(
     return numbered
 
 
-def global_ntile(
-    df: DataFrame,
-    n_buckets: int,
-    order: Sequence[Column | str],
-    out: str = "bucket",
-) -> DataFrame:
-    """Exact global ``NTILE(k) OVER (ORDER BY order)``, distributed.
-
-    NTILE is a pure function of the global row number and the total row
-    count n — with q = n DIV k and r = n MOD k, buckets 1..r hold q+1
-    rows and buckets r+1..k hold q (the SQL-standard fill both Spark and
-    DuckDB implement) — so computing rn via :func:`global_row_number`
-    and applying that closed form in integer arithmetic reproduces the
-    single-task NTILE bit-for-bit at any partitioning. The total n rides
-    in as a 1-row broadcast, never a ``SUM() OVER ()``.
-    """
-    rn, counts = _row_number_pieces(df, order, out="__rn")
-    total = counts.agg(F.sum("_cnt").alias("__n"))
-    d = rn.crossJoin(F.broadcast(total))
+def _ntile_bucket(n_buckets: int) -> Column:
+    """The SQL-standard NTILE fill as a closed-form integer expression
+    over a global row number ``__rn`` and total count ``__n``: with
+    q = n DIV k and r = n MOD k, buckets 1..r hold q+1 rows and buckets
+    r+1..k hold q — the same rule Spark and DuckDB implement, so applying
+    it to an exact rn reproduces the single-task NTILE bit-for-bit."""
     q = F.expr(f"__n DIV {n_buckets}")
     r = F.expr(f"__n % {n_buckets}")
     big = r * (q + 1)  # rows living in the q+1-sized leading buckets
-    bucket = (
+    return (
         F.when(
             F.col("__rn") <= big,
             F.expr(f"(__rn - 1) DIV (__n DIV {n_buckets} + 1) + 1"),
@@ -163,7 +216,90 @@ def global_ntile(
         )
         .cast("int")
     )
-    return d.withColumn(out, bucket).drop("__rn", "__n")
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order: Sequence[Column | str],
+    out: str = "bucket",
+) -> DataFrame:
+    """Exact global ``NTILE(k) OVER (ORDER BY order)``, distributed.
+
+    NTILE is a pure function of the global row number and the total row
+    count n (see :func:`_ntile_bucket`) — so computing rn via
+    :func:`global_row_number` and applying that closed form in integer
+    arithmetic reproduces the single-task NTILE bit-for-bit at any
+    partitioning. The total n rides in as a 1-row broadcast, never a
+    ``SUM() OVER ()``.
+    """
+    local, counts = _sorted_mid_pieces(df, order)
+    offs = _exclusive_prefix(counts, F.sum("_cnt"), total_as="__n")
+    d = local.join(F.broadcast(offs), _PID).withColumn(
+        "__rn", F.coalesce(F.col(_PREV), F.lit(0)) + F.col(_LOCAL)
+    )
+    return (
+        d.withColumn(out, _ntile_bucket(n_buckets))
+        .drop(_PID, _LOCAL, _PREV, "__rn", "__n")
+    )
+
+
+def global_ntiles(
+    df: DataFrame,
+    n_buckets: int,
+    specs: dict[str, Sequence[Column | str]],
+    key: Sequence[str],
+) -> DataFrame:
+    """Several exact global NTILEs over DIFFERENT total orders of ONE
+    frame — ``specs`` maps each output column name to its order. Returns
+    one row per input row, projected to ``key`` plus one bucket column
+    per spec. ``key`` must be unique per row (it is the recombination
+    key) and each order must be total.
+
+    Semantically identical to equi-joining the per-spec
+    :func:`global_ntile` projections on ``key`` — each branch computes
+    the exact same closed-form NTILE — but shaped for the job-overhead
+    profile an iterative composite actually pays (r12-opt; q160 measured
+    anti-scaling, 8 cores beating 32, on the join form):
+
+    - ``df`` is materialized ONCE (``localCheckpoint``) and every spec's
+      range exchange reads the stored blocks — the join form replayed
+      the upstream aggregate once per spec, because the per-spec range
+      exchange + pid pin cannot share lineage across different orders;
+    - the shard offsets AND the total row count n ride one P-row
+      broadcast per spec (``_exclusive_prefix(total_as=...)``) instead of
+      an offsets broadcast plus a count cross-join each;
+    - the bucket labels are recombined by a single hash aggregation on
+      ``key`` (each branch emits its bucket under its own column, NULL
+      elsewhere; ``max`` keeps the lone non-null) — one exchange total,
+      where the join form planned a broadcast-join job per extra spec.
+    """
+    outs = list(specs)
+    base = df.localCheckpoint(eager=False)
+    branches = []
+    for out, order in specs.items():
+        local, counts = _sorted_mid_pieces(base, order)
+        offs = _exclusive_prefix(counts, F.sum("_cnt"), total_as="__n")
+        numbered = local.join(F.broadcast(offs), _PID).withColumn(
+            "__rn", F.coalesce(F.col(_PREV), F.lit(0)) + F.col(_LOCAL)
+        )
+        branches.append(
+            numbered.select(
+                *key,
+                *(
+                    _ntile_bucket(n_buckets).alias(o)
+                    if o == out
+                    else F.lit(None).cast("int").alias(o)
+                    for o in outs
+                ),
+            )
+        )
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    return unioned.groupBy(*key).agg(
+        *(F.max(o).alias(o) for o in outs)
+    )
 
 
 def running_sum(

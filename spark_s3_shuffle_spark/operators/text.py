@@ -336,6 +336,12 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: Merge rounds between lineage collapses in :func:`bpe_train` (see the
+#: inline comment there). Module-level so tests can exercise the collapse
+#: path without training a 32+-merge vocabulary.
+_BPE_CHECKPOINT_EVERY = 32
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -381,9 +387,19 @@ def bpe_train(
             ).otherwise(F.concat(acc, F.array(x))),
         )
 
+    # Lineage bound (r12-opt, ADVICE r11): each round stacks one nested
+    # aggregate() rewrite on the previous frame, so round i re-analyzes
+    # and re-evaluates i prior rewrites — O(num_merges^2) plan growth.
+    # Collapsing the frame every _BPE_CHECKPOINT_EVERY merges
+    # (localCheckpoint: blocks released by the ContextCleaner, nothing
+    # registered in the CacheManager) bounds plan depth at a constant
+    # while keeping each round exactly ONE action. At the declared vocab
+    # sizes (num_merges <= 8 in the registry) this never triggers and
+    # the plan is byte-identical to the r11 shape.
+    checkpoint_every = _BPE_CHECKPOINT_EVERY
     cur = words
     merges: list[tuple[str, str]] = []
-    for _ in range(max(0, num_merges)):
+    for i in range(max(0, num_merges)):
         pairs = (
             cur.select(
                 F.expr(
@@ -402,6 +418,8 @@ def bpe_train(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         cur = cur.select(rewrite(F.col("syms"), a, b).alias("syms"), "cnt")
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
     words.unpersist()
     return merges
 

@@ -6106,16 +6106,20 @@ def q160(spark, sf_dir):
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
     )
-    r = PX.global_ntile(rfm, 4, ["last_order", "o_custkey"], out="r").select(
-        "o_custkey", "r"
+    # r12-opt: the three exact NTILEs share one materialization of the
+    # per-customer aggregate, one total-count broadcast, and recombine by
+    # a single hash aggregation instead of two joins (global_ntiles
+    # docstring) — value-identical to the per-quartile join form.
+    scored = PX.global_ntiles(
+        rfm,
+        4,
+        {
+            "r": ["last_order", "o_custkey"],
+            "f": ["freq", "o_custkey"],
+            "m": ["monetary", "o_custkey"],
+        },
+        key=["o_custkey"],
     )
-    f = PX.global_ntile(rfm, 4, ["freq", "o_custkey"], out="f").select(
-        "o_custkey", "f"
-    )
-    m = PX.global_ntile(rfm, 4, ["monetary", "o_custkey"], out="m").select(
-        "o_custkey", "m"
-    )
-    scored = r.join(f, "o_custkey").join(m, "o_custkey")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("n_customers"))

@@ -68,6 +68,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Partition-count probe memo for widen_small_scan, keyed by
+#: (applicationId, semanticHash of the analyzed plan). The probe itself
+#: (``df.rdd.getNumPartitions()``) forces full physical planning plus a
+#: DataFrame->RDD conversion on the driver EVERY call (ADVICE r11), and
+#: the helper sits inside hot operator constructors that re-run per bench
+#: draw — while the answer is a pure function of the analyzed plan within
+#: one application (scan splits depend only on the file set and the
+#: session's static split confs). Plan metadata only — never row data.
+_SCAN_PARTS_MEMO: dict[tuple[str, int], int] = {}
+
+
 def widen_small_scan(df: DataFrame) -> DataFrame:
     """CPU-parallelism guard for Python-heavy map chains (media codecs,
     signature computation) whose input scan has fewer partitions than the
@@ -77,16 +88,21 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     ``mapInPandas`` stage — where the cost is per-row Python CPU, not I/O —
     runs on a single core (the r11 profile measured q321's whole
     plant+decode chain serialized on 1 of 32 cores). Round-robin
-    repartition of the *narrow* input (ids only — never payloads, per the
-    move-heavy-bytes-once rule) spreads that CPU across
-    ``defaultParallelism``. Scale-adaptive by construction: when the scan
-    already has at least as many partitions as cores (any realistic
-    production table), this is a no-op and adds no exchange.
+    repartition of the *pre-explode/pre-decode* rows — the narrow side of
+    the chain, never post-blowup payloads, per the move-heavy-bytes-once
+    rule — spreads that CPU across ``defaultParallelism``. Scale-adaptive
+    by construction: when the scan already has at least as many partitions
+    as cores (any realistic production table), this is a no-op and adds no
+    exchange.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        current = df.rdd.getNumPartitions()
+        key = (spark.sparkContext.applicationId, df.semanticHash())
+        current = _SCAN_PARTS_MEMO.get(key)
+        if current is None:
+            current = df.rdd.getNumPartitions()
+            _SCAN_PARTS_MEMO[key] = current
     except Exception:  # pragma: no cover - plan not convertible; leave as-is
         return df
     if current >= target:

@@ -1432,6 +1432,22 @@ def test_bpe_train_learns_planted_merge_order(spark):
         assert merges == [("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")], (n, merges)
 
 
+def test_bpe_train_lineage_collapse_preserves_merges(spark, monkeypatch):
+    """The periodic lineage collapse (r12-opt: localCheckpoint every
+    _BPE_CHECKPOINT_EVERY merges) must not change the learned merge
+    sequence — force the collapse to fire mid-run (every 2 of 4 merges)
+    and compare against the planted expectation."""
+    from spark_s3_shuffle_spark.operators import text as TX
+
+    monkeypatch.setattr(TX, "_BPE_CHECKPOINT_EVERY", 2)
+    rows = [
+        (i, ["aa aa aa", "bb bb", "ab ab ab ab", "ba"][i % 4]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = TX.bpe_train(df, num_merges=4)
+    assert merges == [("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")]
+
+
 def test_bpe_segment_matches_canonical_rule():
     """bpe_segment applies the LOWEST-RANK pair first (canonical BPE
     inference), not left-to-right: with ranks {bc:0, ab:1}, 'abc' must
@@ -1766,6 +1782,41 @@ def test_global_ntile_matches_spark_ntile_all_fills(spark):
             .count()
         )
         assert mism == 0, f"ntile({k}): {mism} mismatches"
+
+
+def test_global_ntiles_matches_per_order_ntile_joins(spark):
+    """The shared-materialization multi-NTILE (r12-opt, q160's shape)
+    must reproduce the single-task NTILE per order AND the join-form
+    recombination row-for-row — NULL-ordering, decimal order columns and
+    the uneven fill included."""
+    from pyspark.sql import Window
+
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    df = _prefix_fixture(spark)
+    specs = {"a": ["grp", "k"], "b": [F.desc("v"), "k"], "c": ["v", "k"]}
+    got = PX.global_ntiles(df, 4, specs, key=["k"])
+    want = df.select(
+        "k",
+        F.ntile(4).over(Window.orderBy("grp", "k")).alias("a"),
+        F.ntile(4).over(Window.orderBy(F.desc("v"), "k")).alias("b"),
+        F.ntile(4).over(Window.orderBy("v", "k")).alias("c"),
+    )
+    mism = (
+        want.join(
+            got.select(
+                "k",
+                F.col("a").alias("a2"),
+                F.col("b").alias("b2"),
+                F.col("c").alias("c2"),
+            ),
+            "k",
+        )
+        .filter("a != a2 OR b != b2 OR c != c2")
+        .count()
+    )
+    assert mism == 0
+    assert got.count() == df.count()
 
 
 def test_running_sum_and_strict_max_match_windows(spark):

@@ -393,12 +393,16 @@ def test_q160_physical_exchange_count_pinned(spark, sf_dir):
     """Round-7: the SHUFFLE artifact reports EXECUTED exchanges from
     per-stage task metrics, not lineage re-prints (a multi-job prefix
     query re-prints the same exchange once per job — the old textual
-    count claimed 53 for q160). Pin q160's true physical count: 3
-    distributed NTILEs (range exchange + per-shard count + P-row summary
-    fold + total) over the per-customer aggregate, plus the base
-    aggregate and final order — 20 shuffle-writing stages at the test
-    partitioning, every one over the narrow per-entity frame. AQE-reused
-    stages (localCheckpoint forks) show as skipped, not executed."""
+    count claimed 53 for q160). Pin q160's true physical count — 10
+    shuffle-writing stages at the test partitioning (r12-opt; was 20 in
+    the r7-r11 shape): 3 distributed NTILEs at ONE range exchange + one
+    P-row count exchange each (the sorted-mid rewrite removed the
+    per-branch pid re-shuffle, the pmod summary exchange and the total
+    cross-join — operators/prefix.py), plus the shared base aggregate,
+    the bucket-recombination hash aggregate, the final 64-row order, and
+    one AQE bookkeeping split; every one over the narrow per-entity
+    frame. AQE-reused stages (localCheckpoint forks) show as skipped,
+    not executed."""
     from spark_s3_shuffle_spark.plans.inspect import executed_shuffle_metrics
     from spark_s3_shuffle_spark.queries.registry import QUERIES
 
@@ -407,7 +411,7 @@ def test_q160_physical_exchange_count_pinned(spark, sf_dir):
         lambda: QUERIES["q160_rfm_segmentation"].builder(spark, sf_dir).collect(),
         "pin-q160-physical",
     )
-    assert m["exchanges_executed"] == 20, m
+    assert m["exchanges_executed"] == 10, m
     assert m["stages_skipped"] > 0  # checkpoint/AQE reuse is real and visible
     assert m["shuffle_write_records"] < 60_000  # narrow frames, never fact-sized
 
