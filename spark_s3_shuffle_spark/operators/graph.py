@@ -171,13 +171,19 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     (3 * triangles * 10^6) DIV wedges, exact on both engines.
     """
     e = edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
-    # deg and oriented feed multiple branches — persist so the executed
-    # job materializes each ONCE (the q137 pattern; the textual plan
+    # deg and oriented feed multiple branches — materialize so the
+    # executed job computes each ONCE (the q137 pattern; the textual plan
     # re-prints the build lineage per reference, but the job does not).
+    # localCheckpoint rather than persist() (r12-opt): the operator never
+    # unpersisted, so every invocation leaked two CacheManager entries
+    # for the session lifetime — and every LATER query's planning walks
+    # the accumulated entries during cache lookup. Checkpoint blocks are
+    # released by the ContextCleaner when the result frame drops (same
+    # executor-loss retry trade as operators/prefix.py).
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # orient each edge toward the higher (degree, id) endpoint; carry both
     # endpoint degrees so the wedge canonicalization needs no re-join
@@ -190,7 +196,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, F.col("x.src") == F.col("y.src"))

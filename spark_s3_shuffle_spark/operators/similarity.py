@@ -35,7 +35,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_s3_shuffle_spark.functions.vector import cosine
-from spark_s3_shuffle_spark.sources.catalog import widen_small_scan
+from spark_s3_shuffle_spark.sources.catalog import (
+    scan_partition_count,
+    widen_small_scan,
+)
 
 
 def _as_double(col: Column) -> Column:
@@ -693,9 +696,12 @@ def quantized_batch_topk_join(
     # does O(m·d) flops per row against an O(d)-BYTE shuffle row, so
     # spreading the int8 corpus always pays when the scan fans out to
     # fewer tasks than cores; on a healthy many-row-group corpus the
-    # branch is false and no shuffle is added.
+    # branch is false and no shuffle is added. The probe is memoized per
+    # analyzed plan (r12-opt) — the RDD conversion forced full physical
+    # planning on every call.
     par = 2 * src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    nparts = scan_partition_count(src)
+    if nparts is not None and nparts < par:
         src = src.repartition(par)
     w_q = Window.partitionBy("_pid").orderBy(F.col("_qcos").desc(), F.col(id_col))
     cand = (

@@ -79,6 +79,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCAN_PARTS_MEMO: dict[tuple[str, int], int] = {}
 
 
+def scan_partition_count(df: DataFrame) -> int | None:
+    """Memoized ``df.rdd.getNumPartitions()`` (see _SCAN_PARTS_MEMO).
+    Returns None when the plan is not convertible to an RDD."""
+    spark = df.sparkSession
+    try:
+        key = (spark.sparkContext.applicationId, df.semanticHash())
+        current = _SCAN_PARTS_MEMO.get(key)
+        if current is None:
+            current = df.rdd.getNumPartitions()
+            _SCAN_PARTS_MEMO[key] = current
+        return current
+    except Exception:  # pragma: no cover - plan not convertible
+        return None
+
+
 def widen_small_scan(df: DataFrame) -> DataFrame:
     """CPU-parallelism guard for Python-heavy map chains (media codecs,
     signature computation) whose input scan has fewer partitions than the
@@ -95,17 +110,9 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     as cores (any realistic production table), this is a no-op and adds no
     exchange.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        key = (spark.sparkContext.applicationId, df.semanticHash())
-        current = _SCAN_PARTS_MEMO.get(key)
-        if current is None:
-            current = df.rdd.getNumPartitions()
-            _SCAN_PARTS_MEMO[key] = current
-    except Exception:  # pragma: no cover - plan not convertible; leave as-is
-        return df
-    if current >= target:
+    target = df.sparkSession.sparkContext.defaultParallelism
+    current = scan_partition_count(df)
+    if current is None or current >= target:
         return df
     return df.repartition(target)
 
