@@ -168,13 +168,18 @@ def _sorted_mid_pieces(
 
 
 def _row_number_pieces(
-    df: DataFrame, order: Sequence[Column | str], out: str
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str,
+    total_as: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared internals: (numbered frame, per-shard counts). The counts
     branch is a plain per-pid count over the cached pinned frame — it
-    never replays the shard sort."""
+    never replays the shard sort. ``total_as`` additionally attaches the
+    GLOBAL row count to every output row, riding the same P-row offsets
+    broadcast (see :func:`_exclusive_prefix`)."""
     local, counts = _sorted_mid_pieces(df, order)
-    offs = _exclusive_prefix(counts, F.sum("_cnt"))
+    offs = _exclusive_prefix(counts, F.sum("_cnt"), total_as=total_as)
     numbered = (
         local.join(F.broadcast(offs), _PID)
         .withColumn(out, F.coalesce(F.col(_PREV), F.lit(0)) + F.col(_LOCAL))
@@ -184,13 +189,26 @@ def _row_number_pieces(
 
 
 def global_row_number(
-    df: DataFrame, order: Sequence[Column | str], out: str = "rn"
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str = "rn",
+    total_as: str | None = None,
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY order)`` without a
     single-partition window: local row_number per range shard + broadcast
     row-count offsets of all preceding shards. ``order`` must be a total
-    order (include a tiebreaker column) for a deterministic result."""
-    numbered, _ = _row_number_pieces(df, order, out)
+    order (include a tiebreaker column) for a deterministic result.
+
+    ``total_as`` (r12-opt) also emits the GLOBAL row count under that
+    name on every row. Callers that need n (percentile bands, median
+    selection) previously re-aggregated their INPUT frame for it —
+    re-running the whole upstream fact scan+aggregate, since the pinned
+    frame inside the primitive shares no lineage with the caller's
+    ``df.agg(count)`` — and cross-joined the 1-row result. The count of
+    the pinned frame is by construction the same number, and it rides
+    the offsets broadcast for free: one scan instead of two, no extra
+    join."""
+    numbered, _ = _row_number_pieces(df, order, out, total_as=total_as)
     return numbered
 
 
@@ -307,12 +325,21 @@ def running_sum(
     order: Sequence[Column | str],
     value_col: str,
     out: str = "cum",
+    total_as: str | None = None,
 ) -> DataFrame:
     """Exact global ``SUM(value) OVER (ORDER BY order ROWS UNBOUNDED
     PRECEDING)`` — per-shard running sum + broadcast exclusive prefix of
     the shard totals. Sums stay in the source column's exact type
     (decimal in, decimal out), so cumulative-share cutoffs replay
-    hash-identically on the oracle."""
+    hash-identically on the oracle.
+
+    ``total_as`` (r12-opt) also emits the GRAND total of ``value_col``
+    under that name on every row — the sum of the per-shard totals the
+    prefix fold already holds, riding the same P-row offsets broadcast.
+    Decimal addition is exact at any grouping, so the value is identical
+    to a separate ``df.agg(sum)`` — which callers (cumulative-share
+    cutoffs) previously paid a second full upstream scan+aggregate plus
+    a cross-join for."""
     d = _with_range_pid(df, order)
     w = (
         Window.partitionBy(_PID)
@@ -321,7 +348,7 @@ def running_sum(
     )
     local = d.withColumn(_LOCAL, F.sum(value_col).over(w))
     totals = d.groupBy(_PID).agg(F.sum(value_col).alias("_t"))
-    offs = _exclusive_prefix(totals, F.sum("_t"))
+    offs = _exclusive_prefix(totals, F.sum("_t"), total_as=total_as)
     combined = F.when(
         F.col(_PREV).isNull(), F.col(_LOCAL)
     ).otherwise(F.col(_PREV) + F.coalesce(F.col(_LOCAL), F.lit(0)))

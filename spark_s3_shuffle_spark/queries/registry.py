@@ -6439,9 +6439,18 @@ def q167(spark, sf_dir):
     from spark_s3_shuffle_spark.operators import prefix as PX
 
     o = _t(spark, sf_dir, "orders")
-    pts = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # r12-opt: both the level rollup (-> prefix running-max) and the
+    # final dominance join consume the per-customer aggregate; without
+    # materialization each branch re-ran the orders scan+aggregate
+    # (the prefix primitive checkpoints only its own range-exchanged
+    # input, which shares no lineage with the join side).
+    pts = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=False)
     )
     lvl = pts.groupBy("spend").agg(F.max("n_orders").alias("best_n"))
     ranked = PX.running_max_strictly_preceding(
@@ -6777,12 +6786,14 @@ def q173(spark, sf_dir):
             "rev"
         )
     )
-    total = pr.agg(F.sum("rev").alias("total"))
-    ranked = (
-        PX.running_sum(pr, [F.desc("rev"), "l_partkey"], "rev", out="cum")
-        .crossJoin(F.broadcast(total))
-        .select("l_partkey", "rev", "cum", "total")
-    )
+    # r12-opt: the grand total rides the prefix-offset broadcast
+    # (running_sum(total_as=...)) — the separate pr.agg(sum) branch
+    # re-ran the whole lineitem scan+aggregate a second time, and the
+    # cross-join added a job. Decimal sums are exact at any grouping, so
+    # the value is identical.
+    ranked = PX.running_sum(
+        pr, [F.desc("rev"), "l_partkey"], "rev", out="cum", total_as="total"
+    ).select("l_partkey", "rev", "cum", "total")
     klass = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
@@ -7379,12 +7390,14 @@ def q214(spark, sf_dir):
     pts = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend")
     )
-    rn = PX.global_row_number(pts, ["spend", "o_custkey"], out="rn")
-    nn = pts.agg(F.count(F.lit(1)).alias("n"))
-    peers = Window.partitionBy("spend")
-    st = rn.crossJoin(F.broadcast(nn)).select(
-        "spend", F.min("rn").over(peers).alias("rnk"), "n"
+    # r12-opt: n rides the prefix-offset broadcast (total_as) — the
+    # separate pts.agg(count) branch re-ran the orders scan+aggregate,
+    # and the cross-join added a job.
+    rn = PX.global_row_number(
+        pts, ["spend", "o_custkey"], out="rn", total_as="n"
     )
+    peers = Window.partitionBy("spend")
+    st = rn.select("spend", F.min("rn").over(peers).alias("rnk"), "n")
     b = st.select(
         "spend", F.expr("((rnk - 1) * 10) DIV (n - 1)").alias("band")
     )
@@ -7439,19 +7452,27 @@ def q215(spark, sf_dir):
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev")
     )
-    rn = PX.global_row_number(pr, ["rev", "l_partkey"], out="rn")
-    nn = pr.agg(F.count(F.lit(1)).alias("n"))
-    sel = rn.crossJoin(F.broadcast(nn))
+    # r12-opt: n rides the prefix-offset broadcast (total_as) — the
+    # separate pr.agg(count) branch re-ran the lineitem scan+aggregate.
+    # The median branch re-emits n via max() (both selected rows carry
+    # the same broadcast n; empty input stays empty because the p90
+    # cross-join side is empty, exactly as before).
+    sel = PX.global_row_number(
+        pr, ["rev", "l_partkey"], out="rn", total_as="n"
+    )
     med = sel.filter(
         (F.col("rn") == F.expr("(n + 1) DIV 2"))
         | (F.col("rn") == F.expr("(n + 2) DIV 2"))
-    ).agg(F.sum("rev").alias("s"), F.count(F.lit(1)).alias("c"))
+    ).agg(
+        F.max("n").alias("n"),
+        F.sum("rev").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
     p90 = sel.filter(F.col("rn") == F.expr("((n - 1) * 90) DIV 100 + 1")).select(
         F.col("rev").alias("v")
     )
     return (
-        nn.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(p90))
+        med.crossJoin(F.broadcast(p90))
         .select(
             F.col("n").cast("long").alias("n_parts"),
             F.round(F.col("s").cast("double") / F.col("c"), 6)

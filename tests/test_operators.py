@@ -1855,6 +1855,29 @@ def test_running_sum_and_strict_max_match_windows(spark):
     )
 
 
+def test_prefix_total_as_matches_separate_aggregate(spark):
+    """total_as (r12-opt) rides the grand total / global count on the
+    offsets broadcast — every row must carry EXACTLY the value a
+    separate df.agg() computes (decimal grand total incl. NULL skipping;
+    long row count), because the callers it replaces (q173/q214/q215)
+    feed it into exact integer/decimal cutoff arithmetic."""
+    from spark_s3_shuffle_spark.operators import prefix as PX
+
+    df = _prefix_fixture(spark)
+    want_total = df.agg(F.sum("v")).collect()[0][0]
+    got = PX.running_sum(df, [F.desc("v"), "k"], "v", total_as="tot")
+    rows = got.select("tot").distinct().collect()
+    assert len(rows) == 1 and rows[0]["tot"] == want_total
+    assert got.count() == df.count()
+
+    want_n = df.count()
+    got_rn = PX.global_row_number(df, ["grp", "k"], total_as="n")
+    nrows = got_rn.select("n").distinct().collect()
+    assert len(nrows) == 1 and nrows[0]["n"] == want_n
+    # rn itself is untouched by the total column
+    assert got_rn.agg(F.max("rn")).collect()[0][0] == want_n
+
+
 def test_prefix_aggregates_avoid_single_task_funnel(spark):
     """The scale claim, measured from task-level shuffle-read metrics: a
     single-task NTILE window funnels ALL n rows through one task, while
