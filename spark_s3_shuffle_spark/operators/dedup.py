@@ -101,6 +101,13 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int, dis
 # MinHash + LSH near-dup (B48)
 # ---------------------------------------------------------------------------
 
+#: Materialize the window-annotated banded frame once for all four edge
+#: sources in :func:`minhash_lsh_candidates` (see the inline comment
+#: there). Module-level so the paired A/B harness and tests can pin the
+#: pre-r12 recompute shape.
+_LSH_CHECKPOINT = True
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -211,6 +218,21 @@ def minhash_lsh_candidates(
     )
     if max_bucket_size:
         banded = banded.filter(F.col("_bsz") <= max_bucket_size)
+    # Four consumers descend from the annotated frame (both dense-join
+    # legs, star, chain), and each textually re-prints the whole
+    # scan -> shingle explode -> 32-hash -> partial-min -> band-explode ->
+    # window subtree — the CPU bulk of the query, recomputed per leg when
+    # the runtime does not reuse the window exchange (the repo's measured
+    # AQE-reuse caveat, r11). One lazy localCheckpoint materializes the
+    # NARROW annotated rows once (bands rows/doc of five fixed-width
+    # columns — §8's decide-with-small-rows shape: signatures and bucket
+    # metadata, never text or shingles) and every edge source reads it;
+    # blocks are ContextCleaner-released when the frame drops (the
+    # prefix.py/graph.py trade: executor loss after materialization means
+    # a job-level retry). _LSH_CHECKPOINT exists so the paired A/B (and
+    # any test) can pin the old recompute shape.
+    if _LSH_CHECKPOINT:
+        banded = banded.localCheckpoint(eager=False)
     small = banded.filter(F.col("_bsz") <= dense_bucket_limit)
     left = small.alias("l")
     right = small.alias("r")

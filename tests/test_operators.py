@@ -94,6 +94,28 @@ def test_minhash_dedup_drops_dup(spark, docs):
     assert 3 in kept and 4 in kept
 
 
+def test_lsh_candidates_checkpoint_equivalent(spark, docs):
+    """The r12 banded-frame localCheckpoint is a pure materialization:
+    the candidate edge set must be identical with and without it
+    (covering all four edge sources — the tiny dense_bucket_limit forces
+    the oversize star/chain paths too)."""
+    def pairs():
+        cand = D.minhash_lsh_candidates(
+            docs, num_hashes=32, bands=16, shingle_n=3, dense_bucket_limit=1
+        )
+        return {(r["a"], r["b"]) for r in cand.collect()}
+
+    old_flag = D._LSH_CHECKPOINT
+    try:
+        D._LSH_CHECKPOINT = True
+        with_cp = pairs()
+        D._LSH_CHECKPOINT = False
+        without_cp = pairs()
+    finally:
+        D._LSH_CHECKPOINT = old_flag
+    assert with_cp == without_cp and with_cp
+
+
 def test_connected_components_chain(spark):
     """A 5~7, 7~3 chain is one component labeled by its min id (3), plus an
     isolated pair; transitive-lite would wrongly keep both 3 and 5."""
