@@ -616,6 +616,13 @@ def simhash_near_dup_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
+    # Both self-join legs descend from the banded frame; without a
+    # materialization each leg re-runs the whole upstream simhash
+    # aggregation (shingle explode + packed-counter agg). Same narrow-row
+    # checkpoint as minhash_lsh_candidates: (id, hash, blk, bval) —
+    # 4 fixed-width columns, blocks rows/doc.
+    if _LSH_CHECKPOINT:
+        banded = banded.localCheckpoint(eager=False)
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(
@@ -901,6 +908,14 @@ def embedding_near_dup_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
+    # The verify helper fans out into multiple consumers (sizes aggregate
+    # + sized join), each of which would re-run the banding pandas_udf
+    # over every vector (r12: q45's plan showed 4 ArrowEvalPython nodes
+    # for ONE banding pass). Checkpoint the narrow (id, band, bkey) rows
+    # once — vectors are re-attached by the join below, never
+    # materialized here.
+    if _LSH_CHECKPOINT:
+        banded = banded.localCheckpoint(eager=False)
     withv = banded.join(base, "_id")
     return _verify_pairs_within_groups(withv, ["band", "bkey"], threshold, max_group_rows)
 
@@ -991,6 +1006,13 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     assigned = base.select("_id", F.explode(topp_cells(F.col("_v"))).alias("cell"))
+    # The cap's build side, its semi-join probe side, and the verify
+    # helper's two consumers all descend from `assigned` — without a
+    # materialization each re-runs the assignment pandas_udf over every
+    # vector. One checkpoint of the narrow (id, cell) rows (r12, same
+    # rationale as the LSH banded frames above).
+    if _LSH_CHECKPOINT:
+        assigned = assigned.localCheckpoint(eager=False)
     if max_cell_size:
         # Occupancy = DISTINCT members per cell. Under soft assignment each
         # vector lands in up to ``probes`` cells, so a raw row count would be

@@ -116,6 +116,46 @@ def test_lsh_candidates_checkpoint_equivalent(spark, docs):
     assert with_cp == without_cp and with_cp
 
 
+def test_banded_checkpoint_equivalent_simhash_embedding_semantic(spark, docs):
+    """The r12 checkpoints in the simhash / sign-LSH / semantic paths are
+    pure materializations: survivors and pair sets must be identical with
+    the flag on and off."""
+    vrows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.99, 0.1, 0.0]),
+    ]
+    vdf = spark.createDataFrame(vrows, "vec_id long, embedding array<double>")
+
+    def snapshot():
+        sim = frozenset(r["doc_id"] for r in D.simhash_dedup(docs).collect())
+        emb = frozenset(
+            (r["a"], r["b"])
+            for r in D.embedding_near_dup_pairs(
+                vdf, threshold=0.95, num_planes=8, bands=4, dim=4
+            ).collect()
+        )
+        sem = frozenset(
+            (r["a"], r["b"], r["cos"])
+            for r in D.semantic_dedup_pairs(
+                vdf, threshold=0.95, num_cells=2, probes=1
+            ).collect()
+        )
+        return sim, emb, sem
+
+    old_flag = D._LSH_CHECKPOINT
+    try:
+        D._LSH_CHECKPOINT = True
+        on = snapshot()
+        D._LSH_CHECKPOINT = False
+        off = snapshot()
+    finally:
+        D._LSH_CHECKPOINT = old_flag
+    assert on == off
+    assert on[0] and on[1]  # non-degenerate: survivors + at least one pair
+
+
 def test_connected_components_chain(spark):
     """A 5~7, 7~3 chain is one component labeled by its min id (3), plus an
     isolated pair; transitive-lite would wrongly keep both 3 and 5."""
