@@ -41,6 +41,11 @@ Builder = Callable[[SparkSession, str], DataFrame]
 #: As-of cutoff for q11: 2024-01-15T00:00:00Z (events span 2024-01).
 ASOF_CUTOFF = "2024-01-15 00:00:00"
 
+#: r12-opt A/B pin: True = q161 generates basket pairs in-task from one
+#: grouped scan; False = the pre-r12 lineitem self-join (kept only so the
+#: paired benchmark and the equivalence test can flip shapes in one JVM).
+_Q161_GROUPED = True
+
 
 @dataclass
 class QuerySpec:
@@ -6138,8 +6143,15 @@ def q160(spark, sf_dir):
        HAVING COUNT(*) >= 3
        ORDER BY n DESC, p1, p2 LIMIT 100""",
     "Market-basket co-occurrence: part pairs bought in the same order,"
-    " thresholded and top-100. The self-join is keyed on l_orderkey —"
-    " co-partitioned, never cartesian — and pair volume is quadratic"
+    " thresholded and top-100. r12-opt: the lineitem self-join (which"
+    " Catalyst planned as a BroadcastHashJoin BUILDING THE FACT TABLE at"
+    " fixture scale, and costs two full scans + two data exchanges as a"
+    " sort-merge join at 100 TB) became one scan grouped to per-order"
+    " part arrays; the i<j pairs are generated IN-TASK from each sorted"
+    " basket array. Value-identical: for partkeys x<y with per-order"
+    " multiplicities cx, cy the self-join emits cx*cy (row-pair) rows"
+    " and the sorted array emits exactly cx*cy (i<j) index pairs, while"
+    " x=y pairs are excluded on both paths. Pair volume is quadratic"
     " only in BASKET size (TPC-H baskets are <= 7 lines; at 100 TB the"
     " explosion factor stays ~ basket^2/2 ~ 20x rows before the"
     " map-side-combined pair count). TakeOrderedAndProject caps the"
@@ -6147,9 +6159,34 @@ def q160(spark, sf_dir):
 )
 def q161(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    if not _Q161_GROUPED:  # pre-r12 self-join shape, pinned for paired A/B
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+        pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    else:
+        baskets = (
+            li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .groupBy("ok")
+            .agg(F.sort_array(F.collect_list("pk")).alias("pks"))
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "pks",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(F.col("pks"), i + F.lit(2), F.size("pks")),
+                                lambda y: F.struct(
+                                    x.alias("p1"), y.alias("p2")
+                                ),
+                            ),
+                            lambda s: s["p1"] != s["p2"],
+                        ),
+                    )
+                )
+            ).alias("_pr")
+        ).select(F.col("_pr.p1").alias("p1"), F.col("_pr.p2").alias("p2"))
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -18,6 +18,23 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+def test_q161_grouped_pairs_equivalent_to_self_join(spark, sf_dir):
+    """The r12 in-task basket-pair generation must emit exactly the rows
+    of the pre-r12 lineitem self-join (same pairs, same multiplicity —
+    duplicate partkeys within one order included), in the same order."""
+    from spark_s3_shuffle_spark.queries import registry as REG
+
+    old_flag = REG._Q161_GROUPED
+    try:
+        REG._Q161_GROUPED = True
+        grouped = QUERIES["q161_basket_cooccurrence"].builder(spark, sf_dir).collect()
+        REG._Q161_GROUPED = False
+        joined = QUERIES["q161_basket_cooccurrence"].builder(spark, sf_dir).collect()
+    finally:
+        REG._Q161_GROUPED = old_flag
+    assert list(map(tuple, grouped)) == list(map(tuple, joined)) and grouped
+
+
 def test_parquet_sink_roundtrip(spark, sf_dir):
     # B2: write the flagship result, re-read, identical rows
     df = QUERIES["q12_tpch_q1_agg"].builder(spark, sf_dir)
