@@ -107,6 +107,13 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int, dis
 #: pre-r12 recompute shape.
 _LSH_CHECKPOINT = True
 
+#: r12-opt A/B pin (second pass): True = the minhash verify stage
+#: semi-join-restricts the per-doc attribute frame (shingles / digest) to
+#: candidate ids and materializes it once for both pair-join legs; False =
+#: the pre-r12 shape (each leg re-scans the corpus and recomputes the
+#: attribute for every doc).
+_VERIFY_SEMI = True
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -301,10 +308,13 @@ def ngram_jaccard_pairs(
     float-free. The reported ``jaccard`` column stays rounded to 4
     decimals for stable display/hashing. (Round-11, ADVICE r10 item 2.)
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    candidates, base = _verify_side_frame(df, candidates, id_col, text_col)
+    sh = base.select(
+        "_id",
+        F.array_distinct(shingles(F.col("_vt"), shingle_n)).alias("_sh"),
     )
+    if _VERIFY_SEMI:
+        sh = sh.localCheckpoint(eager=False)
     scored = (
         candidates.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
@@ -328,6 +338,38 @@ def ngram_jaccard_pairs(
     ).select("a", "b", "jaccard")
 
 
+def _verify_side_frame(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared verify-stage restriction (r12-opt, §2.3/§8): the two pair-join
+    legs used to each re-scan the WHOLE corpus and re-compute the per-doc
+    verify attribute (shingle set / digest) — two full corpus passes for a
+    candidate list the LSH stage already bounded. Returns ``(candidates,
+    base)`` where ``base`` is ``(_id, _vt)`` semi-join-restricted to ids
+    that appear in the candidate pair list, so the expensive attribute
+    projection above it runs ONCE, over candidate docs only; the caller
+    materializes the projected attribute frame with a lazy localCheckpoint
+    and feeds BOTH join legs from it. ``candidates`` comes back
+    checkpointed too (it is consumed three times: the id list + two legs).
+    Inner joins on a/b ignore non-candidate ids by definition, so the
+    restriction is exact. ``_VERIFY_SEMI`` False pins the pre-r12
+    two-pass shape for the paired A/B and the equivalence tests.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_vt"))
+    if not _VERIFY_SEMI:
+        return candidates, base
+    candidates = candidates.localCheckpoint(eager=False)
+    ids = (
+        candidates.select(F.col("a").alias("_id"))
+        .union(candidates.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    return candidates, base.join(ids, "_id", "semi")
+
+
 def exact_duplicate_pairs(
     df: DataFrame,
     candidates: DataFrame,
@@ -348,6 +390,12 @@ def exact_duplicate_pairs(
     NULL texts hash to NULL and NULL == NULL is false — matching the SQL
     oracle's ``a.text = b.text`` semantics.
     """
+    # Deliberately NOT routed through _verify_side_frame: the digest
+    # projection is one sha2 over (id, text) — measured at sf0.1 AND sf1
+    # (q42b paired A/B), the semi-join restriction's extra job barriers
+    # (17 -> 25 jobs/draw) cost more than the second cheap digest pass
+    # saves (0.99x / ~0.93x-median), unlike the shingle tier where the
+    # saved attribute compute is the dominant term (q44 1.22x at sf1).
     dig = df.select(
         F.col(id_col).alias("_id"),
         F.sha2(F.col(text_col).cast("string"), 256).alias("_dg"),
@@ -456,6 +504,15 @@ def connected_components(
     round over the already-checkpointed labels — never a numeric-sum
     fingerprint, which silently fails for string node ids (sum over strings
     is NULL/illegal), and never a collect of rows.
+
+    r12-opt: the per-round checkpoint is LAZY (``eager=False``) and the
+    convergence count is a full (un-limited) count, so ONE job per round
+    both materializes the checkpoint (the count covers every partition)
+    and returns the scalar — the old eager-checkpoint-then-limit(1).count()
+    shape paid two scheduled jobs per round for the same work. The count
+    must stay full-coverage: a limit would let Spark stop after a partial
+    partition scan, leaving unmaterialized partitions whose lineage spans
+    every prior round.
     """
     sym = edges.select(
         F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
@@ -481,9 +538,11 @@ def connected_components(
                 F.least(F.col("_comp"), F.coalesce(F.col("_ncomp"), F.col("_comp"))).alias("_comp"),
             )
         )
-        stepped = stepped.localCheckpoint(eager=True)  # truncate the iterative lineage
+        stepped = stepped.localCheckpoint(eager=False)  # truncate the iterative lineage
         labels = stepped.select("_node", "_comp")
-        changed = stepped.filter(F.col("_comp") != F.col("_old")).limit(1).count()
+        # full count (no limit): materializes EVERY partition of the lazy
+        # checkpoint in the same job that yields the convergence scalar
+        changed = stepped.filter(F.col("_comp") != F.col("_old")).count()
         if changed == 0:
             break
     return labels.select(F.col("_node").alias("node"), F.col("_comp").alias("component"))

@@ -116,6 +116,40 @@ def test_lsh_candidates_checkpoint_equivalent(spark, docs):
     assert with_cp == without_cp and with_cp
 
 
+def test_verify_semi_restriction_equivalent(spark, docs):
+    """The r12 second-pass verify restriction (semi-join the shingle /
+    digest frame to candidate ids, materialize once for both legs) is a
+    pure recompute cut: confirmed pairs and survivor sets must be
+    identical with the flag on and off, on BOTH verify tiers (ngram
+    Jaccard sub-1.0 and digest-equality 1.0)."""
+    def snapshot():
+        cand = D.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=3)
+        ng = frozenset(
+            (r["a"], r["b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, cand, shingle_n=3, threshold=0.5).collect()
+        )
+        ex = frozenset(
+            (r["a"], r["b"]) for r in D.exact_duplicate_pairs(docs, cand).collect()
+        )
+        kept = frozenset(
+            r["doc_id"]
+            for r in D.minhash_dedup(
+                docs, num_hashes=32, bands=16, jaccard_threshold=1.0
+            ).collect()
+        )
+        return ng, ex, kept
+
+    old_flag = D._VERIFY_SEMI
+    try:
+        D._VERIFY_SEMI = True
+        on = snapshot()
+        D._VERIFY_SEMI = False
+        off = snapshot()
+    finally:
+        D._VERIFY_SEMI = old_flag
+    assert on == off and on[0] and on[1]
+
+
 def test_banded_checkpoint_equivalent_simhash_embedding_semantic(spark, docs):
     """The r12 checkpoints in the simhash / sign-LSH / semantic paths are
     pure materializations: survivors and pair sets must be identical with
