@@ -60,6 +60,30 @@ MEDIA_SCHEMA = StructType([
 ])
 
 
+#: r12-opt A/B pin: True = pin_for_sort materializes decoded feature
+#: frames before a global sort; False = the pre-r12 shape (the sort's
+#: range-partitioning sample pass re-executes the whole plant+decode
+#: Python chain before the shuffle write executes it again).
+_FEATURES_CHECKPOINT = True
+
+
+def pin_for_sort(df: DataFrame) -> DataFrame:
+    """Materialize a decoded feature frame once before a global sort.
+
+    A global ``orderBy`` needs range-partition bounds, and Spark computes
+    them with a SAMPLING pass that executes the sort's whole child — for
+    the media queries that child is the plant+decode ``mapInPandas``
+    chain, so every query paid its Python decode TWICE (measured on
+    q319 at sf0.1: 2.81 s with the double execution, 1.29 s for the bare
+    chain, 1.48 s with this checkpoint — 1.9x). The lazy localCheckpoint
+    bounds what is materialized to the NARROW feature rows (a dozen
+    scalar columns; payloads are already gone), so at any scale the
+    sample and shuffle passes re-read a small local materialization
+    instead of re-decoding the corpus. §1.4/§8: decode once, sort the
+    decided rows."""
+    return df.localCheckpoint(eager=False) if _FEATURES_CHECKPOINT else df
+
+
 def as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
     """Wrap an arbitrary binary (or string) column into the canonical media
     schema. Pure projection — no shuffle, no Python."""

@@ -1374,7 +1374,7 @@ def q46(spark, sf_dir):
 def q47(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.as_media(d, "doc_id", "text", "text/plain")
-    return MM.extract_text_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_text_features(media)).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -7846,7 +7846,7 @@ GROUP BY doc_id ORDER BY media_id"""
 def q318(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_png_media(d, "doc_id")
-    return MM.extract_png_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_png_features(media)).orderBy("media_id")
 
 
 _Q319_SQL = """
@@ -7883,7 +7883,7 @@ GROUP BY doc_id ORDER BY media_id"""
 def q319(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_jpeg_media(d, "doc_id")
-    return MM.extract_jpeg_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_jpeg_features(media)).orderBy("media_id")
 
 
 _Q320_SQL = """
@@ -7917,7 +7917,7 @@ GROUP BY doc_id ORDER BY media_id"""
 def q320(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_avi_media(d, "doc_id")
-    return MM.extract_video_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_video_features(media)).orderBy("media_id")
 
 
 _Q321_SQL = """
@@ -7952,7 +7952,7 @@ GROUP BY doc_id ORDER BY media_id"""
 def q321(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_avi_mjpeg_media(d, "doc_id")
-    return MM.extract_video_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_video_features(media)).orderBy("media_id")
 
 
 _Q322_SQL = """
@@ -7988,7 +7988,7 @@ FROM documents ORDER BY media_id"""
 def q322(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_adpcm_media(d, "doc_id")
-    return MM.extract_audio_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_audio_features(media)).orderBy("media_id")
 
 
 _Q323_SQL = """
@@ -8070,7 +8070,7 @@ FROM documents ORDER BY media_id"""
 def q324(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_g711_media(d, "doc_id", law="ulaw")
-    return MM.extract_audio_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_audio_features(media)).orderBy("media_id")
 
 
 _Q325_SQL = """
@@ -8099,7 +8099,7 @@ FROM documents ORDER BY media_id"""
 def q325(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_g711_media(d, "doc_id", law="alaw")
-    return MM.extract_audio_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_audio_features(media)).orderBy("media_id")
 
 
 _Q326_SQL = """
@@ -8137,7 +8137,7 @@ GROUP BY doc_id ORDER BY media_id"""
 def q326(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.plant_avi_rle8_media(d, "doc_id")
-    return MM.extract_video_features(media).orderBy("media_id")
+    return MM.pin_for_sort(MM.extract_video_features(media)).orderBy("media_id")
 
 
 _Q327_SQL = """

@@ -2270,6 +2270,32 @@ def test_jpeg_decode_spark_path(spark):
     assert got == {9: "false", 10: "false"}
 
 
+def test_pin_for_sort_equivalent(spark):
+    """The r12 pin_for_sort materialization (decode once, then sort the
+    narrow feature rows) is a pure recompute cut: ordered results must be
+    identical with the flag on and off."""
+    df = spark.createDataFrame([(i,) for i in (9, 2, 41, 0, 17)], "doc_id long")
+
+    def rows():
+        return [
+            tuple(r)
+            for r in MM.pin_for_sort(
+                MM.extract_jpeg_features(MM.plant_jpeg_media(df, "doc_id"))
+            ).orderBy("media_id").collect()
+        ]
+
+    old_flag = MM._FEATURES_CHECKPOINT
+    try:
+        MM._FEATURES_CHECKPOINT = True
+        on = rows()
+        MM._FEATURES_CHECKPOINT = False
+        off = rows()
+    finally:
+        MM._FEATURES_CHECKPOINT = old_flag
+    assert on == off and len(on) == 5
+    assert [r[0] for r in on] == [0, 2, 9, 17, 41]
+
+
 def test_avi_codec_roundtrip_and_failure_modes():
     """B51 round-10 (third seam): uncompressed AVI decode is REAL — RIFF
     chunk walk, raw bottom-up BGR DIB frames with 4-byte stride padding.
