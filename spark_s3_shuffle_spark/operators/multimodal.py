@@ -68,7 +68,9 @@ _FEATURES_CHECKPOINT = True
 
 
 def pin_for_sort(df: DataFrame) -> DataFrame:
-    """Materialize a decoded feature frame once before a global sort.
+    """Materialize a narrow computed frame once before a global sort
+    (media feature frames, per-doc text scores — any expensive
+    exchange-free segment under an ``orderBy``).
 
     A global ``orderBy`` needs range-partition bounds, and Spark computes
     them with a SAMPLING pass that executes the sort's whole child — for

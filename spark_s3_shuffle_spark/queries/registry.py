@@ -765,8 +765,12 @@ FROM toks ORDER BY doc_id"""
 @_register("q39_quality_score", _Q39_SQL, "B50 quality scoring (length/stopword/punct ratios)")
 def q39(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return T.quality_score(d, "text").select(
-        "doc_id", "len_chars", "n_tokens", "stop_ratio", "punct_ratio"
+    # r12-opt: pin before the global sort — the range-bounds sample pass
+    # otherwise re-runs the whole per-doc scoring scan (see pin_for_sort)
+    return MM.pin_for_sort(
+        T.quality_score(d, "text").select(
+            "doc_id", "len_chars", "n_tokens", "stop_ratio", "punct_ratio"
+        )
     ).orderBy("doc_id")
 
 
@@ -807,7 +811,11 @@ FROM s ORDER BY doc_id"""
 )
 def q40(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return T.with_lang_id(d, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+    # r12-opt: pin before the global sort (same double-execution cut as
+    # the media family — the lang-id expression tree is the expensive part)
+    return MM.pin_for_sort(
+        T.with_lang_id(d, "text").select("doc_id", "lang", "lang_pred")
+    ).orderBy("doc_id")
 
 
 @_register(
